@@ -1,0 +1,123 @@
+"""Stable dense docID assignment — the distributed replacement for the
+reference's mutable ``docid_map`` counter (/root/reference/src/lib.rs:1000-1026,
+SURVEY.md §2.4 T1).
+
+Rule: doc_id = dense rank of (conv_id, turn_idx) under byte-wise-ascending
+order.  Because turn_idx is dense 0-based within each conversation
+(validated here), the rank factorizes as
+
+    doc_id = conv_offset[conv_id] + turn_idx
+
+where conv_offset is the exclusive prefix sum of per-conversation turn
+counts in conv_id byte order.  This needs NO global sort of the turn
+table — only a conversation-level groupby (|convs| << |turns|) followed
+by a small sorted prefix-sum, so the only all-to-all touches
+conversation aggregates, not the 10^12-turn payload.
+
+Driver barrier: per-*block* totals only (a handful of ints), exactly the
+"cheap barrier" SURVEY.md §7 calls for.  At cluster scale the broadcast
+conv_offset table would become a hash-partitioned join instead of a
+`ray.put` broadcast; the routing below isolates that choice in
+`DocIdAssigner`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+
+@ray.remote
+def _block_total(tbl: pa.Table) -> int:
+    return int(pc.sum(tbl["n_turns"]).as_py() or 0)
+
+
+@ray.remote
+def _block_offsets(tbl: pa.Table, base: int) -> pa.Table:
+    counts = tbl["n_turns"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mins = tbl["min_turn"].to_numpy(zero_copy_only=False)
+    maxs = tbl["max_turn"].to_numpy(zero_copy_only=False)
+    if counts.size and ((mins != 0).any() or (maxs != counts - 1).any()):
+        bad = tbl["conv_id"][int(np.flatnonzero((mins != 0) | (maxs != counts - 1))[0])]
+        raise ValueError(
+            f"turn_idx not dense 0-based for conversation {bad}: "
+            "docid rule requires dense turns (FIXTURES.md §1)"
+        )
+    offsets = base + np.cumsum(counts) - counts
+    return pa.table(
+        {
+            "conv_id": tbl["conv_id"],
+            "conv_offset": pa.array(offsets, type=pa.int64()),
+        }
+    )
+
+
+def compute_conv_offsets(ds: ray.data.Dataset) -> tuple[pa.Table, int]:
+    """-> (conv_offsets table sorted by conv_id, num_docs).
+
+    Also validates per-conversation turn density and (conv_id, turn_idx)
+    uniqueness (duplicate keys inflate n_turns past max+1 and fail the
+    density check — the analogue of the reference's dense-docid bail,
+    /root/reference/src/lib.rs:545-546)."""
+    agg = ds.groupby("conv_id").aggregate(
+        Count(alias_name="n_turns"),
+        Min("turn_idx", alias_name="min_turn"),
+        Max("turn_idx", alias_name="max_turn"),
+    )
+    sorted_ds = agg.sort("conv_id").materialize()
+    refs = sorted_ds.to_arrow_refs()
+    totals = ray.get([_block_total.remote(r) for r in refs])
+    bases = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(np.int64)
+    parts = ray.get(
+        [_block_offsets.remote(r, int(b)) for r, b in zip(refs, bases)]
+    )
+    offsets = pa.concat_tables([p for p in parts if len(p)])
+    return offsets, int(sum(totals))
+
+
+class DocIdAssigner:
+    """map_batches actor: adds dense `doc_id` + `collection_docid`.
+
+    The conversation-offset table is fetched once per actor from the
+    object store (`ray.put` broadcast) and looked up per batch with the
+    vectorized hash join `pc.index_in` — no per-row Python."""
+
+    def __init__(self, offsets_ref):
+        offsets: pa.Table = ray.get(offsets_ref)
+        self.conv_ids = offsets["conv_id"].combine_chunks()
+        self.offsets = offsets["conv_offset"].to_numpy(zero_copy_only=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pos = pc.index_in(batch["conv_id"], value_set=self.conv_ids)
+        if pos.null_count:
+            raise ValueError("conv_id missing from offset table")
+        pos_np = pos.to_numpy(zero_copy_only=False)
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_id = self.offsets[pos_np.astype(np.int64)] + turn
+        coll = pc.binary_join_element_wise(
+            batch["conv_id"],
+            pc.cast(batch["turn_idx"], pa.string()),
+            "/",
+        )
+        return batch.append_column(
+            "doc_id", pa.array(doc_id, type=pa.int64())
+        ).append_column("collection_docid", coll)
+
+
+def assign_doc_ids(
+    ds: ray.data.Dataset,
+) -> tuple[ray.data.Dataset, int, "ray.ObjectRef"]:
+    """-> (dataset + doc_id/collection_docid columns, num_docs, offsets ref)."""
+    offsets, num_docs = compute_conv_offsets(ds)
+    offsets_ref = ray.put(offsets)
+    out = ds.map_batches(
+        DocIdAssigner,
+        fn_constructor_args=(offsets_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return out, num_docs, offsets_ref

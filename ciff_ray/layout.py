@@ -1,0 +1,116 @@
+"""Index directory layout + manifest / lineage IO.
+
+Analogue of the reference's path-derivation helpers
+(PisaPaths::from_base_path, /root/reference/src/lib.rs:307-338) — but an
+index here is a *directory* of Parquet segments plus JSON manifests, so
+a failed build can resume per partition (SURVEY.md §4 checkpoint/resume;
+the reference has none).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def manifest(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    @property
+    def lineage(self) -> str:
+        return os.path.join(self.root, "lineage.jsonl")
+
+    @property
+    def segments_dir(self) -> str:
+        return os.path.join(self.root, "segments")
+
+    @property
+    def term_dict_dir(self) -> str:
+        return os.path.join(self.root, "term_dict")
+
+    @property
+    def term_stats(self) -> str:
+        return os.path.join(self.root, "term_stats")
+
+    @property
+    def docmap_dir(self) -> str:
+        return os.path.join(self.root, "docmap")
+
+    def segment(self, pid: int) -> str:
+        return os.path.join(self.segments_dir, f"part-{pid:05d}.parquet")
+
+    def segment_done(self, pid: int) -> str:
+        return os.path.join(self.segments_dir, f"part-{pid:05d}.done.json")
+
+    def term_dict_part(self, pid: int) -> str:
+        return os.path.join(self.term_dict_dir, f"part-{pid:05d}.parquet")
+
+    def ensure_dirs(self) -> None:
+        os.makedirs(self.segments_dir, exist_ok=True)
+        os.makedirs(self.term_dict_dir, exist_ok=True)
+        os.makedirs(self.docmap_dir, exist_ok=True)
+
+
+@dataclass
+class Manifest:
+    """CIFF Header analogue (/root/reference/proto/common-index-format-v1.proto:10-34)
+    plus build parameters needed to interpret the segments."""
+
+    version: int = 1
+    num_docs: int = 0
+    num_postings_lists: int = 0
+    total_terms_in_collection: int = 0
+    average_doclength: float = 0.0
+    description: str = ""
+    num_partitions: int = 0
+    k1: float = 0.9
+    b: float = 0.4
+    block_size: int = 128
+    input_fingerprint: str = ""
+    heavy_terms: dict = field(default_factory=dict)  # term -> num_salts
+
+    def write(self, path: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(asdict(self), f, indent=1)
+        os.replace(tmp, path)
+
+    @classmethod
+    def read(cls, path: str) -> "Manifest":
+        with open(path) as f:
+            return cls(**json.load(f))
+
+
+def append_lineage(path: str, rows: list[dict]) -> None:
+    with open(path, "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def read_lineage(path: str) -> list[dict]:
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def stable_hash(data: bytes) -> int:
+    """Version-stable 32-bit hash used for term -> partition routing.
+    (crc32: identical across Python/pandas/numpy versions, unlike
+    builtin hash or pd.util hashing.)"""
+    return zlib.crc32(data) & 0xFFFFFFFF
+
+
+def atomic_write_parquet(table, path: str, **kwargs) -> None:
+    import pyarrow.parquet as pq
+
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, **kwargs)
+    os.replace(tmp, path)

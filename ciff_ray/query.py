@@ -1,0 +1,424 @@
+"""BM25 query engine over a ciff_ray index directory.
+
+The reference contains no query engine (SURVEY.md §2.7 O5); scoring
+semantics are pinned by our single-process oracle (ciff_ray.oracle):
+k1=0.9, b=0.4, idf = max(ln((N-df+0.5)/(df+0.5)), 1e-6), float64,
+summation in byte-sorted term order, ties (score desc, doc_id asc).
+The engine must be (and is, tests/test_query_topk.py) SCORE-identical
+to the oracle, not merely rank-identical.
+
+Two scoring modes, both exact:
+
+* ``exact``   — vectorized term-at-a-time: decode every query-term
+  slice, accumulate with np.unique + bincount.
+* ``maxscore``— MaxScore-style pruning: essential terms (largest
+  idf*max_partial upper bounds) are scored fully; non-essential terms
+  contribute only to the candidate set via block-targeted decode
+  (per-block byte offsets in the segment let a single 128-posting block
+  be decoded without touching the rest of the slice).  Falls back to
+  exact when the pruning guarantee (Σ U_nonessential < θ_k) cannot be
+  established, so results are always identical to ``exact``.
+
+Deployment model: each scorer holds the (small) term dictionary +
+collection stats and lazily loads/caches posting slices from the
+segment Parquet files — on a cluster these live on shared storage, so
+any actor can serve any query and the pool scales with query load
+(`QueryEngine.score_dataset` = map_batches actor pool).  At 10^12-doc
+scale the in-memory doclength array would become a doc-range-sharded
+lookup; that sharding is isolated in `_doclengths`.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ciff_ray import codecs
+from ciff_ray.layout import IndexPaths, Manifest
+from ciff_ray.oracle import EPS_IDF, tokenize
+from ciff_ray.schemas import CODEC_GAMMA
+
+
+@dataclass
+class BM25Params:
+    k1: float = 0.9
+    b: float = 0.4
+
+
+class LocalScorer:
+    """In-process scorer; also the body of the map_batches actor pool."""
+
+    def __init__(self, index_dir: str, params: BM25Params | None = None):
+        self.paths = IndexPaths(index_dir)
+        self.manifest = Manifest.read(self.paths.manifest)
+        self.params = params or BM25Params(self.manifest.k1, self.manifest.b)
+        # pruning bounds (block_max/max_score) were computed with the
+        # build-time (k1, b); with different query params they are not
+        # valid upper bounds
+        self._bounds_valid = (
+            self.params.k1 == self.manifest.k1 and self.params.b == self.manifest.b
+        )
+        self.N = self.manifest.num_docs
+        self.avgdl = self.manifest.average_doclength
+
+        stats = pq.read_table(self.paths.term_stats)
+        self._stats: dict[str, tuple[int, int, float]] = {}
+        for t, df, cf, ms in zip(
+            stats["term"].to_pylist(),
+            stats["df"].to_numpy(zero_copy_only=False),
+            stats["cf"].to_numpy(zero_copy_only=False),
+            stats["max_score"].to_numpy(zero_copy_only=False),
+        ):
+            self._stats[t] = (int(df), int(cf), float(ms))
+
+        tdict = pq.read_table(self.paths.term_dict_dir)
+        order = pc.sort_indices(
+            tdict, sort_keys=[("term", "ascending"), ("salt", "ascending")]
+        )
+        tdict = tdict.take(order)
+        self._slices: dict[str, list[tuple[int, int]]] = {}
+        for t, s, p in zip(
+            tdict["term"].to_pylist(),
+            tdict["salt"].to_numpy(zero_copy_only=False),
+            tdict["partition_id"].to_numpy(zero_copy_only=False),
+        ):
+            self._slices.setdefault(t, []).append((int(s), int(p)))
+
+        self._dl = self._doclengths()
+        self._segments: dict[int, tuple[pa.Table, dict]] = {}
+        self._doc_titles: pa.Table | None = None
+
+    # -- index access ----------------------------------------------------
+
+    def _doclengths(self) -> np.ndarray:
+        dm = pq.read_table(self.paths.docmap_dir, columns=["doc_id", "doclength"])
+        order = pc.sort_indices(dm["doc_id"].combine_chunks())
+        return (
+            dm["doclength"].combine_chunks().take(order).to_numpy(
+                zero_copy_only=False
+            )
+        ).astype(np.int64)
+
+    def _segment(self, pid: int) -> tuple[pa.Table, dict]:
+        seg = self._segments.get(pid)
+        if seg is None:
+            path = self.paths.segment(pid)
+            tbl = pq.read_table(path, memory_map=True)
+            index = {
+                (t, int(s)): i
+                for i, (t, s) in enumerate(
+                    zip(
+                        tbl["term"].to_pylist(),
+                        tbl["salt"].to_numpy(zero_copy_only=False),
+                    )
+                )
+            }
+            seg = (tbl, index)
+            self._segments[pid] = seg
+        return seg
+
+    def _slice_row(self, term: str, salt: int, pid: int) -> dict:
+        tbl, index = self._segment(pid)
+        i = index[(term, salt)]
+        return {name: tbl[name][i] for name in tbl.column_names}
+
+    def _decode_slice(self, row: dict) -> tuple[np.ndarray, np.ndarray]:
+        df = row["df"].as_py()
+        first = row["first_doc"].as_py()
+        gaps = codecs.decode(
+            row["doc_bytes"].as_py(), df - 1, row["doc_codec"].as_py()
+        ).astype(np.int64)
+        docs = np.empty(df, dtype=np.int64)
+        docs[0] = first
+        if df > 1:
+            np.cumsum(gaps, out=docs[1:])
+            docs[1:] += first
+        tfs = codecs.decode(
+            row["tf_bytes"].as_py(), df, row["tf_codec"].as_py()
+        ).astype(np.int64)
+        return docs, tfs
+
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Full docID-ordered posting list: slices concatenated in salt
+        order (salts cover disjoint ascending docID ranges by
+        construction — build.py salting invariant)."""
+        slices = self._slices.get(term)
+        if not slices:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        parts = [self._decode_slice(self._slice_row(term, s, p)) for s, p in slices]
+        if len(parts) == 1:
+            return parts[0]
+        docs = np.concatenate([d for d, _ in parts])
+        tfs = np.concatenate([t for _, t in parts])
+        if (docs[1:] <= docs[:-1]).any():
+            raise AssertionError(f"salted slices of {term!r} out of docID order")
+        return docs, tfs
+
+    # -- BM25 -------------------------------------------------------------
+
+    def idf(self, term: str) -> float:
+        st = self._stats.get(term)
+        if st is None:
+            return 0.0
+        df = st[0]
+        return max(math.log((self.N - df + 0.5) / (df + 0.5)), EPS_IDF)
+
+    def _contrib(self, tfs: np.ndarray, dl: np.ndarray, w: float) -> np.ndarray:
+        k1, b = self.params.k1, self.params.b
+        return w * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / self.avgdl))
+
+    def score_all(self, query: str) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, scores) over all docs matching >= 1 query term;
+        summation order = byte-sorted terms, matching the oracle."""
+        terms = sorted(set(tokenize(query)), key=lambda s: s.encode())
+        doc_parts, contrib_parts = [], []
+        for t in terms:
+            if t not in self._stats:
+                continue
+            docs, tfs = self.postings(t)
+            if docs.size == 0:
+                continue
+            w = self.idf(t)
+            dl = self._dl[docs]
+            doc_parts.append(docs)
+            contrib_parts.append(self._contrib(tfs, dl, w))
+        if not doc_parts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        all_docs = np.concatenate(doc_parts)
+        all_contrib = np.concatenate(contrib_parts)
+        u, inv = np.unique(all_docs, return_inverse=True)
+        scores = np.bincount(inv, weights=all_contrib)
+        return u, scores
+
+    @staticmethod
+    def _rank(doc_ids: np.ndarray, scores: np.ndarray, k: int):
+        if doc_ids.size == 0:
+            return doc_ids, scores
+        if doc_ids.size > 4 * k > 0:
+            # cheap pre-cut before the exact (score desc, doc_id asc)
+            # sort: keep every doc scoring >= the k-th best (ALL ties
+            # included, so the doc_id tie-break stays correct)
+            kth = np.partition(scores, scores.size - k)[scores.size - k]
+            sel = scores >= kth
+            doc_ids, scores = doc_ids[sel], scores[sel]
+        order = np.lexsort((doc_ids, -scores))[:k]
+        return doc_ids[order], scores[order]
+
+    def topk(self, query: str, k: int = 10, mode: str = "exact"):
+        if mode == "maxscore" and self._bounds_valid:
+            r = self._topk_maxscore(query, k)
+            if r is not None:
+                return r
+        u, scores = self.score_all(query)
+        return self._rank(u, scores, k)
+
+    # -- MaxScore + block-max pruning ------------------------------------
+
+    def _block_decode(self, row: dict, bi: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decode a single block of a varint slice via its byte offsets."""
+        bld = row["block_last_doc"].as_py()
+        doff = row["block_doc_off"].as_py()
+        toff = row["block_tf_off"].as_py()
+        df = row["df"].as_py()
+        bs = self.manifest.block_size
+        nblocks = len(bld)
+        start_pos = bi * bs
+        end_pos = min(start_pos + bs, df)
+        count = end_pos - start_pos
+        doc_b = row["doc_bytes"].as_py()
+        tf_b = row["tf_bytes"].as_py()
+        d_end = doff[bi + 1] if bi + 1 < nblocks else len(doc_b)
+        t_end = toff[bi + 1] if bi + 1 < nblocks else len(tf_b)
+        if bi == 0:
+            gaps = codecs.varint_decode(doc_b[: d_end], count - 1).astype(np.int64)
+            docs = np.empty(count, dtype=np.int64)
+            docs[0] = row["first_doc"].as_py()
+            if count > 1:
+                docs[1:] = docs[0] + np.cumsum(gaps)
+        else:
+            gaps = codecs.varint_decode(doc_b[doff[bi] : d_end], count).astype(
+                np.int64
+            )
+            docs = bld[bi - 1] + np.cumsum(gaps)
+        tfs = codecs.varint_decode(tf_b[toff[bi] : t_end], count).astype(np.int64)
+        return docs, tfs
+
+    def _candidate_tf(self, term: str, cand: np.ndarray) -> np.ndarray:
+        """tf of each candidate doc under `term` (0 if absent), decoding
+        only the blocks that can contain a candidate."""
+        out = np.zeros(cand.size, dtype=np.int64)
+        for salt, pid in self._slices.get(term, ()):
+            row = self._slice_row(term, salt, pid)
+            bld = np.asarray(row["block_last_doc"].as_py(), dtype=np.int64)
+            if bld.size == 0:
+                continue
+            lo = row["first_doc"].as_py()
+            sel = (cand >= lo) & (cand <= bld[-1])
+            if not sel.any():
+                continue
+            if (
+                row["doc_codec"].as_py() == CODEC_GAMMA
+                or row["tf_codec"].as_py() == CODEC_GAMMA
+                or row["block_doc_off"].as_py()[0] < 0
+                or row["block_tf_off"].as_py()[0] < 0
+            ):
+                docs, tfs = self._decode_slice(row)
+                pos = np.searchsorted(docs, cand[sel])
+                hit = (pos < docs.size) & (docs[np.minimum(pos, docs.size - 1)] == cand[sel])
+                vals = np.zeros(sel.sum(), dtype=np.int64)
+                vals[hit] = tfs[pos[hit]]
+                out[sel] += vals
+                continue
+            csel = cand[sel]
+            blocks = np.searchsorted(bld, csel)
+            vals = np.zeros(csel.size, dtype=np.int64)
+            for bi in np.unique(blocks):
+                docs, tfs = self._block_decode(row, int(bi))
+                mask = blocks == bi
+                pos = np.searchsorted(docs, csel[mask])
+                hit = (pos < docs.size) & (
+                    docs[np.minimum(pos, docs.size - 1)] == csel[mask]
+                )
+                v = np.zeros(int(mask.sum()), dtype=np.int64)
+                v[hit] = tfs[pos[hit]]
+                vals[mask] = v
+            out[sel] += vals
+        return out
+
+    def _topk_maxscore(self, query: str, k: int):
+        """Exact top-k with MaxScore pruning; returns None to fall back."""
+        terms = [
+            t
+            for t in sorted(set(tokenize(query)), key=lambda s: s.encode())
+            if t in self._stats
+        ]
+        if len(terms) < 2:
+            return None
+        ub = np.array([self.idf(t) * self._stats[t][2] for t in terms])
+        order = np.argsort(-ub)  # desc upper bound
+        best_docs = np.empty(0, np.int64)
+        scores = np.empty(0, np.float64)
+        for ness in range(1, len(terms)):
+            essential = [terms[i] for i in order[:ness]]
+            rest_bound = float(ub[order[ness:]].sum())
+            # score candidates = union of essential postings, exactly,
+            # over ALL terms (non-essential via block-targeted decode)
+            doc_parts = [self.postings(t)[0] for t in essential]
+            cand = np.unique(np.concatenate(doc_parts))
+            if cand.size == 0:
+                return None
+            if cand.size >= self.N // 2:
+                return None  # candidate set too dense; exhaustive is cheaper
+            total = np.zeros(cand.size, dtype=np.float64)
+            for t in terms:  # byte-sorted order for fp determinism
+                if t in essential:
+                    docs, tfs = self.postings(t)
+                    pos = np.searchsorted(cand, docs)
+                    w = self.idf(t)
+                    np.add.at(
+                        total, pos, self._contrib(tfs, self._dl[docs], w)
+                    )
+                else:
+                    tfs = self._candidate_tf(t, cand)
+                    nz = tfs > 0
+                    if nz.any():
+                        w = self.idf(t)
+                        total[nz] += self._contrib(
+                            tfs[nz], self._dl[cand[nz]], w
+                        )
+            if cand.size >= k:
+                theta = np.partition(total, cand.size - k)[cand.size - k]
+            else:
+                theta = -np.inf
+            if rest_bound < theta:
+                best_docs, scores = cand, total
+                break
+        else:
+            return None
+        return self._rank(best_docs, scores, k)
+
+    # -- result decoration ------------------------------------------------
+
+    def collection_docids(self, doc_ids: np.ndarray) -> list[str]:
+        if self._doc_titles is None:
+            dm = pq.read_table(
+                self.paths.docmap_dir, columns=["doc_id", "collection_docid"]
+            )
+            order = pc.sort_indices(dm["doc_id"].combine_chunks())
+            self._doc_titles = dm["collection_docid"].combine_chunks().take(order)
+        return self._doc_titles.take(pa.array(doc_ids)).to_pylist()
+
+
+class ScorerActor:
+    """map_batches callable: batch of (query_id, query) -> ranked results.
+    Index loaded once per actor (__init__), per-batch work vectorized."""
+
+    def __init__(self, index_dir: str, k: int = 10, mode: str = "exact"):
+        self.scorer = LocalScorer(index_dir)
+        self.k = k
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        for qid, q in zip(batch["query_id"].to_pylist(), batch["query"].to_pylist()):
+            d, s = self.scorer.topk(q, self.k, mode=self.mode)
+            qids.extend([qid] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            docs.extend(d.tolist())
+            scores.extend(s.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
+
+class QueryEngine:
+    """User-facing engine: single queries, batches, and Dataset scoring."""
+
+    def __init__(self, index_dir: str, params: BM25Params | None = None):
+        self.index_dir = index_dir
+        self._local = LocalScorer(index_dir, params)
+
+    @property
+    def manifest(self) -> Manifest:
+        return self._local.manifest
+
+    def topk(self, query: str, k: int = 10, mode: str = "exact"):
+        return self._local.topk(query, k, mode=mode)
+
+    def topk_table(self, queries: list[str], k: int = 10, mode: str = "exact") -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        for qid, q in enumerate(queries):
+            d, s = self._local.topk(q, k, mode=mode)
+            qids.extend([qid] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            docs.extend(d.tolist())
+            scores.extend(s.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
+    def score_dataset(self, queries_ds, k: int = 10, mode: str = "exact", concurrency=(1, 8)):
+        """Distributed serving: actor pool, one LocalScorer per actor."""
+        return queries_ds.map_batches(
+            ScorerActor,
+            fn_constructor_args=(self.index_dir, k, mode),
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=concurrency,
+        )

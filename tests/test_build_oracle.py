@@ -1,0 +1,96 @@
+"""End-to-end build correctness: Ray pipeline vs single-process oracle.
+
+The Ray-built index must reproduce, exactly: the docmap (docids from the
+stable (conv_id, turn_idx) sort), every posting list (terms, df, cf,
+docIDs, tfs), and the CIFF-Header statistics — the distributed analogue
+of the reference's golden toy test (/root/reference/tests/toy.rs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from ciff_ray.build import BuildParams, build_index
+from ciff_ray.layout import IndexPaths
+from ciff_ray.oracle import OracleIndex
+from ciff_ray.query import LocalScorer
+from ciff_ray.synth import generate_transcripts
+
+MICRO_PARAMS = dict(n_convs=20, max_turns=6, seed=7, mean_tokens=12, empty_frac=0.1)
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    tbl = generate_transcripts(**MICRO_PARAMS)
+    out = str(tmp_path_factory.mktemp("idx"))
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    manifest = build_index(
+        ds, out, BuildParams(num_partitions=7, heavy_df_frac=0.2, num_salts=3,
+                             sample_frac=1.0)
+    )
+    oracle = OracleIndex.build(tbl)
+    return tbl, out, manifest, oracle
+
+
+def test_manifest_stats(built):
+    _, _, manifest, oracle = built
+    om = oracle.manifest()
+    assert manifest.num_docs == om["num_docs"]
+    assert manifest.num_postings_lists == om["num_postings_lists"]
+    assert manifest.total_terms_in_collection == om["total_terms_in_collection"]
+    assert manifest.average_doclength == pytest.approx(om["average_doclength"], abs=0)
+
+
+def test_docmap_matches_oracle(built):
+    _, out, _, oracle = built
+    dm = pq.read_table(IndexPaths(out).docmap_dir).sort_by("doc_id")
+    assert dm["doc_id"].to_pylist() == list(range(oracle.num_docs))
+    assert dm["collection_docid"].to_pylist() == oracle.collection_docids
+    assert dm["doclength"].to_pylist() == oracle.doclengths
+
+
+def test_posting_lists_match_oracle(built):
+    _, out, _, oracle = built
+    scorer = LocalScorer(out)
+    assert sorted(scorer._stats.keys()) == sorted(oracle.postings.keys())
+    for term, plist in oracle.postings.items():
+        docs, tfs = scorer.postings(term)
+        exp_docs = [d for d, _ in plist]
+        exp_tfs = [t for _, t in plist]
+        assert docs.tolist() == exp_docs, term
+        assert tfs.tolist() == exp_tfs, term
+        df, cf, _ = scorer._stats[term]
+        assert df == len(plist)
+        assert cf == sum(exp_tfs)
+
+
+def test_heavy_terms_salted(built):
+    """The Zipf head ('the') must be split into multiple docID-range
+    slices, and still decode to the exact global list (tested above)."""
+    _, out, manifest, _ = built
+    assert "the" in manifest.heavy_terms
+    scorer = LocalScorer(out)
+    assert len(scorer._slices["the"]) > 1
+
+
+def test_input_order_irrelevance(built, tmp_path):
+    """Same rows in a different input order -> byte-identical postings
+    (docid rule depends only on (conv_id, turn_idx))."""
+    tbl, out, _, oracle = built
+    perm = np.random.default_rng(99).permutation(len(tbl))
+    ds = ray.data.from_arrow(tbl.take(perm)).repartition(3)
+    out2 = str(tmp_path / "idx2")
+    build_index(ds, out2, BuildParams(num_partitions=4, heavy_df_frac=0.0))
+    s1, s2 = LocalScorer(out), LocalScorer(out2)
+    for term in oracle.postings:
+        d1, t1 = s1.postings(term)
+        d2, t2 = s2.postings(term)
+        assert d1.tolist() == d2.tolist()
+        assert t1.tolist() == t2.tolist()
+
+
+def test_empty_text_turns_have_zero_doclength(built):
+    _, out, _, oracle = built
+    assert 0 in oracle.doclengths  # generator guarantees some empty turns

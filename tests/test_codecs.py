@@ -1,0 +1,91 @@
+"""Codec unit + property tests (mirrors the reference's quickcheck layer,
+/root/reference/src/binary_collection.rs:427-437)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ciff_ray import codecs
+from ciff_ray.schemas import CODEC_GAMMA, CODEC_VARINT
+
+
+def test_delta_roundtrip():
+    ids = np.array([3, 7, 8, 100, 101, 1_000_000], dtype=np.int64)
+    gaps = codecs.delta_encode(ids)
+    assert gaps.tolist() == [3, 4, 1, 92, 1, 999899]
+    assert codecs.delta_decode(gaps).tolist() == ids.tolist()
+
+
+def test_delta_empty():
+    assert codecs.delta_encode(np.array([], dtype=np.int64)).size == 0
+    assert codecs.delta_decode(np.array([], dtype=np.int64)).size == 0
+
+
+def test_varint_known_bytes():
+    assert codecs.varint_encode(np.array([0])) == b"\x00"
+    assert codecs.varint_encode(np.array([1])) == b"\x01"
+    assert codecs.varint_encode(np.array([127])) == b"\x7f"
+    assert codecs.varint_encode(np.array([128])) == b"\x80\x01"
+    assert codecs.varint_encode(np.array([300])) == b"\xac\x02"
+
+
+def test_varint_roundtrip_simple():
+    vals = np.array([0, 1, 127, 128, 300, 2**31, 2**63 - 1], dtype=np.uint64)
+    buf = codecs.varint_encode(vals)
+    out = codecs.varint_decode(buf, len(vals))
+    assert out.tolist() == vals.tolist()
+
+
+def test_varint_count_mismatch():
+    buf = codecs.varint_encode(np.array([1, 2, 3]))
+    with pytest.raises(ValueError):
+        codecs.varint_decode(buf, 5)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+def test_varint_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    out = codecs.varint_decode(codecs.varint_encode(arr), len(arr))
+    assert out.tolist() == arr.tolist()
+
+
+def test_gamma_known():
+    # 1 -> '1'; 2 -> '010'; 3 -> '011'; 4 -> '00100'
+    assert codecs.gamma_encode(np.array([1])) == bytes([0b10000000])
+    assert codecs.gamma_encode(np.array([2])) == bytes([0b01000000])
+    assert codecs.gamma_encode(np.array([1, 1, 1, 1, 1, 1, 1, 1])) == bytes([0xFF])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=2**32 - 1), max_size=200))
+def test_gamma_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    out = codecs.gamma_decode(codecs.gamma_encode(arr), len(arr))
+    assert out.tolist() == arr.tolist()
+
+
+def test_gamma_rejects_zero():
+    with pytest.raises(ValueError):
+        codecs.gamma_encode(np.array([0]))
+
+
+def test_choose_codec_prefers_gamma_for_ones():
+    ones = np.ones(1000, dtype=np.uint64)
+    assert codecs.choose_codec(ones) == CODEC_GAMMA
+    big = np.full(1000, 10_000_000, dtype=np.uint64)
+    assert codecs.choose_codec(big) == CODEC_VARINT
+    with_zero = np.array([0, 1, 2], dtype=np.uint64)
+    assert codecs.choose_codec(with_zero) == CODEC_VARINT
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=2**20), min_size=1, max_size=100))
+def test_dispatch_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    codec = codecs.choose_codec(arr)
+    out = codecs.decode(codecs.encode(arr, codec), len(arr), codec)
+    assert out.tolist() == arr.tolist()
