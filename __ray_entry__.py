@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in ciff_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each queries() entry is a SURVEY.md §2 operator family expressed as a
+Ray Data pipeline (ciff_ray.pipelines / ciff_ray extras); oracle_sql()
+returns the DuckDB-equivalent SQL over the same testdata views.  The
+canonical transcripts input is derived deterministically from
+`documents` on BOTH sides (ciff_ray.synth.SQL_TRANSCRIPTS_CTE).
 """
 
 from __future__ import annotations
@@ -20,25 +17,44 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build the inverted index over the
+    derived transcripts, serve the fixed BM25 query set, return ranked
+    results."""
+    from ciff_ray import pipelines
+
+    return pipelines.q_bm25_topk("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ciff_ray import pipelines as p
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    entries: dict[str, Callable[[str], Any]] = {
+        # inverted-index engine family (SURVEY.md §2; north_rule gate)
+        "tokenize_tf": p.q_tokenize_tf,
+        "postings_stats": p.q_postings_stats,
+        "docmap": p.q_docmap,
+        "collection_stats": p.q_collection_stats,
+        "postings_lists": p.q_postings_lists,  # rows-only (list columns)
+        "bm25_scores": p.q_bm25_scores,
+        "bm25_topk": p.q_bm25_topk,
+    }
+    try:
+        from ciff_ray import extras
+
+        entries.update(extras.QUERIES)
+    except ImportError:
+        pass
+    return entries
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ciff_ray import pipelines as p
+
+    sqls = dict(p.oracle_sqls())
+    try:
+        from ciff_ray import extras
+
+        sqls.update(extras.ORACLE_SQLS)
+    except ImportError:
+        pass
+    return sqls

@@ -1,0 +1,195 @@
+"""Benchmark harness: index-build throughput + BM25 query latency.
+
+Headline pipeline = full index build (read -> tokenize -> docid assign ->
+postings shuffle -> packed segment write) over a seeded synthetic
+transcripts table scaled to the requested sf, then the fixed query set
+against the built index (p50/p95 latency).
+
+    python bench.py               # one JSON line (driver contract)
+    python bench.py --scaling     # same job at num_cpus=8 and 32 in
+                                  # fresh processes + scaling efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1 — used only to pick the
+scale; transcripts are synthesized, FIXTURES.md §6), RAY_GRAFT_CPUS
+(default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+BENCH_QUERIES = [
+    "the time people",
+    "world still own",
+    "of and to in a",
+    "year",
+    "state good very make",
+    "men work long get",
+    "go came right used take",
+    "zzznotaterm the",
+    "life being under never day",
+    "know while last might us",
+]
+
+_SF_CONVS = {"sf0.001": 750, "sf0.01": 7500, "sf0.1": 75_000}
+
+
+def _sf_label(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base if base.startswith("sf") else "sf0.1"
+
+
+def _transcripts_path(sf: str) -> str:
+    """Seeded transcripts parquet for this scale, generated once and
+    cached (generation excluded from timing)."""
+    n_convs = _SF_CONVS.get(sf, 75_000)
+    out_dir = f"/tmp/ciff_bench/transcripts_{sf}_{n_convs}"
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        import pyarrow.parquet as pq
+
+        from ciff_ray.synth import generate_transcripts
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir)
+        tbl = generate_transcripts(n_convs=n_convs, max_turns=12, seed=42)
+        nfiles = 16
+        step = (len(tbl) + nfiles - 1) // nfiles
+        for i in range(nfiles):
+            part = tbl.slice(i * step, step)
+            if len(part):
+                pq.write_table(part, os.path.join(out_dir, f"part-{i:03d}.parquet"))
+        with open(marker, "w") as f:
+            f.write(str(len(tbl)))
+    return out_dir
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ciff_ray.build import BuildParams, build_index
+    from ciff_ray.query import QueryEngine
+
+    sf = _sf_label(sf_dir)
+    tpath = _transcripts_path(sf)
+    n_turns = int(open(os.path.join(tpath, "_DONE")).read())
+
+    # warm the page cache (measure compute + shuffle, not first disk read)
+    pq.read_table(tpath)
+
+    idx_dir = f"/tmp/ciff_bench/idx_{sf}_{num_cpus}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    t0 = time.monotonic()
+    ds = ray.data.read_parquet(tpath, columns=["conv_id", "turn_idx", "text"])
+    build_index(
+        ds,
+        idx_dir,
+        BuildParams(num_partitions=max(16, num_cpus * 2), sample_frac=0.25),
+    )
+    build_sec = time.monotonic() - t0
+
+    eng = QueryEngine(idx_dir)
+    # untimed warmup touches the segments once
+    eng.topk(BENCH_QUERIES[0], k=10)
+    lat = []
+    t0 = time.monotonic()
+    for _ in range(3):
+        for q in BENCH_QUERIES:
+            s = time.monotonic()
+            eng.topk(q, k=10)
+            lat.append(time.monotonic() - s)
+    query_total = time.monotonic() - t0
+
+    lat = np.array(lat)
+    return {
+        "build_sec": round(build_sec, 3),
+        "turns_per_sec": round(n_turns / build_sec, 1),
+        "n_turns": n_turns,
+        "query_p50_sec": round(float(np.percentile(lat, 50)), 5),
+        "query_p95_sec": round(float(np.percentile(lat, 95)), 5),
+        "query_total_sec": round(query_total, 3),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        # same job, two parallelism levels, fresh processes — the sandbox
+        # stand-in for N vs 4N nodes (north_rule >= 0.8 efficiency)
+        lo_cpus, hi_cpus = 8, 32
+        res = {}
+        for c in (lo_cpus, hi_cpus):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(c))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            res[c] = json.loads(out.strip().splitlines()[-1])
+        thr_lo = res[lo_cpus]["queries"]["turns_per_sec"]
+        thr_hi = res[hi_cpus]["queries"]["turns_per_sec"]
+        eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling efficiency (build throughput, "
+                    f"{lo_cpus}->{hi_cpus} cpus)",
+                    "value": round(eff, 3),
+                    "unit": "efficiency",
+                    "turns_per_sec": {str(lo_cpus): thr_lo, str(hi_cpus): thr_hi},
+                    "build_sec": {
+                        str(lo_cpus): res[lo_cpus]["queries"]["build_sec"],
+                        str(hi_cpus): res[hi_cpus]["queries"]["build_sec"],
+                    },
+                    "sf": _sf_label(sf_dir),
+                }
+            )
+        )
+        return
+
+    r = run_bench(sf_dir, num_cpus)
+    print(
+        json.dumps(
+            {
+                "metric": "index build wall time (headline) + BM25 query latency",
+                "value": r["build_sec"],
+                "unit": "sec",
+                "queries": r,
+                "sf": _sf_label(sf_dir),
+                "num_cpus": num_cpus,
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,284 @@
+"""Driver-facing pipelines: each maps a SURVEY.md §2 operator family to
+a Ray Data pipeline over the testdata tables, with a matching DuckDB
+oracle SQL (see __ray_entry__.py).
+
+The canonical input is a transcripts table; the driver's testdata has no
+transcripts file, so one is derived DETERMINISTICALLY from `documents`
+(ciff_ray.synth.transcripts_from_documents) — the same derivation the
+oracle SQL performs via SQL_TRANSCRIPTS_CTE, keeping both sides in
+lock-step.  Because documents.doc_id is dense 0-based, the stable
+(conv_id, turn_idx) rank equals doc_id, which the SQL oracles exploit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from ciff_ray.build import BuildParams, build_index
+from ciff_ray.layout import IndexPaths, Manifest, stable_hash
+from ciff_ray.oracle import B_DEFAULT, EPS_IDF, K1_DEFAULT, tokenize
+from ciff_ray.query import QueryEngine
+from ciff_ray.synth import SQL_TRANSCRIPTS_CTE, transcripts_from_documents
+from ciff_ray.tokenizer import term_frequencies
+
+# Fixed query set over the documents vocabulary (FIXTURES.md §5 flavor:
+# single-term, multi-term, heavy-hitter, no-hit, tie-inducing).
+QUERY_SET = [
+    "the fast key",
+    "spark window merge",
+    "table",
+    "zzznotaterm",
+    "batch stream the a",
+    "customer filter join order",
+    "vector",
+    "slow big hash agg",
+]
+
+TOPK_K = 10
+
+
+def transcripts_dataset(sf_dir: str) -> ray.data.Dataset:
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return docs.map_batches(transcripts_from_documents, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# index build cache (one build per sf_dir per process tree / round)
+
+
+def index_dir_for(sf_dir: str) -> str:
+    key = format(stable_hash(sf_dir.encode()), "08x")
+    return os.path.join("/tmp/ciff_ray_cache", key)
+
+
+def ensure_index(sf_dir: str) -> str:
+    out = index_dir_for(sf_dir)
+    paths = IndexPaths(out)
+    if not os.path.exists(paths.manifest):
+        build_index(
+            transcripts_dataset(sf_dir),
+            out,
+            BuildParams(num_partitions=16, sample_frac=1.0),
+            input_fingerprint=format(stable_hash(sf_dir.encode()), "08x"),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# queries() bodies — each returns a Dataset / pa.Table
+
+
+def q_tokenize_tf(sf_dir: str) -> ray.data.Dataset:
+    """Exploded (doc_id, term, tf) — tokenizer + in-batch aggregation
+    (operator M-group: tokenize/explode, SURVEY.md §2.3).  Tokenizes the
+    documents rows directly: the derived-transcript doc_id equals
+    documents.doc_id (dense rank identity, validated by q_docmap)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        lambda b: term_frequencies(b, id_col="doc_id"), batch_format="pyarrow"
+    )
+
+
+def q_postings_stats(sf_dir: str) -> pa.Table:
+    """Per-term (term, df, cf) from the built index's term stats
+    (aggregates A1/A2)."""
+    idx = ensure_index(sf_dir)
+    t = pq.read_table(IndexPaths(idx).term_stats, columns=["term", "df", "cf"])
+    return t.sort_by("term")
+
+
+def q_docmap(sf_dir: str) -> pa.Table:
+    """DocRecord stream analogue (doc_id, collection_docid, doclength)."""
+    idx = ensure_index(sf_dir)
+    t = pq.read_table(IndexPaths(idx).docmap_dir)
+    return t.sort_by("doc_id").select(["doc_id", "collection_docid", "doclength"])
+
+
+def q_collection_stats(sf_dir: str) -> pa.Table:
+    """CIFF Header statistics (A3-A5/A8)."""
+    idx = ensure_index(sf_dir)
+    m = Manifest.read(IndexPaths(idx).manifest)
+    return pa.table(
+        {
+            "num_docs": pa.array([m.num_docs], type=pa.int64()),
+            "num_postings_lists": pa.array([m.num_postings_lists], type=pa.int64()),
+            "total_terms_in_collection": pa.array(
+                [m.total_terms_in_collection], type=pa.int64()
+            ),
+            "average_doclength": pa.array([m.average_doclength], type=pa.float64()),
+        }
+    )
+
+
+def q_postings_lists(sf_dir: str) -> pa.Table:
+    """Full POSTINGS_SCHEMA rows (term, df, cf, doc_ids, tfs) decoded
+    from the packed segments — logical PostingsList view (rows-only
+    check: list columns don't hash portably in the driver compare)."""
+    idx = ensure_index(sf_dir)
+    from ciff_ray.query import LocalScorer
+
+    s = LocalScorer(idx)
+    terms = sorted(s._stats.keys(), key=lambda t: t.encode())
+    doc_lists, tf_lists, dfs, cfs = [], [], [], []
+    for t in terms:
+        d, f = s.postings(t)
+        doc_lists.append(d.astype(np.int32))
+        tf_lists.append(f.astype(np.int32))
+        st = s._stats[t]
+        dfs.append(st[0])
+        cfs.append(st[1])
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "df": pa.array(dfs, type=pa.int64()),
+            "cf": pa.array(cfs, type=pa.int64()),
+            "doc_ids": pa.array([x.tolist() for x in doc_lists], type=pa.large_list(pa.int32())),
+            "tfs": pa.array([x.tolist() for x in tf_lists], type=pa.large_list(pa.int32())),
+        }
+    )
+
+
+def q_bm25_scores(sf_dir: str) -> pa.Table:
+    """All matching (query_id, doc_id, score_r) for the fixed query set;
+    scores rounded to 6 dp for cross-engine float comparison."""
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    qids, docs, scores = [], [], []
+    for qid, q in enumerate(QUERY_SET):
+        u, sc = eng._local.score_all(q)
+        qids.extend([qid] * u.size)
+        docs.extend(u.tolist())
+        scores.extend(np.round(sc, 6).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score_r": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
+def q_bm25_topk(sf_dir: str) -> pa.Table:
+    """Rank-identical top-k (query_id, rank, doc_id) for the fixed query
+    set (north_rule correctness gate)."""
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    tbl = eng.topk_table(QUERY_SET, k=TOPK_K)
+    return tbl.select(["query_id", "rank", "doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL generators
+
+
+def _bm25_scored_cte() -> str:
+    """CTEs computing exact BM25 over the derived transcripts; the
+    formula mirrors ciff_ray.oracle (k1=0.9 b=0.4, floored ln idf)."""
+    values = []
+    for qid, q in enumerate(QUERY_SET):
+        for t in sorted(set(tokenize(q))):
+            values.append(f"({qid}, '{t}')")
+    vals = ", ".join(values)
+    return f"""
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM transcripts
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok WHERE term <> '' GROUP BY doc_id
+),
+stats AS (
+  SELECT (SELECT count(*) FROM transcripts) AS n_docs,
+         (SELECT count(*) FROM tok WHERE term <> '') * 1.0
+           / (SELECT count(*) FROM transcripts) AS avgdl
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id AS doc_id,
+         SUM(
+           greatest(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5)), {EPS_IDF})
+           * tf.tf * ({K1_DEFAULT} + 1.0)
+           / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)"""
+
+
+def oracle_sqls() -> dict[str, str]:
+    T = f"WITH {SQL_TRANSCRIPTS_CTE.strip()}"
+    return {
+        "tokenize_tf": f"""{T},
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM transcripts
+)
+SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+FROM tok WHERE term <> '' GROUP BY doc_id, term""",
+        "postings_stats": f"""{T},
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM transcripts
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+  GROUP BY doc_id, term
+)
+SELECT term, count(*) AS df, SUM(tf) AS cf FROM tf GROUP BY term""",
+        "docmap": f"""{T},
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM transcripts
+),
+dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok WHERE term <> '' GROUP BY doc_id
+)
+SELECT t.doc_id AS doc_id,
+       t.conv_id || '/' || CAST(t.turn_idx AS VARCHAR) AS collection_docid,
+       CAST(coalesce(dl.dl, 0) AS INT) AS doclength
+FROM transcripts t LEFT JOIN dl ON t.doc_id = dl.doc_id""",
+        "collection_stats": f"""{T},
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM transcripts
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+  GROUP BY doc_id, term
+)
+SELECT (SELECT count(*) FROM transcripts) AS num_docs,
+       (SELECT count(DISTINCT term) FROM tf) AS num_postings_lists,
+       (SELECT count(*) FROM tok WHERE term <> '') AS total_terms_in_collection,
+       (SELECT count(*) FROM tok WHERE term <> '') * 1.0
+         / (SELECT count(*) FROM transcripts) AS average_doclength""",
+        "bm25_scores": f"""{T},
+{_bm25_scored_cte().lstrip()}
+SELECT query_id, doc_id, round(score, 6) AS score_r FROM scored""",
+        "bm25_topk": f"""{T},
+{_bm25_scored_cte().lstrip()}
+SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {TOPK_K}""",
+    }
