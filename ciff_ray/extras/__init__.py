@@ -1,0 +1,30 @@
+"""Training-data pipeline extras — the operations a 100 TB corpus
+pipeline needs beyond the reference's index model (driver brief):
+deduplication (exact / keyed / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search (brute-force + IVF), text analysis
+(language-ID, quality, token counting, fingerprinting), and multimodal
+binary-column plumbing.
+
+Each operator is a Ray Data pipeline over the driver's testdata tables
+(`documents`, `embeddings`); SQL-expressible ones carry a DuckDB oracle
+in ORACLE_SQLS (driver correctness gate), the rest are rows-only and
+verified against pure-Python oracles in tests/.
+"""
+
+from __future__ import annotations
+
+from ciff_ray.extras import dedup, multimodal, simsearch, textstats
+
+QUERIES = {
+    **textstats.QUERIES,
+    **dedup.QUERIES,
+    **simsearch.QUERIES,
+    **multimodal.QUERIES,
+}
+
+ORACLE_SQLS = {
+    **textstats.ORACLE_SQLS,
+    **dedup.ORACLE_SQLS,
+    **simsearch.ORACLE_SQLS,
+    **multimodal.ORACLE_SQLS,
+}

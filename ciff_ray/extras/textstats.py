@@ -1,0 +1,363 @@
+"""Text analysis over the `documents` table: token counting, quality
+scoring, language-ID (stopword heuristic), document fingerprinting
+(winnowing over a rolling token-hash stream).
+
+Every stage is a pure vectorized `map_batches` body over zero-copy
+Arrow batches; the tokenizer rule is shared with ciff_ray.tokenizer so
+the DuckDB oracles tokenize bit-identically (RE2 on both sides).
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ciff_ray.tokenizer import tokenize_column
+
+# Whitespace / subword-piece patterns — spelled with explicit character
+# classes so pyarrow-RE2 and DuckDB-RE2 agree exactly.
+WS_PATTERN = r"[ \t\n\r]+"
+ALPHA_RUN_SPLIT = r"[^a-z]+"
+DIGIT_RUN_SPLIT = r"[^0-9]+"
+PUNCT_RUN_SPLIT = r"[a-z0-9 \t\n\r]+"
+
+# Per-language stopword lists for the language-ID heuristic.  The rule
+# (occurrence counts, argmax, ties -> lexicographically first code) is
+# the spec; the oracle SQL reimplements the identical rule.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "en": ("the", "of", "and", "to", "in", "is", "that", "it", "for", "a"),
+    "es": ("el", "los", "las", "y", "un", "una", "que", "por", "para", "es"),
+    "fr": ("le", "la", "les", "et", "une", "que", "pour", "dans", "du", "au"),
+}
+_LANGS = tuple(sorted(LANG_STOPWORDS))  # de, en, es, fr — argmax order
+
+EN_STOP = LANG_STOPWORDS["en"]
+
+FP_WINDOW = 4  # winnowing window (tokens)
+
+
+def _docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def _per_row_nonempty_counts(toks: pa.Array, n_rows: int) -> np.ndarray:
+    """list<string> -> per-row count of non-empty elements (vectorized)."""
+    flat = pc.list_flatten(toks)
+    nonempty = pc.cast(pc.not_equal(flat, ""), pa.int64())
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    counts = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(counts, parents, nonempty.to_numpy(zero_copy_only=False))
+    return counts
+
+
+def _split_counts(text: pa.ChunkedArray | pa.Array, pattern: str, n: int) -> np.ndarray:
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern=pattern)
+    return _per_row_nonempty_counts(toks, n)
+
+
+# ---------------------------------------------------------------------------
+# token_counts
+
+
+def _token_counts_batch(batch: pa.Table) -> pa.Table:
+    n = len(batch)
+    text = batch["text"]
+    n_tokens = _per_row_nonempty_counts(tokenize_column(text), n)
+    n_ws = _split_counts(text, WS_PATTERN, n)
+    n_bpe = (
+        _split_counts(text, ALPHA_RUN_SPLIT, n)
+        + _split_counts(text, DIGIT_RUN_SPLIT, n)
+        + _split_counts(text, PUNCT_RUN_SPLIT, n)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "n_ws": pa.array(n_ws, type=pa.int64()),
+            "n_bpe": pa.array(n_bpe, type=pa.int64()),
+        }
+    )
+
+
+def q_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_tokens, n_ws, n_bpe): standard-tokenizer count,
+    whitespace-split count, BPE-ish piece count (alpha runs + digit runs
+    + punctuation runs)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _token_counts_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_quality
+
+
+def _doc_quality_batch(batch: pa.Table) -> pa.Table:
+    n = len(batch)
+    text = batch["text"].combine_chunks()
+    toks = tokenize_column(text)
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "")
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+
+    n_tokens = np.zeros(n, dtype=np.int64)
+    np.add.at(n_tokens, parents, keep_np.astype(np.int64))
+
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    sum_len = np.zeros(n, dtype=np.int64)
+    np.add.at(sum_len, parents, np.where(keep_np, tok_len, 0))
+
+    is_stop = pc.is_in(flat, value_set=pa.array(list(EN_STOP)))
+    n_stop = np.zeros(n, dtype=np.int64)
+    np.add.at(n_stop, parents, is_stop.to_numpy(zero_copy_only=False).astype(np.int64))
+
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    safe = np.maximum(n_tokens, 1)
+    avg_len = sum_len / safe
+    stop_frac = n_stop / safe
+    quality = (
+        ((n_tokens >= 5) & (n_tokens <= 5000)).astype(np.int64)
+        + ((stop_frac >= 0.05) & (stop_frac <= 0.7)).astype(np.int64)
+        + ((avg_len >= 2.0) & (avg_len <= 12.0)).astype(np.int64)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+            "avg_len_r": pa.array(np.round(avg_len, 6), type=pa.float64()),
+            "stop_frac_r": pa.array(np.round(stop_frac, 6), type=pa.float64()),
+            "quality": pa.array(quality, type=pa.int64()),
+        }
+    )
+
+
+def q_doc_quality(sf_dir: str) -> ray.data.Dataset:
+    """Per-document quality features + 0-3 heuristic quality score."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _doc_quality_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# lang_id
+
+
+def _lang_id_batch(batch: pa.Table) -> pa.Table:
+    n = len(batch)
+    toks = tokenize_column(batch["text"])
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    scores = np.zeros((len(_LANGS), n), dtype=np.int64)
+    for li, lang in enumerate(_LANGS):
+        hit = pc.is_in(flat, value_set=pa.array(list(LANG_STOPWORDS[lang])))
+        np.add.at(
+            scores[li], parents, hit.to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+    pred_idx = np.argmax(scores, axis=0)  # first max wins -> lexicographic tie-break
+    pred = np.array(_LANGS)[pred_idx]
+    cols = {
+        "doc_id": batch["doc_id"],
+        "lang_pred": pa.array(pred, type=pa.string()),
+    }
+    for li, lang in enumerate(_LANGS):
+        cols[f"score_{lang}"] = pa.array(scores[li], type=pa.int64())
+    return pa.table(cols)
+
+
+def q_lang_id(sf_dir: str) -> ray.data.Dataset:
+    """Stopword-heuristic language ID: occurrence count per language
+    list, argmax, ties broken by lexicographically first code."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _lang_id_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprint (winnowing — rows-only; pure-Python oracle in tests)
+
+
+def token_hashes(tokens: list[str]) -> np.ndarray:
+    return np.array(
+        [zlib.crc32(t.encode()) for t in tokens], dtype=np.uint32
+    )
+
+
+def _winnow_flat(
+    hashes: np.ndarray, starts: np.ndarray, ends: np.ndarray, w: int
+) -> list[np.ndarray]:
+    """Per-document winnowing fingerprints: distinct window-min hashes
+    (window = w consecutive token hashes); docs shorter than w keep all
+    their hashes.  Vectorized sliding-window min over the flat stream,
+    with windows crossing document boundaries masked out."""
+    out: list[np.ndarray] = []
+    if hashes.size == 0:
+        return [np.empty(0, dtype=np.uint32) for _ in starts]
+    if hashes.size >= w:
+        mins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+    else:
+        mins = np.empty(0, dtype=np.uint32)
+    for s, e in zip(starts, ends):
+        ln = e - s
+        if ln == 0:
+            out.append(np.empty(0, dtype=np.uint32))
+        elif ln < w:
+            out.append(np.unique(hashes[s:e]))
+        else:
+            out.append(np.unique(mins[s : e - w + 1]))
+    return out
+
+
+class FingerprintStage:
+    """Actor-pool stage: dictionary-encodes tokens once per batch and
+    hashes only the batch vocabulary (crc32 is the persisted hash — a
+    version-stable function, unlike process-seeded hashes)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        toks = tokenize_column(batch["text"])
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)[
+            keep.to_numpy(zero_copy_only=False)
+        ]
+        flat = flat.filter(keep)
+        denc = pc.dictionary_encode(flat)
+        vocab_h = token_hashes(denc.dictionary.to_pylist())
+        h = vocab_h[denc.indices.to_numpy(zero_copy_only=False)]
+
+        order = np.argsort(parents, kind="stable")
+        h = h[order]
+        parents = parents[order]
+        counts = np.bincount(parents, minlength=n)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ends = starts + counts
+        fps = _winnow_flat(h, starts, ends, FP_WINDOW)
+
+        n_fp = np.array([f.size for f in fps], dtype=np.int64)
+        fp_min = np.array(
+            [int(f.min()) if f.size else -1 for f in fps], dtype=np.int64
+        )
+        fp_xor = np.array(
+            [int(np.bitwise_xor.reduce(f)) if f.size else 0 for f in fps],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_fp": pa.array(n_fp),
+                "fp_min": pa.array(fp_min),
+                "fp_xor": pa.array(fp_xor),
+            }
+        )
+
+
+def q_doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Winnowing fingerprint summary per document (rows-only: crc32 not
+    expressible in SQL; verified against a pure-Python oracle in
+    tests/test_extras_text.py)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        FingerprintStage, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+
+
+def _sql_nonempty_split(col: str, pat: str) -> str:
+    return (
+        f"len(list_filter(string_split_regex(lower({col}), '{pat}'),"
+        " x -> x <> ''))"
+    )
+
+
+def _sql_in_list(vals: tuple[str, ...]) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+def _lang_sql() -> str:
+    score_cols = ",\n       ".join(
+        f"coalesce(sum(CASE WHEN term IN ({_sql_in_list(LANG_STOPWORDS[lang])})"
+        f" THEN 1 ELSE 0 END), 0) AS score_{lang}"
+        for lang in _LANGS
+    )
+    # argmax with lexicographic tie-break == first max in sorted order
+    pred = """CASE
+    WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+    WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+    WHEN score_es >= score_fr THEN 'es'
+    ELSE 'fr' END"""
+    return f"""WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+sc AS (
+  SELECT doc_id,
+       {score_cols}
+  FROM tok WHERE term <> '' GROUP BY doc_id
+),
+filled AS (
+  SELECT d.doc_id,
+         coalesce(s.score_de, 0) AS score_de, coalesce(s.score_en, 0) AS score_en,
+         coalesce(s.score_es, 0) AS score_es, coalesce(s.score_fr, 0) AS score_fr
+  FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
+)
+SELECT doc_id, {pred} AS lang_pred, score_de, score_en, score_es, score_fr
+FROM filled"""
+
+
+ORACLE_SQLS = {
+    "token_counts": f"""SELECT doc_id,
+       {_sql_nonempty_split('text', '[^a-z0-9]+')} AS n_tokens,
+       {_sql_nonempty_split('text', WS_PATTERN)} AS n_ws,
+       {_sql_nonempty_split('text', ALPHA_RUN_SPLIT)}
+         + {_sql_nonempty_split('text', DIGIT_RUN_SPLIT)}
+         + {_sql_nonempty_split('text', PUNCT_RUN_SPLIT)} AS n_bpe
+FROM documents""",
+    "doc_quality": f"""WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(length(term)) AS sum_len,
+         sum(CASE WHEN term IN ({_sql_in_list(EN_STOP)}) THEN 1 ELSE 0 END)
+           AS n_stop
+  FROM tok WHERE term <> '' GROUP BY doc_id
+),
+feat AS (
+  SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         length(d.text) AS n_chars,
+         coalesce(a.sum_len, 0) * 1.0 / greatest(coalesce(a.n_tokens, 0), 1)
+           AS avg_len,
+         coalesce(a.n_stop, 0) * 1.0 / greatest(coalesce(a.n_tokens, 0), 1)
+           AS stop_frac
+  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+)
+SELECT doc_id, n_tokens, n_chars,
+       round(avg_len, 6) AS avg_len_r, round(stop_frac, 6) AS stop_frac_r,
+       (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1 ELSE 0 END)
+       + (CASE WHEN stop_frac >= 0.05 AND stop_frac <= 0.7 THEN 1 ELSE 0 END)
+       + (CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 1 ELSE 0 END)
+         AS quality
+FROM feat""",
+    "lang_id": _lang_sql(),
+}
+
+QUERIES = {
+    "token_counts": q_token_counts,
+    "doc_quality": q_doc_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,  # rows-only
+}

@@ -1,0 +1,82 @@
+"""Similarity-search extras: exact knn vs numpy oracle, IVF recall,
+multimodal decode plumbing (sf0.001 testdata)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ciff_ray.extras import multimodal, simsearch
+
+SF = "/root/testdata/sf0.001"
+
+
+def _numpy_topk():
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(t["vec_id"].to_pylist())
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    E = E / np.linalg.norm(E, axis=1, keepdims=True)
+    out = {}
+    for qid in range(simsearch.N_QUERIES):
+        q = E[ids == qid][0]
+        sims = np.round(E @ q, 9)
+        cand = [(s, v) for s, v in zip(sims, ids) if v != qid]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        out[qid] = [v for _, v in cand[: simsearch.TOP_K]]
+    return out
+
+
+def test_knn_brute_matches_numpy(ray_session):
+    got = simsearch.q_knn_brute(SF).to_pandas()
+    exp = _numpy_topk()
+    for qid, vids in exp.items():
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert sub["vec_id"].tolist() == vids
+        assert sub["rank"].tolist() == list(range(1, len(vids) + 1))
+
+
+def test_ann_ivf_recall(ray_session):
+    exact = _numpy_topk()
+    got = simsearch.q_ann_ivf(SF).to_pandas()
+    recalls = []
+    for qid, vids in exact.items():
+        approx = set(got[got["query_id"] == qid]["vec_id"])
+        recalls.append(len(approx & set(vids)) / len(vids))
+    assert np.mean(recalls) >= 0.5  # 4/16 probes of an unclustered space
+    assert got.groupby("query_id")["rank"].is_monotonic_increasing.all()
+
+
+def test_media_pipeline_schema_and_values(ray_session):
+    out = multimodal.q_media_features(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    exp_bytes = {
+        r["doc_id"]: len(r["text"].encode())
+        for r in docs.to_pylist()
+    }
+    assert len(out) == len(exp_bytes)
+    for _, row in out.head(50).iterrows():
+        nb = exp_bytes[row["doc_id"]]
+        assert row["n_bytes"] == nb
+        assert row["n_frames"] == 1 + nb // multimodal.FRAME_BYTES
+
+
+def test_media_synthesis_schema():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1], type=pa.int64()),
+            "text": pa.array(["hé"]),  # multi-byte utf-8
+            "source": pa.array(["s"]),
+        }
+    )
+    m = multimodal.synthesize_media(batch)
+    assert m.schema.equals(multimodal.MEDIA_SCHEMA)
+    assert m["media"][0].as_py() == "hé".encode()
+    feats = multimodal.FakeDecoder()(m)
+    assert feats["n_bytes"][0].as_py() == 3  # bytes, not chars
+
+
+def test_real_decoder_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.RealDecoder()
