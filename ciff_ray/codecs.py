@@ -126,28 +126,36 @@ def gamma_encode(values: np.ndarray) -> bytes:
 
 
 def gamma_decode(buf: bytes, count: int) -> np.ndarray:
-    """Decode `count` gamma codes.  Boundary scan is per-value Python
-    (self-delimiting codes), bit extraction is vectorized."""
+    """Decode `count` gamma codes.
+
+    Codes are self-delimiting so boundary discovery is inherently
+    sequential, but a run of consecutive 1-bits at a code start is a run
+    of value-1 codes — batched in one step.  The Python loop therefore
+    iterates O(#values > 1), not O(count): on the mostly-1 streams gamma
+    is selected for (tf streams, gap==1 stopword runs) it is near-free."""
     if count == 0:
         return np.empty(0, dtype=np.uint64)
     bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
-    ones = np.flatnonzero(bits)
-    # next one-bit at or after position p
-    starts = np.empty(count, dtype=np.int64)
-    nbs = np.empty(count, dtype=np.int64)
+    B = bits.size
+    # next one-bit at-or-after each position (B if none): right-to-left
+    # min-accumulate, fully vectorized
+    m = np.where(bits, np.arange(B, dtype=np.int64), B)
+    nxt = np.minimum.accumulate(m[::-1])[::-1]
+    # jump table: a code starting at p (nb = nxt[p]-p leading zeros) ends
+    # just before 2*nxt[p] - p + 1; the boundary walk is a plain-list
+    # pointer chase (~0.1us/step), the only sequential part
+    jump = (2 * nxt - np.arange(B, dtype=np.int64) + 1).tolist()
+    starts_list = [0] * count
     p = 0
-    oi = 0
-    n_ones = ones.size
     for i in range(count):
-        # advance oi to first one >= p
-        while oi < n_ones and ones[oi] < p:
-            oi += 1
-        if oi >= n_ones:
+        if p >= B:
             raise ValueError("gamma stream truncated")
-        nb = int(ones[oi]) - p
-        starts[i] = p
-        nbs[i] = nb
-        p += 2 * nb + 1
+        starts_list[i] = p
+        p = jump[p]
+    starts = np.asarray(starts_list, dtype=np.int64)
+    nbs = nxt[starts] - starts
+    if nbs.size and int(starts[-1] + 2 * nbs[-1] + 1) > B:
+        raise ValueError("gamma stream truncated")
     out = np.zeros(count, dtype=np.uint64)
     maxnb = int(nbs.max())
     for j in range(maxnb + 1):

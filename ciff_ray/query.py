@@ -93,6 +93,11 @@ class LocalScorer:
         self._dl = self._doclengths()
         self._segments: dict[int, tuple[pa.Table, dict]] = {}
         self._doc_titles: pa.Table | None = None
+        # decoded-postings cache: hot (stopword-scale) lists decode once
+        # per scorer, bounded by total cached postings
+        self._plist_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._plist_cache_postings = 0
+        self._plist_cache_cap = 64_000_000
 
     # -- index access ----------------------------------------------------
 
@@ -148,16 +153,23 @@ class LocalScorer:
         """Full docID-ordered posting list: slices concatenated in salt
         order (salts cover disjoint ascending docID ranges by
         construction — build.py salting invariant)."""
+        cached = self._plist_cache.get(term)
+        if cached is not None:
+            return cached
         slices = self._slices.get(term)
         if not slices:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         parts = [self._decode_slice(self._slice_row(term, s, p)) for s, p in slices]
         if len(parts) == 1:
-            return parts[0]
-        docs = np.concatenate([d for d, _ in parts])
-        tfs = np.concatenate([t for _, t in parts])
-        if (docs[1:] <= docs[:-1]).any():
-            raise AssertionError(f"salted slices of {term!r} out of docID order")
+            docs, tfs = parts[0]
+        else:
+            docs = np.concatenate([d for d, _ in parts])
+            tfs = np.concatenate([t for _, t in parts])
+            if (docs[1:] <= docs[:-1]).any():
+                raise AssertionError(f"salted slices of {term!r} out of docID order")
+        if self._plist_cache_postings + docs.size <= self._plist_cache_cap:
+            self._plist_cache[term] = (docs, tfs)
+            self._plist_cache_postings += docs.size
         return docs, tfs
 
     # -- BM25 -------------------------------------------------------------
@@ -190,6 +202,18 @@ class LocalScorer:
             contrib_parts.append(self._contrib(tfs, dl, w))
         if not doc_parts:
             return np.empty(0, np.int64), np.empty(0, np.float64)
+        total = sum(d.size for d in doc_parts)
+        if total > self.N // 4:
+            # dense accumulation: one length-N bincount per term beats the
+            # sort in np.unique once matches are a sizable fraction of the
+            # collection (stopword-heavy queries).  fp summation order per
+            # doc is still ascending-term, identical to the sparse path
+            # and the oracle.
+            acc = np.zeros(self.N, dtype=np.float64)
+            for docs, contrib in zip(doc_parts, contrib_parts):
+                acc += np.bincount(docs, weights=contrib, minlength=self.N)
+            u = np.flatnonzero(acc)  # all contributions are > 0
+            return u, acc[u]
         all_docs = np.concatenate(doc_parts)
         all_contrib = np.concatenate(contrib_parts)
         u, inv = np.unique(all_docs, return_inverse=True)
