@@ -1,0 +1,188 @@
+"""CIFF file <-> ciff_ray Ray index bridge.
+
+* :func:`ciff_to_index` — import a CIFF file into the ciff_ray segment
+  layout so the Ray query engine (actor pools, block-max metadata)
+  serves indexes exported by ANY CIFF producer (Anserini, PISA, the
+  reference converters).  The protobuf stream parse is driver-side —
+  the format is a single sequential length-delimited file — but the
+  partition encode/write fans out through the same
+  ``groupby(partition_id).map_groups`` writer as the native build
+  (ciff_ray.build), so segments, block-max scores, term dictionary and
+  lineage are identical in shape to a native build.
+
+* :func:`index_to_ciff` — export a Ray-built index to a CIFF file
+  (Header / term-sorted PostingsLists / docID-sorted DocRecords), the
+  ciff_ray analogue of the reference's PISA->CIFF direction
+  (/root/reference/src/lib.rs:681-840).  Writing is sequential by
+  format; posting lists are streamed per term in byte-sorted order.
+  At 10^12-doc scale this export exists for interop/golden testing,
+  not as a data path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Max, Sum
+
+from ciff_ray.build import BuildParams, make_partition_writer
+from ciff_ray.interop.convert import CiffReader, CiffWriter
+from ciff_ray.interop.proto import CiffDocRecord, CiffHeader, CiffPostingsList
+from ciff_ray.layout import (
+    IndexPaths,
+    Manifest,
+    append_lineage,
+    atomic_write_parquet,
+    stable_hash,
+)
+
+
+def ciff_to_index(
+    ciff_path: str,
+    out_dir: str,
+    params: BuildParams | None = None,
+) -> Manifest:
+    """Import a CIFF file into a ciff_ray index directory."""
+    params = params or BuildParams()
+    paths = IndexPaths(out_dir)
+    paths.ensure_dirs()
+    reader = CiffReader(ciff_path)
+    header = reader.header
+    fingerprint = format(stable_hash(repr(vars(header)).encode()), "08x")
+
+    # --- postings: parse stream -> exploded arrow -> Ray partition write ---
+    terms: list[str] = []
+    doc_arrs: list[np.ndarray] = []
+    tf_arrs: list[np.ndarray] = []
+    for pl in reader.postings_lists():
+        terms.append(pl.term)
+        doc_arrs.append(pl.doc_ids())
+        tf_arrs.append(pl.tfs)
+    counts = np.asarray([d.size for d in doc_arrs], dtype=np.int64)
+    term_arr = pa.array(np.repeat(np.arange(len(terms)), counts)).cast(pa.int32())
+    term_dict = pa.DictionaryArray.from_arrays(
+        term_arr, pa.array(terms, type=pa.string())
+    )
+    crc = np.asarray([stable_hash(t.encode()) for t in terms], dtype=np.int64)
+    pid = (np.repeat(crc, counts) % params.num_partitions).astype(np.int32)
+    exploded = pa.table(
+        {
+            "partition_id": pa.array(pid),
+            "term": term_dict.cast(pa.string()),
+            "salt": pa.array(np.zeros(int(counts.sum()), dtype=np.int32)),
+            "doc_id": pa.array(
+                np.concatenate(doc_arrs) if doc_arrs else np.empty(0, np.int64)
+            ),
+            "tf": pa.array(
+                (np.concatenate(tf_arrs) if tf_arrs else np.empty(0, np.int64)).astype(
+                    np.int32
+                )
+            ),
+        }
+    )
+
+    # --- docmap (dense docid order enforced, /root/reference/src/lib.rs:545-546)
+    docids, colls, lens = [], [], []
+    for seen, rec in enumerate(reader.doc_records()):
+        if rec.docid != seen:
+            raise ValueError("Document sizes must come in order")
+        docids.append(rec.docid)
+        colls.append(rec.collection_docid)
+        lens.append(rec.doclength)
+    docmap = pa.table(
+        {
+            "doc_id": pa.array(docids, type=pa.int64()),
+            "collection_docid": pa.array(colls, type=pa.string()),
+            "doclength": pa.array(lens, type=pa.int32()),
+        }
+    )
+    atomic_write_parquet(docmap, f"{paths.docmap_dir}/part-00000.parquet")
+    doclengths = np.asarray(lens, dtype=np.int32)
+    # honor the exporter's explicitly-stored precision
+    # (/root/reference/proto/common-index-format-v1.proto:27-29)
+    avgdl = header.average_doclength
+    dl_ref = ray.put(doclengths)
+
+    writer = make_partition_writer(paths, dl_ref, avgdl, params, fingerprint)
+    lineage_ds = (
+        ray.data.from_arrow(exploded)
+        .groupby("partition_id")
+        .map_groups(writer, batch_format="pyarrow")
+    )
+    rows = lineage_ds.take_all()
+    append_lineage(
+        paths.lineage,
+        [
+            {k: (v if not hasattr(v, "item") else v.item()) for k, v in r.items()}
+            for r in rows
+        ],
+    )
+
+    term_stats = (
+        ray.data.read_parquet(paths.term_dict_dir)
+        .groupby("term")
+        .aggregate(
+            Sum("df", alias_name="df"),
+            Sum("cf", alias_name="cf"),
+            Max("max_score", alias_name="max_score"),
+        )
+    )
+    term_stats.write_parquet(paths.term_stats)
+
+    manifest = Manifest(
+        version=1,
+        num_docs=header.num_docs,
+        num_postings_lists=header.num_postings_lists,
+        total_terms_in_collection=header.total_terms_in_collection,
+        average_doclength=avgdl,
+        description=header.description,
+        num_partitions=params.num_partitions,
+        k1=params.k1,
+        b=params.b,
+        block_size=params.block_size,
+        input_fingerprint=fingerprint,
+    )
+    manifest.write(paths.manifest)
+    return manifest
+
+
+def index_to_ciff(
+    index_dir: str, output_path: str, description: str | None = None
+) -> CiffHeader:
+    """Export a ciff_ray index to a CIFF file."""
+    from ciff_ray.query import LocalScorer
+
+    scorer = LocalScorer(index_dir)
+    m = scorer.manifest
+    header = CiffHeader(
+        version=1,
+        num_postings_lists=m.num_postings_lists,
+        num_docs=m.num_docs,
+        total_postings_lists=m.num_postings_lists,
+        total_docs=m.num_docs,
+        total_terms_in_collection=m.total_terms_in_collection,
+        average_doclength=m.average_doclength,
+        description=description if description is not None else m.description,
+    )
+    # byte-sorted term order — required by PISA downstream (O1 semantics)
+    all_terms = sorted(scorer._stats.keys(), key=lambda s: s.encode())
+    with CiffWriter(output_path, header) as w:
+        for term in all_terms:
+            docs, tfs = scorer.postings(term)
+            w.write_postings_list(CiffPostingsList.from_absolute(term, docs, tfs))
+        dm = pq.read_table(
+            IndexPaths(index_dir).docmap_dir,
+            columns=["doc_id", "collection_docid", "doclength"],
+        )
+        dm = dm.take(pc.sort_indices(dm["doc_id"].combine_chunks()))
+        for did, coll, dl in zip(
+            dm["doc_id"].to_pylist(),
+            dm["collection_docid"].to_pylist(),
+            dm["doclength"].to_pylist(),
+        ):
+            w.write_doc_record(CiffDocRecord(did, coll, dl))
+    return header

@@ -1,0 +1,326 @@
+"""Minimal protobuf wire codec for the CIFF message set.
+
+Hand-rolled (public protobuf wire format: varint keys `(field << 3) |
+wire_type`, length-delimited strings/messages, 64-bit doubles) so no
+codegen step is needed — the reference compiles the schema at build time
+instead (/root/reference/build.rs:10-15).  Message layout mirrors
+/root/reference/proto/common-index-format-v1.proto exactly:
+
+    Header       {1:version 2:num_postings_lists 3:num_docs
+                  4:total_postings_lists 5:total_docs
+                  6:total_terms_in_collection 7:average_doclength(double)
+                  8:description}
+    Posting      {1:docid 2:tf}              # docid is the d-gap on wire
+    PostingsList {1:term 2:df 3:cf 4:repeated Posting}
+    DocRecord    {1:docid 2:collection_docid 3:doclength}
+
+A CIFF file is: Header, then `num_postings_lists` PostingsList messages,
+then `num_docs` DocRecords, each length-delimited with no tag
+(write_message_no_tag semantics, /root/reference/src/lib.rs:832-835).
+
+proto3 serialization omits default-valued (zero/empty) fields, matching
+the reference's prost/protobuf output.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_WT_VARINT = 0
+_WT_64BIT = 1
+_WT_LEN = 2
+_WT_32BIT = 5
+
+
+# -- varints ----------------------------------------------------------------
+
+
+def read_varint(buf, pos: int) -> tuple[int, int]:
+    """Decode one varint at ``pos``; returns (value, next_pos)."""
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def write_varint(out: bytearray, value: int) -> None:
+    if value < 0:
+        # protobuf int32/int64 negatives: 64-bit two's complement varint
+        value &= 0xFFFFFFFFFFFFFFFF
+    while value > 0x7F:
+        out.append((value & 0x7F) | 0x80)
+        value >>= 7
+    out.append(value)
+
+
+def _signed(value: int) -> int:
+    """Interpret a decoded varint as a signed 64-bit integer."""
+    return value - (1 << 64) if value >= (1 << 63) else value
+
+
+def _skip_field(buf, pos: int, wire_type: int) -> int:
+    if wire_type == _WT_VARINT:
+        _, pos = read_varint(buf, pos)
+    elif wire_type == _WT_64BIT:
+        pos += 8
+    elif wire_type == _WT_LEN:
+        n, pos = read_varint(buf, pos)
+        pos += n
+    elif wire_type == _WT_32BIT:
+        pos += 4
+    else:
+        raise ValueError(f"unsupported wire type {wire_type}")
+    return pos
+
+
+# -- messages ---------------------------------------------------------------
+
+
+@dataclass
+class CiffHeader:
+    """proto Header (/root/reference/proto/common-index-format-v1.proto:10-34)."""
+
+    version: int = 0
+    num_postings_lists: int = 0
+    num_docs: int = 0
+    total_postings_lists: int = 0
+    total_docs: int = 0
+    total_terms_in_collection: int = 0
+    average_doclength: float = 0.0
+    description: str = ""
+
+    _INT_FIELDS = {
+        1: "version",
+        2: "num_postings_lists",
+        3: "num_docs",
+        4: "total_postings_lists",
+        5: "total_docs",
+        6: "total_terms_in_collection",
+    }
+
+    @classmethod
+    def parse(cls, buf) -> "CiffHeader":
+        h = cls()
+        pos, end = 0, len(buf)
+        while pos < end:
+            key, pos = read_varint(buf, pos)
+            fnum, wt = key >> 3, key & 7
+            if fnum in cls._INT_FIELDS and wt == _WT_VARINT:
+                v, pos = read_varint(buf, pos)
+                setattr(h, cls._INT_FIELDS[fnum], _signed(v))
+            elif fnum == 7 and wt == _WT_64BIT:
+                h.average_doclength = struct.unpack("<d", bytes(buf[pos : pos + 8]))[0]
+                pos += 8
+            elif fnum == 8 and wt == _WT_LEN:
+                n, pos = read_varint(buf, pos)
+                h.description = bytes(buf[pos : pos + n]).decode("utf-8")
+                pos += n
+            else:
+                pos = _skip_field(buf, pos, wt)
+        h.validate()
+        return h
+
+    def validate(self) -> None:
+        """Fail-fast on negative counts — the reference's u32 casts at
+        header read (/root/reference/src/lib.rs:168-179)."""
+        for name in ("num_postings_lists", "num_docs"):
+            if getattr(self, name) < 0:
+                raise ValueError(f"header field {name} is negative")
+
+    def serialize(self) -> bytes:
+        out = bytearray()
+        for fnum, name in self._INT_FIELDS.items():
+            v = getattr(self, name)
+            if v != 0:
+                write_varint(out, (fnum << 3) | _WT_VARINT)
+                write_varint(out, v)
+        if self.average_doclength != 0.0:
+            write_varint(out, (7 << 3) | _WT_64BIT)
+            out += struct.pack("<d", self.average_doclength)
+        if self.description:
+            b = self.description.encode("utf-8")
+            write_varint(out, (8 << 3) | _WT_LEN)
+            write_varint(out, len(b))
+            out += b
+        return bytes(out)
+
+
+@dataclass
+class CiffPostingsList:
+    """Decoded PostingsList.  ``gaps`` holds the on-wire d-gap docids
+    (first element absolute, rest gaps — /root/reference/src/lib.rs:255-259);
+    use :meth:`doc_ids` for the absolute ascending list."""
+
+    term: str = ""
+    df: int = 0
+    cf: int = 0
+    gaps: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    tfs: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+
+    def doc_ids(self) -> np.ndarray:
+        return np.cumsum(self.gaps)
+
+    @classmethod
+    def parse(cls, buf) -> "CiffPostingsList":
+        term, df, cf = "", 0, 0
+        gaps: list[int] = []
+        tfs: list[int] = []
+        pos, end = 0, len(buf)
+        while pos < end:
+            key, pos = read_varint(buf, pos)
+            fnum, wt = key >> 3, key & 7
+            if fnum == 1 and wt == _WT_LEN:
+                n, pos = read_varint(buf, pos)
+                term = bytes(buf[pos : pos + n]).decode("utf-8")
+                pos += n
+            elif fnum == 2 and wt == _WT_VARINT:
+                v, pos = read_varint(buf, pos)
+                df = _signed(v)
+            elif fnum == 3 and wt == _WT_VARINT:
+                v, pos = read_varint(buf, pos)
+                cf = _signed(v)
+            elif fnum == 4 and wt == _WT_LEN:
+                n, pos = read_varint(buf, pos)
+                p_end = pos + n
+                docid = tf = 0
+                while pos < p_end:
+                    pkey, pos = read_varint(buf, pos)
+                    pf, pwt = pkey >> 3, pkey & 7
+                    if pf == 1 and pwt == _WT_VARINT:
+                        docid, pos = read_varint(buf, pos)
+                        docid = _signed(docid)
+                    elif pf == 2 and pwt == _WT_VARINT:
+                        tf, pos = read_varint(buf, pos)
+                        tf = _signed(tf)
+                    else:
+                        pos = _skip_field(buf, pos, pwt)
+                gaps.append(docid)
+                tfs.append(tf)
+            else:
+                pos = _skip_field(buf, pos, wt)
+        pl = cls(
+            term,
+            df,
+            cf,
+            np.asarray(gaps, dtype=np.int64),
+            np.asarray(tfs, dtype=np.int64),
+        )
+        if (pl.gaps < 0).any() or (pl.tfs < 0).any() or pl.df < 0:
+            # negative docid/tf/df rejected (/root/reference/src/lib.rs:246-266)
+            raise ValueError(f"negative posting value in list {term!r}")
+        return pl
+
+    def serialize(self) -> bytes:
+        out = bytearray()
+        if self.term:
+            b = self.term.encode("utf-8")
+            write_varint(out, (1 << 3) | _WT_LEN)
+            write_varint(out, len(b))
+            out += b
+        if self.df:
+            write_varint(out, (2 << 3) | _WT_VARINT)
+            write_varint(out, self.df)
+        if self.cf:
+            write_varint(out, (3 << 3) | _WT_VARINT)
+            write_varint(out, self.cf)
+        for gap, tf in zip(self.gaps.tolist(), self.tfs.tolist()):
+            p = bytearray()
+            if gap:
+                write_varint(p, (1 << 3) | _WT_VARINT)
+                write_varint(p, gap)
+            if tf:
+                write_varint(p, (2 << 3) | _WT_VARINT)
+                write_varint(p, tf)
+            write_varint(out, (4 << 3) | _WT_LEN)
+            write_varint(out, len(p))
+            out += p
+        return bytes(out)
+
+    @classmethod
+    def from_absolute(
+        cls, term: str, doc_ids: np.ndarray, tfs: np.ndarray
+    ) -> "CiffPostingsList":
+        """Build from absolute ascending docids (re-delta-encodes, the
+        writer side of /root/reference/src/lib.rs:663-671)."""
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        gaps = np.diff(doc_ids, prepend=0)
+        return cls(
+            term,
+            int(doc_ids.size),
+            int(np.asarray(tfs).sum()),
+            gaps,
+            np.asarray(tfs, dtype=np.int64),
+        )
+
+
+@dataclass
+class CiffDocRecord:
+    """proto DocRecord (/root/reference/proto/common-index-format-v1.proto:51-55)."""
+
+    docid: int = 0
+    collection_docid: str = ""
+    doclength: int = 0
+
+    @classmethod
+    def parse(cls, buf) -> "CiffDocRecord":
+        r = cls()
+        pos, end = 0, len(buf)
+        while pos < end:
+            key, pos = read_varint(buf, pos)
+            fnum, wt = key >> 3, key & 7
+            if fnum == 1 and wt == _WT_VARINT:
+                v, pos = read_varint(buf, pos)
+                r.docid = _signed(v)
+            elif fnum == 2 and wt == _WT_LEN:
+                n, pos = read_varint(buf, pos)
+                r.collection_docid = bytes(buf[pos : pos + n]).decode("utf-8")
+                pos += n
+            elif fnum == 3 and wt == _WT_VARINT:
+                v, pos = read_varint(buf, pos)
+                r.doclength = _signed(v)
+            else:
+                pos = _skip_field(buf, pos, wt)
+        if r.docid < 0 or r.doclength < 0:
+            raise ValueError("negative docid/doclength in DocRecord")
+        return r
+
+    def serialize(self) -> bytes:
+        out = bytearray()
+        if self.docid:
+            write_varint(out, (1 << 3) | _WT_VARINT)
+            write_varint(out, self.docid)
+        if self.collection_docid:
+            b = self.collection_docid.encode("utf-8")
+            write_varint(out, (2 << 3) | _WT_LEN)
+            write_varint(out, len(b))
+            out += b
+        if self.doclength:
+            write_varint(out, (3 << 3) | _WT_VARINT)
+            write_varint(out, self.doclength)
+        return bytes(out)
+
+
+# -- length-delimited framing ----------------------------------------------
+
+
+def read_delimited(buf, pos: int):
+    """Read one length-delimited message; returns (message_bytes, next_pos)."""
+    n, pos = read_varint(buf, pos)
+    return buf[pos : pos + n], pos + n
+
+
+def write_delimited(fh, msg_bytes: bytes) -> None:
+    out = bytearray()
+    write_varint(out, len(msg_bytes))
+    fh.write(out)
+    fh.write(msg_bytes)
