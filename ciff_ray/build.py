@@ -40,7 +40,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Max, Sum
+from ray.data.context import ShuffleStrategy
 
 from ciff_ray import codecs
 from ciff_ray.docids import assign_doc_ids
@@ -399,27 +400,96 @@ def make_partition_writer(
 # ---------------------------------------------------------------------------
 # driver orchestration
 
+# below this many bytes of term-dict parts the global per-term stats
+# merge runs as one vectorized pyarrow group_by on the driver; above it,
+# a distributed Ray groupby (vocab can be arbitrarily large at scale)
+_TERM_STATS_DRIVER_BYTES = 256 << 20
+
+
+def _write_term_stats(paths: IndexPaths) -> int:
+    """Merge per-partition term-dict parts into global (term, df, cf,
+    max_score) stats (A1/A2 analogue).  Returns the number of posting
+    lists (vocabulary size)."""
+    os.makedirs(paths.term_stats, exist_ok=True)
+    part_files = [
+        os.path.join(paths.term_dict_dir, f)
+        for f in os.listdir(paths.term_dict_dir)
+        if f.endswith(".parquet")
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in part_files)
+    if total_bytes <= _TERM_STATS_DRIVER_BYTES:
+        td = pq.read_table(part_files, columns=["term", "df", "cf", "max_score"])
+        merged = td.group_by("term").aggregate(
+            [("df", "sum"), ("cf", "sum"), ("max_score", "max")]
+        )
+        merged = merged.rename_columns(["term", "df", "cf", "max_score"])
+        atomic_write_parquet(merged, os.path.join(paths.term_stats, "part-0.parquet"))
+        return merged.num_rows
+    term_stats = (
+        ray.data.read_parquet(paths.term_dict_dir)
+        .groupby("term")
+        .aggregate(
+            Sum("df", alias_name="df"),
+            Sum("cf", alias_name="cf"),
+            Max("max_score", alias_name="max_score"),
+        )
+    )
+    term_stats.write_parquet(paths.term_stats)
+    return pq.read_table(paths.term_stats, columns=["term"]).num_rows
+
+
+_HEAVY_TOPK = 128
+
+
+def _heavy_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch term document-frequency partials, truncated to the
+    top-K terms of the batch.  Heavy hitters (df ~ a few % of docs) are
+    top-K in essentially every batch, so the truncation loses nothing
+    that matters for the salting heuristic while keeping the driver
+    merge tiny."""
+    tmp = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(batch), dtype=np.int64)),
+            "text": batch["text"],
+        }
+    )
+    tf = term_frequencies(tmp, id_col="doc_id")
+    counts = tf.group_by("term").aggregate([("doc_id", "count")])
+    counts = counts.rename_columns(["term", "df_part"])
+    if counts.num_rows > _HEAVY_TOPK:
+        order = pc.sort_indices(
+            counts, sort_keys=[("df_part", "descending"), ("term", "ascending")]
+        )
+        counts = counts.take(order.slice(0, _HEAVY_TOPK))
+    return counts
+
 
 def _estimate_heavy_terms(
-    ds2: ray.data.Dataset, num_docs: int, params: BuildParams
+    ds: ray.data.Dataset, num_docs: int, params: BuildParams
 ) -> dict[str, int]:
+    """Skew control (SURVEY.md §4): estimate stopword-scale terms from a
+    seeded sample with a narrow map + tiny driver merge — no shuffle.
+    The estimate only steers salting; posting correctness never depends
+    on it."""
     if params.heavy_df_frac <= 0 or num_docs == 0:
         return {}
     frac = min(1.0, params.sample_frac)
-    sample = ds2 if frac >= 1.0 else ds2.random_sample(frac, seed=42)
-    df_est = (
-        sample.map_batches(
-            lambda b: term_frequencies(b, id_col="doc_id"), batch_format="pyarrow"
-        )
-        .groupby("term")
-        .aggregate(Count(alias_name="df_est"))
+    sample = ds if frac >= 1.0 else ds.random_sample(frac, seed=42)
+    parts_ds = (
+        sample.select_columns(["text"])
+        .map_batches(_heavy_partials, batch_format="pyarrow")
+        .materialize()
     )
-    threshold = params.heavy_df_frac * num_docs * frac
-    heavy = df_est.filter(expr=f"df_est > {max(1.0, threshold)}")
-    out = {}
-    for row in heavy.take_all():
-        out[row["term"]] = params.num_salts
-    return out
+    tables = [t for t in ray.get(parts_ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return {}
+    parts = pa.concat_tables(tables, promote_options="default")
+    sampled_docs = num_docs * frac  # expected sample size; heuristic only
+    merged = parts.group_by("term").aggregate([("df_part", "sum")])
+    threshold = max(1.0, params.heavy_df_frac * sampled_docs)
+    mask = pc.greater(merged["df_part_sum"], threshold)
+    heavy_terms = merged.filter(mask)["term"].to_pylist()
+    return {t: params.num_salts for t in heavy_terms}
 
 
 def build_index(
@@ -446,9 +516,17 @@ def build_index(
     ds = ds.select_columns(["conv_id", "turn_idx", "text"])
     ds2, num_docs, _offsets_ref = assign_doc_ids(ds)
 
+    # --- heavy-hitter estimation (skew control, SURVEY.md §4);
+    # narrow pass over raw text, no doc ids needed ---
+    heavy = _estimate_heavy_terms(ds, num_docs, params)
+    heavy_ref = ray.put(heavy)
+    salt_range = max(1, (num_docs + params.num_salts - 1) // params.num_salts)
+
     # --- docmap + doclengths (DocRecord analogue, K3/A6) ---
+    # written unsorted (block order); consumers order by the doc_id
+    # column (LocalScorer, CIFF export), so no global sort is needed
     docmap = ds2.map_batches(_docmap_batch, batch_format="pyarrow")
-    docmap.sort("doc_id").write_parquet(paths.docmap_dir)
+    docmap.write_parquet(paths.docmap_dir)
     dm = pq.read_table(paths.docmap_dir, columns=["doc_id", "doclength"])
     order = pc.sort_indices(dm["doc_id"].combine_chunks())
     doclengths = (
@@ -458,23 +536,29 @@ def build_index(
     avgdl = total_terms / num_docs if num_docs else 0.0  # f64, src/lib.rs:616-617
     dl_ref = ray.put(doclengths)
 
-    # --- heavy-hitter estimation (skew control, SURVEY.md §4) ---
-    heavy = _estimate_heavy_terms(ds2, num_docs, params)
-    heavy_ref = ray.put(heavy)
-    salt_range = max(1, (num_docs + params.num_salts - 1) // params.num_salts)
-
     # --- explode + route + shuffle + write ---
-    exploded = ds2.map_batches(
-        ExplodeRouter,
-        fn_constructor_args=(heavy_ref, params.num_partitions, salt_range),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
-    writer = make_partition_writer(paths, dl_ref, avgdl, params, input_fingerprint)
-    lineage_ds = exploded.groupby("partition_id").map_groups(
-        writer, batch_format="pyarrow"
-    )
-    lineage_rows = lineage_ds.take_all()  # tiny: one row per partition
+    # hash exchange on the precomputed small-cardinality partition_id:
+    # beats the default range-sort shuffle (no global sample/sort of the
+    # exploded posting stream)
+    ctx = ray.data.DataContext.get_current()
+    prev_strategy = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        exploded = ds2.map_batches(
+            ExplodeRouter,
+            fn_constructor_args=(heavy_ref, params.num_partitions, salt_range),
+            batch_format="pyarrow",
+            concurrency=(1, 16),
+        )
+        writer = make_partition_writer(
+            paths, dl_ref, avgdl, params, input_fingerprint
+        )
+        lineage_ds = exploded.groupby(
+            "partition_id", num_partitions=params.num_partitions
+        ).map_groups(writer, batch_format="pyarrow")
+        lineage_rows = lineage_ds.take_all()  # tiny: one row per partition
+    finally:
+        ctx.shuffle_strategy = prev_strategy
     append_lineage(
         paths.lineage,
         [{k: (v if not hasattr(v, "item") else v.item()) for k, v in r.items()}
@@ -482,18 +566,7 @@ def build_index(
     )
 
     # --- term stats (global df/cf per term) ---
-    term_stats = (
-        ray.data.read_parquet(paths.term_dict_dir)
-        .groupby("term")
-        .aggregate(
-            Sum("df", alias_name="df"),
-            Sum("cf", alias_name="cf"),
-            Max("max_score", alias_name="max_score"),
-        )
-    )
-    os.makedirs(paths.term_stats, exist_ok=True)
-    term_stats.write_parquet(paths.term_stats)
-    num_lists = pq.read_table(paths.term_stats, columns=["term"]).num_rows
+    num_lists = _write_term_stats(paths)
 
     manifest = Manifest(
         version=1,

@@ -9,16 +9,17 @@ order.  Because turn_idx is dense 0-based within each conversation
     doc_id = conv_offset[conv_id] + turn_idx
 
 where conv_offset is the exclusive prefix sum of per-conversation turn
-counts in conv_id byte order.  This needs NO global sort of the turn
-table — only a conversation-level groupby (|convs| << |turns|) followed
-by a small sorted prefix-sum, so the only all-to-all touches
-conversation aggregates, not the 10^12-turn payload.
+counts in conv_id byte order.  This needs NO all-to-all at all — a
+narrow ``map_batches`` emits per-block conversation partials (count /
+min / max of turn_idx), the driver merges them with one vectorized
+pyarrow group_by (|convs| << |turns| rows), sorts by conv_id bytes and
+prefix-sums.  The only driver barrier is that small partial table,
+exactly the "cheap barrier" SURVEY.md §7 calls for.
 
-Driver barrier: per-*block* totals only (a handful of ints), exactly the
-"cheap barrier" SURVEY.md §7 calls for.  At cluster scale the broadcast
-conv_offset table would become a hash-partitioned join instead of a
-`ray.put` broadcast; the routing below isolates that choice in
-`DocIdAssigner`.
+At cluster scale the broadcast conv_offset table (and the driver merge)
+would become a hash-partitioned aggregate + join keyed on conv_id; the
+routing below isolates that choice in ``compute_conv_offsets`` /
+``DocIdAssigner``.
 """
 
 from __future__ import annotations
@@ -28,55 +29,53 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min
 
 
-@ray.remote
-def _block_total(tbl: pa.Table) -> int:
-    return int(pc.sum(tbl["n_turns"]).as_py() or 0)
-
-
-@ray.remote
-def _block_offsets(tbl: pa.Table, base: int) -> pa.Table:
-    counts = tbl["n_turns"].to_numpy(zero_copy_only=False).astype(np.int64)
-    mins = tbl["min_turn"].to_numpy(zero_copy_only=False)
-    maxs = tbl["max_turn"].to_numpy(zero_copy_only=False)
-    if counts.size and ((mins != 0).any() or (maxs != counts - 1).any()):
-        bad = tbl["conv_id"][int(np.flatnonzero((mins != 0) | (maxs != counts - 1))[0])]
-        raise ValueError(
-            f"turn_idx not dense 0-based for conversation {bad}: "
-            "docid rule requires dense turns (FIXTURES.md §1)"
-        )
-    offsets = base + np.cumsum(counts) - counts
-    return pa.table(
-        {
-            "conv_id": tbl["conv_id"],
-            "conv_offset": pa.array(offsets, type=pa.int64()),
-        }
+def _conv_partials(batch: pa.Table) -> pa.Table:
+    g = batch.select(["conv_id", "turn_idx"]).group_by("conv_id").aggregate(
+        [("turn_idx", "count"), ("turn_idx", "min"), ("turn_idx", "max")]
     )
+    return g.rename_columns(["conv_id", "n_turns", "min_turn", "max_turn"])
 
 
 def compute_conv_offsets(ds: ray.data.Dataset) -> tuple[pa.Table, int]:
-    """-> (conv_offsets table sorted by conv_id, num_docs).
+    """-> (conv_offsets table sorted by conv_id bytes, num_docs).
 
     Also validates per-conversation turn density and (conv_id, turn_idx)
     uniqueness (duplicate keys inflate n_turns past max+1 and fail the
     density check — the analogue of the reference's dense-docid bail,
     /root/reference/src/lib.rs:545-546)."""
-    agg = ds.groupby("conv_id").aggregate(
-        Count(alias_name="n_turns"),
-        Min("turn_idx", alias_name="min_turn"),
-        Max("turn_idx", alias_name="max_turn"),
+    parts_ds = ds.map_batches(_conv_partials, batch_format="pyarrow").materialize()
+    parts = pa.concat_tables(
+        [t for t in ray.get(parts_ds.to_arrow_refs()) if t.num_rows],
+        promote_options="default",
     )
-    sorted_ds = agg.sort("conv_id").materialize()
-    refs = sorted_ds.to_arrow_refs()
-    totals = ray.get([_block_total.remote(r) for r in refs])
-    bases = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(np.int64)
-    parts = ray.get(
-        [_block_offsets.remote(r, int(b)) for r, b in zip(refs, bases)]
+    merged = parts.group_by("conv_id").aggregate(
+        [("n_turns", "sum"), ("min_turn", "min"), ("max_turn", "max")]
     )
-    offsets = pa.concat_tables([p for p in parts if len(p)])
-    return offsets, int(sum(totals))
+    merged = merged.rename_columns(["conv_id", "n_turns", "min_turn", "max_turn"])
+    order = pc.sort_indices(merged["conv_id"].combine_chunks())
+    merged = merged.take(order)
+
+    counts = merged["n_turns"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mins = merged["min_turn"].to_numpy(zero_copy_only=False)
+    maxs = merged["max_turn"].to_numpy(zero_copy_only=False)
+    if counts.size and ((mins != 0).any() or (maxs != counts - 1).any()):
+        bad = merged["conv_id"][
+            int(np.flatnonzero((mins != 0) | (maxs != counts - 1))[0])
+        ]
+        raise ValueError(
+            f"turn_idx not dense 0-based for conversation {bad}: "
+            "docid rule requires dense turns (FIXTURES.md §1)"
+        )
+    offsets = np.cumsum(counts) - counts
+    out = pa.table(
+        {
+            "conv_id": merged["conv_id"],
+            "conv_offset": pa.array(offsets, type=pa.int64()),
+        }
+    )
+    return out, int(counts.sum())
 
 
 class DocIdAssigner:
@@ -118,6 +117,6 @@ def assign_doc_ids(
         DocIdAssigner,
         fn_constructor_args=(offsets_ref,),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=(1, 16),
     )
     return out, num_docs, offsets_ref
