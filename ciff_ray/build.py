@@ -1,18 +1,26 @@
 """Distributed index build — the Ray-Data replacement for the reference's
 in-memory JsonlToCiff pipeline (/root/reference/src/lib.rs:992-1134,
-SURVEY.md §3.3/§7):
+SURVEY.md §3.3/§7).  TWO streaming passes over the input text, exactly
+one all-to-all:
 
-    read_parquet(transcripts)
-      -> assign_doc_ids            conv-level groupby + prefix sum (docids.py)
-      -> docmap                    map_batches tokenize-count -> sort(doc_id) -> parquet
-      -> explode (term,doc,tf)     map_batches: in-batch partial aggregation
-      -> route to partitions       crc32(term) % P, heavy terms salted by docID range
-      -> groupby(partition_id)     THE one all-to-all shuffle
-      -> PartitionWriter           per-partition term-sort, d-gap + varint
-                                   (Elias-gamma fallback) packing, block-max
-                                   metadata, atomic parquet + done-marker
-      -> term_stats                small groupby over per-slice stats
-      -> manifest + lineage
+    pass A (narrow)   stats_partials: ONE tokenize yields per-block
+                      conversation aggregates (docID prefix-sum inputs),
+                      heavy-term df partials (salting), per-turn docmap
+                      partials, and the exact collection token count;
+                      small rows merge on the driver, fat rows stay in
+                      the object store
+    docmap finalize   doc IDs attached to the kind=3 partials and
+                      written to parquet — overlapped with pass C in a
+                      background thread, never re-reads the input
+    pass C (shuffle)  add_doc_ids -> invert_partial: per-batch local
+                      inversion into PACKED partial posting lists
+                      (varint d-gaps + tfs + inline doclengths, crc32
+                      partition routing, docID-range salting of heavy
+                      terms) -> scatter/gather by partition_id [THE
+                      all-to-all] -> PartitionWriter: k-way merge,
+                      d-gap + varint (Elias-gamma fallback) packing,
+                      block-max metadata, atomic parquet + done-marker
+    driver            term_stats merge + manifest + lineage
 
 Skew: term df is Zipf; stopword-scale lists would hot-spot one reducer.
 Heavy-hitter terms (estimated from a seeded sample) are salted by
@@ -30,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import zlib
 from dataclasses import asdict, dataclass
@@ -41,10 +50,9 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 from ray.data.aggregate import Max, Sum
-from ray.data.context import ShuffleStrategy
 
 from ciff_ray import codecs
-from ciff_ray.docids import assign_doc_ids
+from ciff_ray.docids import add_doc_ids, conv_partials, merge_conv_partials
 from ciff_ray.layout import (
     IndexPaths,
     Manifest,
@@ -59,7 +67,7 @@ from ciff_ray.schemas import (
     SEGMENT_SCHEMA,
     TERM_DICT_SCHEMA,
 )
-from ciff_ray.tokenizer import doc_lengths, term_frequencies
+from ciff_ray.tokenizer import flatten_tokens, tokenize_column
 
 _SALT_MIX = 0x9E3779B1
 
@@ -76,74 +84,212 @@ class BuildParams:
     num_salts: int = 8
     sample_frac: float = 0.1
     description: str = ""
+    # CPU slots each partition-writer task reserves.  The writers are
+    # memory-bandwidth-bound (stream decode + k-way merge + re-encode);
+    # >1 slot caps how many run concurrently per node so they don't
+    # thrash the memory bus — the per-stage `num_cpus` sizing knob.
+    writer_num_cpus: int = 2
 
 
 # ---------------------------------------------------------------------------
 # stage bodies (pure, vectorized)
 
 
-def _docmap_batch(batch: pa.Table) -> pa.Table:
-    dl = doc_lengths(batch, id_col="doc_id")
-    return pa.table(
-        {
-            "doc_id": batch["doc_id"],
-            "collection_docid": batch["collection_docid"],
-            "doclength": dl["doclength"],
-        }
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("term", pa.string()),
+        ("salt", pa.int32()),
+        ("df", pa.int64()),
+        # packed postings: varint d-gaps (first value absolute docID),
+        # varint tfs, varint per-posting doclengths — the shuffle moves
+        # ~2-3 bytes per posting instead of 16+ (int64 doc + int32 tf +
+        # a broadcast doclength table)
+        ("doc_bytes", pa.large_binary()),
+        ("tf_bytes", pa.large_binary()),
+        ("dl_bytes", pa.large_binary()),
+    ]
+)
+
+
+def _pack_stream(
+    vals: np.ndarray, starts: np.ndarray, n: int
+) -> pa.LargeBinaryArray:
+    """Varint-pack values and slice per run [starts[i], next) zero-copy
+    through Arrow binary offsets."""
+    nb = codecs.varint_nbytes_per_value(vals)
+    buf = codecs.varint_encode(vals, nbytes=nb)
+    bounds = np.concatenate([starts, [n]])
+    cum = np.concatenate([[0], np.cumsum(nb)]).astype(np.int64)
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        starts.size,
+        [None, pa.py_buffer(cum[bounds].tobytes()), pa.py_buffer(buf)],
     )
 
 
-class ExplodeRouter:
-    """(doc_id, text) batch -> (partition_id, term, salt, doc_id, tf).
+def pack_partial_runs(
+    doc_s: np.ndarray,
+    tf_s: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    dl_s: np.ndarray | None = None,
+):
+    """Pack runs [starts[i], ends[i]) of ascending docIDs + tfs (+ the
+    per-posting doclength stream) into per-run varint payloads (docIDs
+    d-gapped, first value absolute): ONE vectorized encode per stream,
+    sliced apart zero-copy through Arrow binary offsets.
 
-    Tokenize + in-batch (doc, term) aggregation, then partition routing:
-    crc32 of the term (version-stable, layout.stable_hash) mixed with the
-    docID-range salt for heavy terms.  Per-batch work is vectorized; the
-    only Python loop is over the *unique terms of the batch* (crc +
-    heavy lookup), amortized via dictionary encoding."""
+    Shipping doclengths inline with the postings is what lets the
+    writers compute block-max BM25 bounds with NO global doclength
+    broadcast — at 10^12 docs a doclength array cannot live on any one
+    node (SURVEY.md §4)."""
+    n = doc_s.size
+    gaps = np.empty(n, dtype=np.int64)
+    if n:
+        gaps[0] = doc_s[0]
+        np.subtract(doc_s[1:], doc_s[:-1], out=gaps[1:])
+        gaps[starts] = doc_s[starts]
+    doc_bytes = _pack_stream(gaps, starts, n)
+    tf_bytes = _pack_stream(tf_s, starts, n)
+    if dl_s is None:
+        return doc_bytes, tf_bytes
+    return doc_bytes, tf_bytes, _pack_stream(dl_s, starts, n)
 
-    def __init__(self, heavy_ref, num_partitions: int, salt_range: int):
-        self.heavy: dict[str, int] = ray.get(heavy_ref) if heavy_ref is not None else {}
-        self.P = num_partitions
-        self.salt_range = max(1, salt_range)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        tf = term_frequencies(batch, id_col="doc_id")
-        if len(tf) == 0:
-            return pa.table(
-                {
-                    "partition_id": pa.array([], type=pa.int32()),
-                    "term": pa.array([], type=pa.string()),
-                    "salt": pa.array([], type=pa.int32()),
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "tf": pa.array([], type=pa.int32()),
-                }
-            )
-        dict_arr = pc.dictionary_encode(tf["term"].combine_chunks())
-        uniq = dict_arr.dictionary.to_pylist()
-        crc = np.array([stable_hash(t.encode()) for t in uniq], dtype=np.int64)
-        heavy = np.array([t in self.heavy for t in uniq], dtype=bool)
-        idx = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        doc = tf["doc_id"].to_numpy(zero_copy_only=False)
-        salt = np.where(heavy[idx], doc // self.salt_range, 0).astype(np.int64)
-        pid = ((crc[idx] + salt * _SALT_MIX) % self.P).astype(np.int32)
-        return pa.table(
-            {
-                "partition_id": pa.array(pid),
-                "term": tf["term"],
-                "salt": pa.array(salt.astype(np.int32)),
-                "doc_id": tf["doc_id"],
-                "tf": tf["tf"],
-            }
-        )
+def unpack_partial_rows(
+    group: pa.Table,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of :func:`pack_partial_runs` over a (row-ordered) table:
+    -> (lengths per row, flat absolute docIDs, flat tfs, flat dls).
+    The Arrow binary values buffer already holds the row payloads
+    back-to-back in row order, so the stream decode is one vectorized
+    call per column."""
+    lengths = group["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(lengths.sum())
+    gaps = codecs.varint_decode(_binary_values(group["doc_bytes"]), n).view(
+        np.int64
+    )
+    tfs_flat = codecs.varint_decode(_binary_values(group["tf_bytes"]), n).view(
+        np.int64
+    )
+    dls_flat = codecs.varint_decode(_binary_values(group["dl_bytes"]), n).view(
+        np.int64
+    )
+    # per-row absolute docids: global cumsum minus prefix before each row
+    c = np.cumsum(gaps)
+    row_starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+    prev = np.zeros(lengths.size, dtype=np.int64)
+    if lengths.size > 1:
+        prev[1:] = c[row_starts[1:] - 1]
+    docs_flat = c - np.repeat(prev, lengths)
+    return lengths, docs_flat, tfs_flat, dls_flat
+
+
+def _binary_values(arr) -> np.ndarray:
+    """Zero-copy concatenated payload bytes of a LargeBinaryArray."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    buffers = arr.buffers()
+    off = np.frombuffer(buffers[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(buffers[2], dtype=np.uint8)
+    return data[off[0] : off[-1]]
+
+
+def invert_partial(
+    batch: pa.Table, *, heavy_ref, num_partitions: int, salt_range: int
+) -> pa.Table:
+    """(doc_id, text) batch -> per-batch PARTIAL POSTING LISTS
+    (partition_id, term, salt, doc_ids:list, tfs:list) — the combiner.
+
+    Tokenize + in-batch (doc, term) tf aggregation, then local inversion:
+    one output row per (term, salt) of the batch, doc_ids ascending
+    within the row.  Compared to shuffling exploded (term, doc, tf)
+    rows, this sends each term string once per (block x term) instead of
+    once per posting and cuts shuffled row count by ~the average in-batch
+    df — the all-to-all then moves a small number of fat list rows
+    (payload ~= packed integers), which is what makes the exchange cheap
+    at 10^12-turn scale (SURVEY.md §7 "per-partition pre-aggregation").
+
+    Routing: crc32 of the term (version-stable, layout.stable_hash)
+    mixed with the docID-range salt for heavy terms; the heavy-term set
+    is a `ray.put` broadcast fetched per call (tiny dict).  Per-batch
+    work is vectorized; the only Python loop is over the *unique terms
+    of the batch* (crc + heavy lookup), amortized via dictionary
+    encoding."""
+    heavy_set: dict[str, int] = ray.get(heavy_ref) if heavy_ref is not None else {}
+    salt_range = max(1, salt_range)
+    nrows = len(batch)
+    toks = tokenize_column(batch["text"])
+    flat_terms, flat_rows = flatten_tokens(toks, np.arange(nrows, dtype=np.int64))
+    if len(flat_terms) == 0:
+        return _PARTIAL_SCHEMA.empty_table()
+    dict_arr = pc.dictionary_encode(flat_terms)
+    uniq = dict_arr.dictionary.to_pylist()
+    idx = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    crc = np.array([stable_hash(t.encode()) for t in uniq], dtype=np.int64)
+    heavy = np.array([t in heavy_set for t in uniq], dtype=bool)
+
+    doc_col = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # rank of each row's doc within the batch: sorting by rank == sorting
+    # by docID but keeps the composite key small
+    order_rows = np.argsort(doc_col, kind="stable")
+    rank_of_row = np.empty(nrows, dtype=np.int64)
+    rank_of_row[order_rows] = np.arange(nrows)
+
+    doc_tok = doc_col[flat_rows]
+    salt_tok = np.where(heavy[idx], doc_tok // salt_range, 0).astype(np.int64)
+    S = int(salt_tok.max()) + 1 if salt_tok.size else 1
+
+    # ONE sort of the token stream by (term, salt, doc) via a composite
+    # int key fuses tf-counting AND local inversion: each equal-key run
+    # is one posting (tf = run length), each slice-key run one
+    # (term, salt) partial list
+    slice_key = idx * S + salt_tok
+    full_key = slice_key * nrows + rank_of_row[flat_rows]
+    order = np.argsort(full_key, kind="stable")
+    fk = full_key[order]
+    change = fk[1:] != fk[:-1]
+    run_starts = np.concatenate([[0], np.flatnonzero(change) + 1]).astype(np.int64)
+    run_ends = np.concatenate([run_starts[1:], [fk.size]]).astype(np.int64)
+    tf_run = run_ends - run_starts
+    first_tok = order[run_starts]
+    doc_run = doc_tok[first_tok]
+    sk_run = fk[run_starts] // nrows
+    # doclength = token count of the turn (Σ tf over its terms)
+    dl_row = np.bincount(flat_rows, minlength=nrows)
+    dl_run = dl_row[flat_rows[first_tok]]
+
+    s_change = sk_run[1:] != sk_run[:-1]
+    sl_starts = np.concatenate([[0], np.flatnonzero(s_change) + 1]).astype(np.int64)
+    sl_ends = np.concatenate([sl_starts[1:], [sk_run.size]]).astype(np.int64)
+    term_idx_sl = sk_run[sl_starts] // S
+    salt_sl = sk_run[sl_starts] % S
+    pid = ((crc[term_idx_sl] + salt_sl * _SALT_MIX) % num_partitions).astype(
+        np.int32
+    )
+
+    doc_bytes, tf_bytes, dl_bytes = pack_partial_runs(
+        doc_run, tf_run, sl_starts, sl_ends, dl_run
+    )
+    return pa.table(
+        {
+            "partition_id": pa.array(pid),
+            "term": dict_arr.dictionary.take(pa.array(term_idx_sl)),
+            "salt": pa.array(salt_sl.astype(np.int32)),
+            "df": pa.array(sl_ends - sl_starts, type=pa.int64()),
+            "doc_bytes": doc_bytes,
+            "tf_bytes": tf_bytes,
+            "dl_bytes": dl_bytes,
+        },
+        schema=_PARTIAL_SCHEMA,
+    )
 
 
 def _varint_nbytes_per_value(vals: np.ndarray) -> np.ndarray:
-    v = vals.astype(np.uint64)
-    nb = np.ones(v.shape, dtype=np.int64)
-    for k in range(1, 10):
-        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
-    return nb
+    return codecs.varint_nbytes_per_value(vals)
 
 
 def _slice_encode(
@@ -172,7 +318,7 @@ def _slice_encode(
         raise AssertionError("doc_ids not strictly ascending within a slice")
 
     def _pack_all(vals: np.ndarray, counts: np.ndarray, nb: np.ndarray) -> list[bytes]:
-        buf = codecs.varint_encode(vals)
+        buf = codecs.varint_encode(vals, nbytes=nb)
         byte_ends = np.cumsum(nb) if vals.size else np.empty(0, dtype=np.int64)
         val_bounds = np.cumsum(counts)
         out = []
@@ -186,7 +332,7 @@ def _slice_encode(
 
     gap_counts = ends - starts - 1
     tf_counts = ends - starts
-    tf_vals = tfs.astype(np.uint64)
+    tf_vals = tfs.view(np.uint64)
     gap_nb = _varint_nbytes_per_value(gap_vals)
     tf_nb = _varint_nbytes_per_value(tf_vals)
     doc_bytes = _pack_all(gap_vals, gap_counts, gap_nb)
@@ -225,7 +371,6 @@ def _slice_encode(
 
 def make_partition_writer(
     paths: IndexPaths,
-    dl_ref,
     avgdl: float,
     params: BuildParams,
     fingerprint: str,
@@ -256,31 +401,54 @@ def make_partition_writer(
                     }
                 )
 
-        order = pc.sort_indices(
-            group,
-            sort_keys=[
-                ("term", "ascending"),
-                ("salt", "ascending"),
-                ("doc_id", "ascending"),
-            ],
+        # rows are partial lists (invert_partial); order rows by term
+        # bytes then salt, flatten, then sort postings within each
+        # (term, salt) slice by docID.  combine_chunks: deterministic
+        # single-chunk layout -> byte-identical parquet regardless of
+        # shuffle arrival order (resume test relies on replayed
+        # partitions being byte-equal to the original build)
+        # combine first: the shuffle hands the group over as thousands of
+        # tiny chunks, and chunked sort/take/flatten pay per-chunk costs
+        group = group.combine_chunks()
+        row_order = pc.sort_indices(
+            group.select(["term", "salt"]),
+            sort_keys=[("term", "ascending"), ("salt", "ascending")],
         )
-        group = group.take(order)
-        terms = group["term"].combine_chunks()
-        salts = group["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
-        doc_ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tfs = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(group)
+        group = group.take(row_order).combine_chunks()
+        nrows = len(group)
+        terms_rows = group["term"].combine_chunks()
+        salts_rows = group["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths, docs_flat, tfs_flat, dls_flat = unpack_partial_rows(group)
+        n = int(lengths.sum())
 
-        term_change = pc.not_equal(terms.slice(1), terms.slice(0, n - 1))
-        change = term_change.to_numpy(zero_copy_only=False) | (
-            salts[1:] != salts[:-1]
+        # (term, salt) runs over rows
+        row_change = pc.not_equal(
+            terms_rows.slice(1), terms_rows.slice(0, nrows - 1)
+        ).to_numpy(zero_copy_only=False) | (salts_rows[1:] != salts_rows[:-1])
+        run_starts_row = np.concatenate([[0], np.flatnonzero(row_change) + 1]).astype(
+            np.int64
         )
-        starts = np.concatenate([[0], np.flatnonzero(change) + 1]).astype(np.int64)
-        ends = np.concatenate([starts[1:], [n]]).astype(np.int64)
-        S = starts.size
+        run_of_row = np.zeros(nrows, dtype=np.int64)
+        run_of_row[run_starts_row[1:]] = 1
+        run_of_row = np.cumsum(run_of_row)
+        S = run_starts_row.size
+
+        # global (slice_id, doc_id) sort of the flattened postings:
+        # partials are ascending runs, the lexsort merges them
+        slice_of_value = np.repeat(run_of_row, lengths)
+        perm = np.lexsort((docs_flat, slice_of_value))
+        doc_ids = docs_flat[perm]
+        tfs = tfs_flat[perm]
+        dls = dls_flat[perm]
+
+        run_lengths = np.add.reduceat(lengths, run_starts_row)
+        ends = np.cumsum(run_lengths).astype(np.int64)
+        starts = (ends - run_lengths).astype(np.int64)
+        terms = terms_rows.take(pa.array(run_starts_row))
+        salts_slice = salts_rows[run_starts_row]
 
         df = ends - starts
-        cf = np.add.reduceat(tfs, starts)
+        cf = np.add.reduceat(tfs, starts, dtype=np.int64)
         max_tf = np.maximum.reduceat(tfs, starts)
         first_doc = doc_ids[starts]
 
@@ -288,11 +456,14 @@ def make_partition_writer(
         doc_bytes, tf_bytes = enc["doc_bytes"], enc["tf_bytes"]
         doc_codec, tf_codec = enc["doc_codec"], enc["tf_codec"]
 
-        # block-max metadata: idf-independent partial contribution
-        dl_all: np.ndarray = ray.get(dl_ref)
-        dl = dl_all[doc_ids].astype(np.float64)
-        contrib = (tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / avgdl))).astype(
-            np.float32
+        # block-max metadata: idf-independent partial contribution; the
+        # doclengths ride inline with the postings (no global broadcast).
+        # Bumped one float32 ulp UP so the stored bound can never round
+        # below the float64 score the query path computes.
+        dl = dls.astype(np.float64)
+        contrib64 = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / avgdl))
+        contrib = np.nextafter(
+            contrib64.astype(np.float32), np.float32(np.inf)
         )
         nblocks = (df + bs - 1) // bs
         tot_blocks = int(nblocks.sum())
@@ -327,8 +498,8 @@ def make_partition_writer(
 
         seg = pa.table(
             {
-                "term": terms.take(pa.array(starts)),
-                "salt": pa.array(salts[starts].astype(np.int32)),
+                "term": terms,
+                "salt": pa.array(salts_slice.astype(np.int32)),
                 "df": pa.array(df, type=pa.int64()),
                 "cf": pa.array(cf, type=pa.int64()),
                 "first_doc": pa.array(first_doc, type=pa.int64()),
@@ -398,6 +569,87 @@ def make_partition_writer(
 
 
 # ---------------------------------------------------------------------------
+# the partition exchange
+#
+# The combiner output is ALREADY partitioned (partition_id is a
+# precomputed dense key), so the exchange is a pure scatter/gather:
+# split every block by partition_id, then each writer gathers its
+# slices.  Ray Data's groupby would re-sort the whole stream (and its
+# hash strategy spins up aggregator actors) — both add an all-to-all
+# cost the data doesn't need; measured on the 4.9M-turn bench table the
+# sort exchange is ~10s flat regardless of CPUs while this scatter is
+# 3-4s and scales.  This is the one deliberate drop to raw Ray tasks
+# (SURVEY.md §4).  At multi-thousand-block scale the flat gather
+# fan-in (blocks x partitions object refs) would become a two-level
+# tree merge keyed on the same partition_id.
+
+
+@ray.remote
+def _split_by_pid(tbl: pa.Table, P: int):
+    # raw Ray tasks don't inherit Ray Data's thread capping: without
+    # this, each of the ~cpu-count concurrent tasks spins up a
+    # full-width Arrow thread pool and they thrash each other
+    pa.set_cpu_count(1)
+    tbl = tbl.combine_chunks()
+    pid = tbl["partition_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(pid, kind="stable")
+    tbl = tbl.take(pa.array(order)).combine_chunks()
+    pid = pid[order]
+    bounds = np.searchsorted(pid, np.arange(P + 1))
+    return tuple(
+        tbl.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(P)
+    )
+
+
+@ray.remote
+def _write_group(writer, *parts):
+    pa.set_cpu_count(1)  # see _split_by_pid
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return None
+    return writer(pa.concat_tables(parts))
+
+
+def _partitioned_write(
+    exploded: ray.data.Dataset,
+    writer,
+    num_partitions: int,
+    writer_num_cpus: int = 1,
+) -> list[dict]:
+    """Scatter blocks by partition_id, gather + write per partition;
+    returns the lineage rows."""
+    block_refs = exploded.materialize().to_arrow_refs()
+    if num_partitions == 1:
+        tasks = [
+            _write_group.options(num_cpus=writer_num_cpus).remote(
+                writer, *block_refs
+            )
+        ]
+    else:
+        split_refs = [
+            _split_by_pid.options(num_returns=num_partitions).remote(
+                b, num_partitions
+            )
+            for b in block_refs
+        ]
+        tasks = [
+            _write_group.options(num_cpus=writer_num_cpus).remote(
+                writer, *[s[i] for s in split_refs]
+            )
+            for i in range(num_partitions)
+        ]
+    rows: list[dict] = []
+    for tbl in ray.get(tasks):
+        if tbl is None:
+            continue
+        rows.extend(
+            {k: (v if not hasattr(v, "item") else v.item()) for k, v in r.items()}
+            for r in tbl.to_pylist()
+        )
+    return rows
+
+
+# ---------------------------------------------------------------------------
 # driver orchestration
 
 # below this many bytes of term-dict parts the global per-term stats
@@ -440,53 +692,173 @@ def _write_term_stats(paths: IndexPaths) -> int:
 
 _HEAVY_TOPK = 128
 
+_STATS_SCHEMA = pa.schema(
+    [
+        ("kind", pa.int8()),  # 0=conv partial, 1=heavy-term partial, 3=docmap row
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+        ("min_turn", pa.int64()),
+        ("max_turn", pa.int64()),
+        ("term", pa.string()),
+        ("df_part", pa.int64()),
+        ("turn_idx", pa.int32()),
+        ("doclength", pa.int32()),
+    ]
+)
 
-def _heavy_partials(batch: pa.Table) -> pa.Table:
-    """Per-batch term document-frequency partials, truncated to the
-    top-K terms of the batch.  Heavy hitters (df ~ a few % of docs) are
-    top-K in essentially every batch, so the truncation loses nothing
-    that matters for the salting heuristic while keeping the driver
-    merge tiny."""
-    tmp = pa.table(
-        {
-            "doc_id": pa.array(np.arange(len(batch), dtype=np.int64)),
-            "text": batch["text"],
-        }
-    )
-    tf = term_frequencies(tmp, id_col="doc_id")
-    counts = tf.group_by("term").aggregate([("doc_id", "count")])
-    counts = counts.rename_columns(["term", "df_part"])
-    if counts.num_rows > _HEAVY_TOPK:
-        order = pc.sort_indices(
-            counts, sort_keys=[("df_part", "descending"), ("term", "ascending")]
+
+def stats_partials(batch: pa.Table) -> pa.Table:
+    """ONE narrow pass — one tokenize of the input — computing every
+    small-aggregate input of the build (SURVEY.md §7 "cheap barrier"):
+
+    * kind=0: per-block conversation partials for the docID prefix sum
+    * kind=1: per-block term document-frequency partials, truncated to
+      the batch's top-K — the heavy-hitter salting heuristic.  Heavy
+      terms (df ~ a few % of docs) are top-K in essentially every
+      batch, so truncation loses nothing that matters while keeping the
+      driver merge tiny.
+    * kind=3: per-turn docmap partials (conv_id, turn_idx, doclength) —
+      doc IDs are attached later by a cheap pass over these partials,
+      so the full text is never read or tokenized a third time; their
+      doclength sum is also the exact `total_terms_in_collection`.
+    """
+    conv = conv_partials(batch)
+    nc = conv.num_rows
+    nulls = pa.nulls
+    parts = [
+        pa.table(
+            {
+                "kind": pa.array(np.zeros(nc, dtype=np.int8)),
+                "conv_id": conv["conv_id"],
+                "n_turns": pc.cast(conv["n_turns"], pa.int64()),
+                "min_turn": pc.cast(conv["min_turn"], pa.int64()),
+                "max_turn": pc.cast(conv["max_turn"], pa.int64()),
+                "term": nulls(nc, pa.string()),
+                "df_part": nulls(nc, pa.int64()),
+                "turn_idx": nulls(nc, pa.int32()),
+                "doclength": nulls(nc, pa.int32()),
+            },
+            schema=_STATS_SCHEMA,
         )
-        counts = counts.take(order.slice(0, _HEAVY_TOPK))
-    return counts
-
-
-def _estimate_heavy_terms(
-    ds: ray.data.Dataset, num_docs: int, params: BuildParams
-) -> dict[str, int]:
-    """Skew control (SURVEY.md §4): estimate stopword-scale terms from a
-    seeded sample with a narrow map + tiny driver merge — no shuffle.
-    The estimate only steers salting; posting correctness never depends
-    on it."""
-    if params.heavy_df_frac <= 0 or num_docs == 0:
-        return {}
-    frac = min(1.0, params.sample_frac)
-    sample = ds if frac >= 1.0 else ds.random_sample(frac, seed=42)
-    parts_ds = (
-        sample.select_columns(["text"])
-        .map_batches(_heavy_partials, batch_format="pyarrow")
-        .materialize()
+    ]
+    nrows = len(batch)
+    toks = tokenize_column(batch["text"])
+    flat_terms, flat_rows = flatten_tokens(toks, np.arange(nrows, dtype=np.int64))
+    # doclength per turn = token count (Σ tf; empty turns stay 0)
+    dl = np.bincount(flat_rows, minlength=nrows).astype(np.int32)
+    parts.append(
+        pa.table(
+            {
+                "kind": pa.array(np.full(nrows, 3, dtype=np.int8)),
+                "conv_id": batch["conv_id"],
+                "n_turns": nulls(nrows, pa.int64()),
+                "min_turn": nulls(nrows, pa.int64()),
+                "max_turn": nulls(nrows, pa.int64()),
+                "term": nulls(nrows, pa.string()),
+                "df_part": nulls(nrows, pa.int64()),
+                "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+                "doclength": pa.array(dl),
+            },
+            schema=_STATS_SCHEMA,
+        )
     )
-    tables = [t for t in ray.get(parts_ds.to_arrow_refs()) if t.num_rows]
-    if not tables:
+    # per-term df partial = distinct (row, term) pair count: one sort of
+    # the token stream by a composite key, runs = pairs
+    if len(flat_terms):
+        dict_arr = pc.dictionary_encode(flat_terms)
+        t_idx = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = t_idx * nrows + flat_rows
+        ks = np.sort(key)
+        run_starts = np.concatenate(
+            [[0], np.flatnonzero(ks[1:] != ks[:-1]) + 1]
+        ).astype(np.int64)
+        df_per_term = np.bincount(
+            ks[run_starts] // nrows, minlength=len(dict_arr.dictionary)
+        )
+        order_df = np.argsort(-df_per_term, kind="stable")[:_HEAVY_TOPK]
+        counts = pa.table(
+            {
+                "term": dict_arr.dictionary.take(pa.array(order_df)),
+                "df_part": pa.array(df_per_term[order_df], type=pa.int64()),
+            }
+        )
+    else:
+        counts = pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "df_part": pa.array([], type=pa.int64()),
+            }
+        )
+    nh = counts.num_rows
+    parts.append(
+        pa.table(
+            {
+                "kind": pa.array(np.ones(nh, dtype=np.int8)),
+                "conv_id": nulls(nh, pa.string()),
+                "n_turns": nulls(nh, pa.int64()),
+                "min_turn": nulls(nh, pa.int64()),
+                "max_turn": nulls(nh, pa.int64()),
+                "term": counts["term"],
+                "df_part": pc.cast(counts["df_part"], pa.int64()),
+                "turn_idx": nulls(nh, pa.int32()),
+                "doclength": nulls(nh, pa.int32()),
+            },
+            schema=_STATS_SCHEMA,
+        )
+    )
+    return pa.concat_tables(parts)
+
+
+_DOCMAP_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("collection_docid", pa.string()),
+        ("doclength", pa.int32()),
+    ]
+)
+
+
+def _docmap_from_partials(batch: pa.Table, *, offsets_ref) -> pa.Table:
+    """kind=3 stats partials -> docmap rows with dense doc IDs."""
+    b = batch.filter(pc.equal(batch["kind"], 3)).select(
+        ["conv_id", "turn_idx", "doclength"]
+    )
+    if len(b) == 0:
+        return _DOCMAP_SCHEMA.empty_table()
+    withids = add_doc_ids(b, offsets_ref)
+    return pa.table(
+        {
+            "doc_id": withids["doc_id"],
+            "collection_docid": withids["collection_docid"],
+            "doclength": pc.cast(b["doclength"], pa.int32()),
+        },
+        schema=_DOCMAP_SCHEMA,
+    )
+
+
+@ray.remote
+def _extract_small_stats(block: pa.Table) -> tuple[pa.Table, int]:
+    """Per-block pre-filter so the driver only fetches the small
+    (conv/heavy) partial rows, plus this block's doclength sum."""
+    small = block.filter(pc.less_equal(block["kind"], 1)).select(
+        ["kind", "conv_id", "n_turns", "min_turn", "max_turn", "term", "df_part"]
+    )
+    dlsum = pc.sum(
+        block.filter(pc.equal(block["kind"], 3))["doclength"]
+    ).as_py()
+    return small, int(dlsum or 0)
+
+
+def _merge_heavy_partials(
+    heavy_parts: pa.Table, num_docs: int, params: BuildParams
+) -> dict[str, int]:
+    """Skew control (SURVEY.md §4): stopword-scale terms get salted.
+    The estimate (exact up to per-batch top-K truncation) only steers
+    salting; posting correctness never depends on it."""
+    if params.heavy_df_frac <= 0 or heavy_parts.num_rows == 0 or num_docs == 0:
         return {}
-    parts = pa.concat_tables(tables, promote_options="default")
-    sampled_docs = num_docs * frac  # expected sample size; heuristic only
-    merged = parts.group_by("term").aggregate([("df_part", "sum")])
-    threshold = max(1.0, params.heavy_df_frac * sampled_docs)
+    merged = heavy_parts.group_by("term").aggregate([("df_part", "sum")])
+    threshold = max(1.0, params.heavy_df_frac * num_docs)
     mask = pc.greater(merged["df_part_sum"], threshold)
     heavy_terms = merged.filter(mask)["term"].to_pylist()
     return {t: params.num_salts for t in heavy_terms}
@@ -514,56 +886,89 @@ def build_index(
         )
 
     ds = ds.select_columns(["conv_id", "turn_idx", "text"])
-    ds2, num_docs, _offsets_ref = assign_doc_ids(ds)
 
-    # --- heavy-hitter estimation (skew control, SURVEY.md §4);
-    # narrow pass over raw text, no doc ids needed ---
-    heavy = _estimate_heavy_terms(ds, num_docs, params)
+    # --- pass A: fused small-aggregate pass — ONE tokenize of the input
+    # yields conv offsets (docids), heavy-hitter df partials (salting),
+    # per-turn docmap partials, and the exact total token count.  The
+    # driver fetches only the small conv/heavy rows (per-block remote
+    # pre-filter); the fat docmap partials stay in the object store. ---
+    stats_ds = ds.map_batches(stats_partials, batch_format="pyarrow").materialize()
+    extracted = ray.get(
+        [_extract_small_stats.remote(b) for b in stats_ds.to_arrow_refs()]
+    )
+    small = pa.concat_tables([t for t, _ in extracted if t.num_rows])
+    total_terms = int(sum(s for _, s in extracted))
+    conv_parts = small.filter(pc.equal(small["kind"], 0)).select(
+        ["conv_id", "n_turns", "min_turn", "max_turn"]
+    )
+    heavy_parts = small.filter(pc.equal(small["kind"], 1)).select(
+        ["term", "df_part"]
+    )
+    offsets, num_docs = merge_conv_partials(conv_parts)
+    offsets_ref = ray.put(offsets)
+    heavy = _merge_heavy_partials(heavy_parts, num_docs, params)
     heavy_ref = ray.put(heavy)
     salt_range = max(1, (num_docs + params.num_salts - 1) // params.num_salts)
-
-    # --- docmap + doclengths (DocRecord analogue, K3/A6) ---
-    # written unsorted (block order); consumers order by the doc_id
-    # column (LocalScorer, CIFF export), so no global sort is needed
-    docmap = ds2.map_batches(_docmap_batch, batch_format="pyarrow")
-    docmap.write_parquet(paths.docmap_dir)
-    dm = pq.read_table(paths.docmap_dir, columns=["doc_id", "doclength"])
-    order = pc.sort_indices(dm["doc_id"].combine_chunks())
-    doclengths = (
-        dm["doclength"].combine_chunks().take(order).to_numpy(zero_copy_only=False)
-    ).astype(np.int32)
-    total_terms = int(doclengths.sum())
     avgdl = total_terms / num_docs if num_docs else 0.0  # f64, src/lib.rs:616-617
-    dl_ref = ray.put(doclengths)
 
-    # --- explode + route + shuffle + write ---
-    # hash exchange on the precomputed small-cardinality partition_id:
-    # beats the default range-sort shuffle (no global sample/sort of the
-    # exploded posting stream)
-    ctx = ray.data.DataContext.get_current()
-    prev_strategy = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
-        exploded = ds2.map_batches(
-            ExplodeRouter,
-            fn_constructor_args=(heavy_ref, params.num_partitions, salt_range),
+    # --- docmap finalize (DocRecord analogue, K3/A6): attach doc IDs to
+    # the kind=3 partials and write parquet.  Runs OVERLAPPED with pass
+    # C in a background thread — it re-reads only the materialized
+    # partials, never the input text.  Written unsorted (block order);
+    # consumers order by the doc_id column.  Resumable via a
+    # fingerprinted marker; a stale docmap dir is CLEARED first
+    # (write_parquet appends uniquely-named files, so rewriting without
+    # clearing would duplicate rows). ---
+    docmap_marker = os.path.join(paths.root, "docmap_done.json")
+    docmap_done = False
+    if os.path.exists(docmap_marker):
+        with open(docmap_marker) as f:
+            docmap_done = json.load(f).get("fingerprint") == input_fingerprint
+
+    def _finalize_docmap() -> None:
+        for f in os.listdir(paths.docmap_dir):
+            os.remove(os.path.join(paths.docmap_dir, f))
+        stats_ds.map_batches(
+            _docmap_from_partials,
+            fn_kwargs={"offsets_ref": offsets_ref},
             batch_format="pyarrow",
-            concurrency=(1, 16),
-        )
-        writer = make_partition_writer(
-            paths, dl_ref, avgdl, params, input_fingerprint
-        )
-        lineage_ds = exploded.groupby(
-            "partition_id", num_partitions=params.num_partitions
-        ).map_groups(writer, batch_format="pyarrow")
-        lineage_rows = lineage_ds.take_all()  # tiny: one row per partition
-    finally:
-        ctx.shuffle_strategy = prev_strategy
-    append_lineage(
-        paths.lineage,
-        [{k: (v if not hasattr(v, "item") else v.item()) for k, v in r.items()}
-         for r in lineage_rows],
+        ).write_parquet(paths.docmap_dir)
+        tmp = docmap_marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"fingerprint": input_fingerprint}, f)
+        os.replace(tmp, docmap_marker)
+
+    docmap_thread = None
+    if not docmap_done:
+        docmap_thread = threading.Thread(target=_finalize_docmap, daemon=True)
+        docmap_thread.start()
+
+    # --- pass C: local inversion (combiner) + scatter/gather + write
+    # (THE all-to-all; moves packed partial posting lists) ---
+    ds2 = ds.map_batches(
+        add_doc_ids,
+        # collection_docid isn't needed on the postings path; skip the
+        # per-row string build
+        fn_kwargs={"offsets_ref": offsets_ref, "with_collection_id": False},
+        batch_format="pyarrow",
     )
+    exploded = ds2.map_batches(
+        invert_partial,
+        fn_kwargs={
+            "heavy_ref": heavy_ref,
+            "num_partitions": params.num_partitions,
+            "salt_range": salt_range,
+        },
+        batch_format="pyarrow",
+    )
+    writer = make_partition_writer(paths, avgdl, params, input_fingerprint)
+    lineage_rows = _partitioned_write(
+        exploded, writer, params.num_partitions, params.writer_num_cpus
+    )
+    append_lineage(paths.lineage, lineage_rows)
+
+    if docmap_thread is not None:
+        docmap_thread.join()
 
     # --- term stats (global df/cf per term) ---
     num_lists = _write_term_stats(paths)

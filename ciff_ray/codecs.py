@@ -52,15 +52,43 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
 # LEB128 varint
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """Vectorized LEB128: 7 value bits per byte, high bit = continuation."""
+def bit_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value bit length (0 for value 0), vectorized via frexp —
+    exact below 2^53, with a loop-free fallback correction above."""
+    v = np.asarray(values, dtype=np.uint64)
+    _, e = np.frexp(v.astype(np.float64))
+    e = e.astype(np.int64)
+    if v.size and int(v.max()) >= (1 << 53):
+        # float rounding can overshoot by one near powers of two:
+        # bit_length is correct iff v >= 2^(e-1)
+        e = np.minimum(e, 64)
+        shift = np.clip(e - 1, 0, 63).astype(np.uint64)
+        over = (e > 0) & (v < (np.uint64(1) << shift))
+        e[over] -= 1
+    return e
+
+
+def varint_nbytes_per_value(values: np.ndarray) -> np.ndarray:
+    """ceil(bit_length / 7), min 1 — bytes per value under LEB128."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0 or int(v.max()) < 0x80:
+        # dominant case for gap/tf/doclength streams: all single-byte
+        return np.ones(v.shape, dtype=np.int64)
+    return np.maximum(1, (bit_lengths(v) + 6) // 7)
+
+
+def varint_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> bytes:
+    """Vectorized LEB128: 7 value bits per byte, high bit = continuation.
+    ``nbytes`` (per-value byte counts) can be passed in when the caller
+    already computed them — it is the most expensive part of encoding."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # bytes needed per value: ceil(bit_length / 7), min 1
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    for k in range(1, 10):
-        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    if int(v.max()) < 0x80:
+        # all single-byte: one cast, no scatter passes
+        return v.astype(np.uint8).tobytes()
+    if nbytes is None:
+        nbytes = varint_nbytes_per_value(v)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
@@ -78,6 +106,12 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
+    if count is not None and b.size == count:
+        # every byte is its own value only if no continuation bits
+        if not (b & 0x80).any():
+            return b.astype(np.uint64)
+        raise ValueError("varint stream byte count equals value count "
+                         "but continuation bits present")
     terminators = (b & 0x80) == 0
     term_idx = np.flatnonzero(terminators)
     n = term_idx.size
@@ -106,10 +140,7 @@ def gamma_encode(values: np.ndarray) -> bytes:
         return b""
     if (v < 1).any():
         raise ValueError("Elias gamma requires values >= 1")
-    # N = floor(log2 v) via bit length - 1
-    nb = np.zeros(v.shape, dtype=np.int64)
-    for k in range(1, 64):
-        nb += (v >= np.uint64(1) << np.uint64(k)).astype(np.int64)
+    nb = bit_lengths(v) - 1  # N = floor(log2 v)
     code_len = 2 * nb + 1
     ends = np.cumsum(code_len)
     starts = ends - code_len
@@ -176,9 +207,7 @@ def gamma_nbits(values: np.ndarray) -> int:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return 0
-    nb = np.zeros(v.shape, dtype=np.int64)
-    for k in range(1, 64):
-        nb += (v >= np.uint64(1) << np.uint64(k)).astype(np.int64)
+    nb = bit_lengths(v) - 1
     return int((2 * nb + 1).sum())
 
 
@@ -186,10 +215,7 @@ def varint_nbytes(values: np.ndarray) -> int:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return 0
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    for k in range(1, 10):
-        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
-    return int(nbytes.sum())
+    return int(varint_nbytes_per_value(v).sum())
 
 
 # Above this many postings, always use varint: gamma's decode does a

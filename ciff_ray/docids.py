@@ -18,8 +18,8 @@ exactly the "cheap barrier" SURVEY.md §7 calls for.
 
 At cluster scale the broadcast conv_offset table (and the driver merge)
 would become a hash-partitioned aggregate + join keyed on conv_id; the
-routing below isolates that choice in ``compute_conv_offsets`` /
-``DocIdAssigner``.
+routing below isolates that choice in ``merge_conv_partials`` /
+``add_doc_ids``.
 """
 
 from __future__ import annotations
@@ -31,25 +31,20 @@ import ray
 import ray.data
 
 
-def _conv_partials(batch: pa.Table) -> pa.Table:
+def conv_partials(batch: pa.Table) -> pa.Table:
+    """Per-block conversation aggregates (count/min/max of turn_idx)."""
     g = batch.select(["conv_id", "turn_idx"]).group_by("conv_id").aggregate(
         [("turn_idx", "count"), ("turn_idx", "min"), ("turn_idx", "max")]
     )
     return g.rename_columns(["conv_id", "n_turns", "min_turn", "max_turn"])
 
 
-def compute_conv_offsets(ds: ray.data.Dataset) -> tuple[pa.Table, int]:
-    """-> (conv_offsets table sorted by conv_id bytes, num_docs).
-
-    Also validates per-conversation turn density and (conv_id, turn_idx)
-    uniqueness (duplicate keys inflate n_turns past max+1 and fail the
-    density check — the analogue of the reference's dense-docid bail,
-    /root/reference/src/lib.rs:545-546)."""
-    parts_ds = ds.map_batches(_conv_partials, batch_format="pyarrow").materialize()
-    parts = pa.concat_tables(
-        [t for t in ray.get(parts_ds.to_arrow_refs()) if t.num_rows],
-        promote_options="default",
-    )
+def merge_conv_partials(parts: pa.Table) -> tuple[pa.Table, int]:
+    """Merge per-block partials -> (conv_offsets sorted by conv_id bytes,
+    num_docs).  Validates per-conversation turn density and (conv_id,
+    turn_idx) uniqueness (duplicate keys inflate n_turns past max+1 and
+    fail the density check — the analogue of the reference's dense-docid
+    bail, /root/reference/src/lib.rs:545-546)."""
     merged = parts.group_by("conv_id").aggregate(
         [("n_turns", "sum"), ("min_turn", "min"), ("max_turn", "max")]
     )
@@ -78,33 +73,70 @@ def compute_conv_offsets(ds: ray.data.Dataset) -> tuple[pa.Table, int]:
     return out, int(counts.sum())
 
 
-class DocIdAssigner:
-    """map_batches actor: adds dense `doc_id` + `collection_docid`.
+def compute_conv_offsets(ds: ray.data.Dataset) -> tuple[pa.Table, int]:
+    """-> (conv_offsets table sorted by conv_id, num_docs)."""
+    parts_ds = ds.map_batches(conv_partials, batch_format="pyarrow").materialize()
+    tables = [t for t in ray.get(parts_ds.to_arrow_refs()) if t.num_rows]
+    parts = pa.concat_tables(tables, promote_options="default")
+    return merge_conv_partials(parts)
 
-    The conversation-offset table is fetched once per actor from the
-    object store (`ray.put` broadcast) and looked up per batch with the
-    vectorized hash join `pc.index_in` — no per-row Python."""
 
-    def __init__(self, offsets_ref):
+# Per-worker-process cache of the conv -> offset hash index.  Ray reuses
+# worker processes across map tasks, so the (expensive, size-of-table)
+# hashtable build happens once per worker instead of once per batch —
+# per-batch lookup cost then scales with the BATCH, not the table.
+# Bounded: holds the index for one offsets broadcast at a time.
+_OFFSETS_INDEX_CACHE: dict[bytes, tuple] = {}
+
+
+def _offsets_index(offsets_ref):
+    import pandas as pd
+
+    key = offsets_ref.binary()
+    ent = _OFFSETS_INDEX_CACHE.get(key)
+    if ent is None:
         offsets: pa.Table = ray.get(offsets_ref)
-        self.conv_ids = offsets["conv_id"].combine_chunks()
-        self.offsets = offsets["conv_offset"].to_numpy(zero_copy_only=False)
+        idx = pd.Index(offsets["conv_id"].to_numpy(zero_copy_only=False))
+        offs = offsets["conv_offset"].to_numpy(zero_copy_only=False)
+        idx.get_indexer(idx[:1])  # force the lazy hashtable build now
+        _OFFSETS_INDEX_CACHE.clear()
+        _OFFSETS_INDEX_CACHE[key] = (idx, offs)
+        ent = (idx, offs)
+    return ent
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        pos = pc.index_in(batch["conv_id"], value_set=self.conv_ids)
-        if pos.null_count:
-            raise ValueError("conv_id missing from offset table")
-        pos_np = pos.to_numpy(zero_copy_only=False)
-        turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-        doc_id = self.offsets[pos_np.astype(np.int64)] + turn
+
+def add_doc_ids(
+    batch: pa.Table, offsets_ref, with_collection_id: bool = True
+) -> pa.Table:
+    """map_batches body: adds dense `doc_id` (+ `collection_docid`).
+
+    The conversation-offset table is a `ray.put` broadcast; `ray.get`
+    inside the task is a zero-copy shared-memory read, and the lookup is
+    a cached per-worker hash index — no per-row Python."""
+    idx, offs = _offsets_index(offsets_ref)
+    pos = idx.get_indexer(batch["conv_id"].to_numpy(zero_copy_only=False))
+    if pos.size and pos.min() < 0:
+        raise ValueError("conv_id missing from offset table")
+    turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_id = offs[pos] + turn
+    out = batch.append_column("doc_id", pa.array(doc_id, type=pa.int64()))
+    if with_collection_id:
         coll = pc.binary_join_element_wise(
             batch["conv_id"],
             pc.cast(batch["turn_idx"], pa.string()),
             "/",
         )
-        return batch.append_column(
-            "doc_id", pa.array(doc_id, type=pa.int64())
-        ).append_column("collection_docid", coll)
+        out = out.append_column("collection_docid", coll)
+    return out
+
+
+# Back-compat name used by earlier revisions/tests.
+class DocIdAssigner:
+    def __init__(self, offsets_ref):
+        self.offsets_ref = offsets_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return add_doc_ids(batch, self.offsets_ref)
 
 
 def assign_doc_ids(
@@ -114,9 +146,8 @@ def assign_doc_ids(
     offsets, num_docs = compute_conv_offsets(ds)
     offsets_ref = ray.put(offsets)
     out = ds.map_batches(
-        DocIdAssigner,
-        fn_constructor_args=(offsets_ref,),
+        add_doc_ids,
+        fn_kwargs={"offsets_ref": offsets_ref},
         batch_format="pyarrow",
-        concurrency=(1, 16),
     )
     return out, num_docs, offsets_ref

@@ -29,7 +29,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Max, Sum
 
-from ciff_ray.build import BuildParams, make_partition_writer
+from ciff_ray.build import BuildParams, make_partition_writer, pack_partial_runs
 from ciff_ray.interop.convert import CiffReader, CiffWriter
 from ciff_ray.interop.proto import CiffDocRecord, CiffHeader, CiffPostingsList
 from ciff_ray.layout import (
@@ -63,25 +63,32 @@ def ciff_to_index(
         doc_arrs.append(pl.doc_ids())
         tf_arrs.append(pl.tfs)
     counts = np.asarray([d.size for d in doc_arrs], dtype=np.int64)
-    term_arr = pa.array(np.repeat(np.arange(len(terms)), counts)).cast(pa.int32())
-    term_dict = pa.DictionaryArray.from_arrays(
-        term_arr, pa.array(terms, type=pa.string())
-    )
     crc = np.asarray([stable_hash(t.encode()) for t in terms], dtype=np.int64)
-    pid = (np.repeat(crc, counts) % params.num_partitions).astype(np.int32)
+    ends = np.cumsum(counts).astype(np.int64)
+    starts = (ends - counts).astype(np.int64)
+    docs_flat = np.concatenate(doc_arrs) if doc_arrs else np.empty(0, np.int64)
+    tfs_flat = np.concatenate(tf_arrs) if tf_arrs else np.empty(0, np.int64)
+    dl_arr = np.asarray(
+        [r.doclength for r in CiffReader(ciff_path).doc_records()], dtype=np.int64
+    )
+    dls_flat = (
+        dl_arr[docs_flat] if dl_arr.size else np.zeros(0, dtype=np.int64)
+    )
+    doc_bytes, tf_bytes, dl_bytes = pack_partial_runs(
+        docs_flat, tfs_flat, starts, ends, dls_flat
+    )
+    # one packed partial-list row per term (the writer's combiner shape)
     exploded = pa.table(
         {
-            "partition_id": pa.array(pid),
-            "term": term_dict.cast(pa.string()),
-            "salt": pa.array(np.zeros(int(counts.sum()), dtype=np.int32)),
-            "doc_id": pa.array(
-                np.concatenate(doc_arrs) if doc_arrs else np.empty(0, np.int64)
+            "partition_id": pa.array(
+                (crc % params.num_partitions).astype(np.int32)
             ),
-            "tf": pa.array(
-                (np.concatenate(tf_arrs) if tf_arrs else np.empty(0, np.int64)).astype(
-                    np.int32
-                )
-            ),
+            "term": pa.array(terms, type=pa.string()),
+            "salt": pa.array(np.zeros(len(terms), dtype=np.int32)),
+            "df": pa.array(counts, type=pa.int64()),
+            "doc_bytes": doc_bytes,
+            "tf_bytes": tf_bytes,
+            "dl_bytes": dl_bytes,
         }
     )
 
@@ -101,13 +108,11 @@ def ciff_to_index(
         }
     )
     atomic_write_parquet(docmap, f"{paths.docmap_dir}/part-00000.parquet")
-    doclengths = np.asarray(lens, dtype=np.int32)
     # honor the exporter's explicitly-stored precision
     # (/root/reference/proto/common-index-format-v1.proto:27-29)
     avgdl = header.average_doclength
-    dl_ref = ray.put(doclengths)
 
-    writer = make_partition_writer(paths, dl_ref, avgdl, params, fingerprint)
+    writer = make_partition_writer(paths, avgdl, params, fingerprint)
     lineage_ds = (
         ray.data.from_arrow(exploded)
         .groupby("partition_id")

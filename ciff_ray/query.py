@@ -103,7 +103,23 @@ class LocalScorer:
 
     def _doclengths(self) -> np.ndarray:
         dm = pq.read_table(self.paths.docmap_dir, columns=["doc_id", "doclength"])
-        order = pc.sort_indices(dm["doc_id"].combine_chunks())
+        ids = dm["doc_id"].combine_chunks()
+        order = pc.sort_indices(ids)
+        sorted_ids = ids.take(order)
+        # dense 0..N-1 docids, no duplicates — the reference's doc-record
+        # order invariant (/root/reference/src/lib.rs:545-546); a stale or
+        # double-written docmap must fail fast, not mis-score
+        if dm.num_rows != self.N or (
+            dm.num_rows
+            and (
+                sorted_ids[0].as_py() != 0
+                or sorted_ids[-1].as_py() != self.N - 1
+            )
+        ):
+            raise ValueError(
+                f"docmap is not a dense docid map: {dm.num_rows} rows for "
+                f"{self.N} docs"
+            )
         return (
             dm["doclength"].combine_chunks().take(order).to_numpy(
                 zero_copy_only=False

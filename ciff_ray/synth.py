@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ciff_ray.schemas import TRANSCRIPTS_SCHEMA
 
@@ -52,7 +53,8 @@ def generate_transcripts(
     n_turns = int(turns_per_conv.sum())
 
     conv_idx = np.repeat(np.arange(n_convs), turns_per_conv)
-    turn_idx = np.concatenate([np.arange(t) for t in turns_per_conv]).astype(np.int32)
+    conv_starts = np.cumsum(turns_per_conv) - turns_per_conv
+    turn_idx = (np.arange(n_turns) - conv_starts[conv_idx]).astype(np.int32)
 
     conv_ids = np.array([f"conv-{i:07d}" for i in range(n_convs)])[conv_idx]
     roles = np.array(_ROLES)[rng.integers(0, len(_ROLES), size=n_turns)]
@@ -65,31 +67,67 @@ def generate_transcripts(
     ranks = np.arange(len(_WORDS))
     probs = 1.0 / (ranks + 1.0)
     probs /= probs.sum()
-    lengths = rng.poisson(mean_tokens, size=n_turns)
+    lengths = rng.poisson(mean_tokens, size=n_turns).astype(np.int64)
     lengths[rng.random(n_turns) < empty_frac] = 0
     # occasional duplicate-token-heavy turns (tf >> 1)
     dup_heavy = rng.random(n_turns) < 0.05
-    flat = rng.choice(len(_WORDS), size=int(lengths.sum()), p=probs)
-    words = np.array(_WORDS, dtype=object)[flat]
-    bounds = np.cumsum(lengths)[:-1]
-    texts = [" ".join(w) for w in np.split(words, bounds)]
-    for i in np.flatnonzero(dup_heavy):
-        if lengths[i] > 0:
-            texts[i] = texts[i] + (" " + texts[i].split(" ")[0]) * 5
+    # inverse-CDF draw: rng.choice(p=...) is ~30x slower at 10^7+ draws
+    cdf = np.cumsum(probs)
+    flat = np.searchsorted(
+        cdf, rng.random(int(lengths.sum())), side="right"
+    ).astype(np.int32)
+    perm = rng.permutation(n_turns)
+
+    # Fully vectorized text construction in PERMUTED row order (the
+    # permutation applied up front instead of a table-level take, which
+    # overflows 2 GiB int32 string offsets past ~10M rows).  Dup-heavy
+    # rows append 5 copies of their first token before the join — same
+    # strings as joining then string-appending.
+    starts = np.cumsum(lengths) - lengths
+    plen = lengths[perm]
+    pstart = starts[perm]
+    extra = np.where(dup_heavy[perm] & (plen > 0), 5, 0).astype(np.int64)
+    new_len = plen + extra
+    new_start = np.cumsum(new_len) - new_len
+    total = int(new_len.sum())
+    row_of_tok = np.repeat(np.arange(n_turns), new_len)
+    pos = np.arange(total, dtype=np.int64) - new_start[row_of_tok]
+    is_extra = pos >= plen[row_of_tok]
+    tok_indices = flat[pstart[row_of_tok] + np.where(is_extra, 0, pos)]
+
+    word_dict = pa.array(_WORDS, type=pa.string())
+    text_chunks = []
+    CH = 2_000_000  # rows per chunk: keeps each string chunk << 2 GiB
+    for lo in range(0, n_turns, CH):
+        hi = min(lo + CH, n_turns)
+        s = int(new_start[lo])
+        e = int(new_start[hi - 1] + new_len[hi - 1]) if hi > lo else s
+        words_str = pc.cast(
+            pa.DictionaryArray.from_arrays(
+                pa.array(tok_indices[s:e], type=pa.int32()), word_dict
+            ),
+            pa.string(),
+        )
+        local_off = np.empty(hi - lo + 1, dtype=np.int32)
+        local_off[:-1] = new_start[lo:hi] - s
+        local_off[-1] = e - s
+        la = pa.ListArray.from_arrays(pa.array(local_off), words_str)
+        text_chunks.append(pc.binary_join(la, " "))
+    if not text_chunks:
+        text_chunks = [pa.array([], type=pa.string())]
 
     tbl = pa.table(
         {
-            "conv_id": pa.array(conv_ids, type=pa.string()),
-            "turn_idx": pa.array(turn_idx, type=pa.int32()),
-            "role": pa.array(roles, type=pa.string()),
-            "text": pa.array(texts, type=pa.string()),
-            "tool": pa.array(tools, type=pa.string()),
-            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "conv_id": pa.array(conv_ids[perm], type=pa.string()),
+            "turn_idx": pa.array(turn_idx[perm], type=pa.int32()),
+            "role": pa.array(roles[perm], type=pa.string()),
+            "text": pa.chunked_array(text_chunks),
+            "tool": pa.array(tools[perm], type=pa.string()),
+            "ts": pa.array(ts[perm], type=pa.timestamp("us")),
         },
         schema=TRANSCRIPTS_SCHEMA,
     )
-    perm = rng.permutation(n_turns)
-    return tbl.take(perm)
+    return tbl
 
 
 TURNS_PER_CONV_FROM_DOCS = 8
