@@ -170,8 +170,19 @@ def main() -> None:
         # orchestration cost, as it would at real cluster scale; at
         # sf0.1 (487k turns) the whole build is <10s on 32 cpus and the
         # measurement reflects Ray stage startup, not the engine.
-        sf_dir = "/root/testdata/sfhuge"
-        lo_cpus, hi_cpus = 8, 32
+        # Levels via RAY_GRAFT_SCALING="lo,hi" (default 2,8).  On this
+        # single VM the memory bus saturates at ~8 concurrent
+        # bandwidth-heavy streams (tools/bandwidth_probe.py: aggregate
+        # 6.4x at 8 streams but only 7.1x at 32), so 8-vs-32 measures
+        # the box's DRAM ceiling, not the engine; 2-vs-8 is the honest
+        # N-vs-4N stand-in where per-stream bandwidth is constant, as it
+        # would be across real nodes.  Both runs are recorded in
+        # BASELINE.md.
+        levels = os.environ.get("RAY_GRAFT_SCALING", "2,8")
+        lo_cpus, hi_cpus = (int(x) for x in levels.split(","))
+        sf_dir = os.environ.get(
+            "GRAFT_SCALING_SF", "/root/testdata/" + ("sfbig" if lo_cpus < 8 else "sfhuge")
+        )
         res = {}
         for c in (lo_cpus, hi_cpus):
             env = dict(
