@@ -1,0 +1,161 @@
+"""Command-line entry points: ``python -m ciff_ray <command>``.
+
+Mirrors the reference's three CLIs (`ciff2pisa` /root/reference/src/ciff2pisa.rs,
+`pisa2ciff` src/pisa2ciff.rs, `jsonl2ciff` src/jsonl2ciff.rs) and adds the
+Ray-native engine commands (build / query / import-ciff / export-ciff).
+
+The CLI owns the Ray session (guarded init); the library never calls
+ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    return ray
+
+
+def cmd_build(args) -> None:
+    _ray_session()
+    from ciff_ray.build import IndexBuilder
+
+    b = (
+        IndexBuilder()
+        .input_parquet(args.input)
+        .output_dir(args.output)
+        .partitions(args.partitions)
+        .bm25(args.k1, args.b)
+    )
+    if args.description:
+        b.description(args.description)
+    manifest = b.convert()
+    print(json.dumps({"num_docs": manifest.num_docs,
+                      "num_postings_lists": manifest.num_postings_lists,
+                      "average_doclength": manifest.average_doclength,
+                      "output": args.output}))
+
+
+def cmd_query(args) -> None:
+    from ciff_ray.query import QueryEngine
+
+    eng = QueryEngine(args.index)
+    docs, scores = eng.topk(args.query, k=args.k, mode=args.mode)
+    titles = eng._local.collection_docids(docs)
+    for rank, (d, s, t) in enumerate(zip(docs, scores, titles), 1):
+        print(f"{rank}\t{d}\t{s:.6f}\t{t}")
+
+
+def cmd_ciff2pisa(args) -> None:
+    from ciff_ray.interop import CiffToPisa
+
+    b = CiffToPisa().input_path(args.input).output_paths(args.output)
+    if args.skip_lexicons:
+        b.skip_lexicons()
+    b.convert()
+
+
+def cmd_pisa2ciff(args) -> None:
+    from ciff_ray.interop import PisaToCiff
+
+    b = PisaToCiff().index_paths(args.input).output_path(args.output)
+    if args.terms:
+        b.terms_path(args.terms)
+    if args.titles:
+        b.titles_path(args.titles)
+    if args.description:
+        b.description(args.description)
+    b.convert()
+
+
+def cmd_jsonl2ciff(args) -> None:
+    from ciff_ray.interop import jsonl_to_ciff
+
+    h = jsonl_to_ciff(args.input, args.output, quantize=args.quantize)
+    print(json.dumps({"num_docs": h.num_docs,
+                      "num_postings_lists": h.num_postings_lists}))
+
+
+def cmd_import_ciff(args) -> None:
+    _ray_session()
+    from ciff_ray.build import BuildParams
+    from ciff_ray.interop.bridge import ciff_to_index
+
+    m = ciff_to_index(args.input, args.output,
+                      BuildParams(num_partitions=args.partitions))
+    print(json.dumps({"num_docs": m.num_docs, "output": args.output}))
+
+
+def cmd_export_ciff(args) -> None:
+    from ciff_ray.interop.bridge import index_to_ciff
+
+    h = index_to_ciff(args.index, args.output, description=args.description)
+    print(json.dumps({"num_docs": h.num_docs,
+                      "num_postings_lists": h.num_postings_lists}))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="ciff_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index from transcripts parquet")
+    b.add_argument("input")
+    b.add_argument("output")
+    b.add_argument("--partitions", type=int, default=32)
+    b.add_argument("--k1", type=float, default=0.9)
+    b.add_argument("--b", type=float, default=0.4)
+    b.add_argument("--description", default="")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="top-k BM25 query against an index")
+    q.add_argument("index")
+    q.add_argument("query")
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--mode", choices=["exact", "maxscore"], default="exact")
+    q.set_defaults(fn=cmd_query)
+
+    c2p = sub.add_parser("ciff2pisa", help="CIFF file -> PISA binary collection")
+    c2p.add_argument("input")
+    c2p.add_argument("output", help="output base path")
+    c2p.add_argument("--skip-lexicons", action="store_true")
+    c2p.set_defaults(fn=cmd_ciff2pisa)
+
+    p2c = sub.add_parser("pisa2ciff", help="PISA binary collection -> CIFF file")
+    p2c.add_argument("input", help="index base path")
+    p2c.add_argument("output")
+    p2c.add_argument("--terms")
+    p2c.add_argument("--titles")
+    p2c.add_argument("--description")
+    p2c.set_defaults(fn=cmd_pisa2ciff)
+
+    j2c = sub.add_parser("jsonl2ciff", help="JSONL impact vectors -> CIFF file")
+    j2c.add_argument("input")
+    j2c.add_argument("output")
+    j2c.add_argument("--quantize", action="store_true")
+    j2c.set_defaults(fn=cmd_jsonl2ciff)
+
+    imp = sub.add_parser("import-ciff", help="CIFF file -> ciff_ray index dir")
+    imp.add_argument("input")
+    imp.add_argument("output")
+    imp.add_argument("--partitions", type=int, default=8)
+    imp.set_defaults(fn=cmd_import_ciff)
+
+    exp = sub.add_parser("export-ciff", help="ciff_ray index dir -> CIFF file")
+    exp.add_argument("index")
+    exp.add_argument("output")
+    exp.add_argument("--description")
+    exp.set_defaults(fn=cmd_export_ciff)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
