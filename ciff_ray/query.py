@@ -255,6 +255,10 @@ class LocalScorer:
             r = self._topk_maxscore(query, k)
             if r is not None:
                 return r
+        elif mode == "bmw" and self._bounds_valid:
+            r = self._topk_bmw(query, k)
+            if r is not None:
+                return r
         u, scores = self.score_all(query)
         return self._rank(u, scores, k)
 
@@ -382,6 +386,151 @@ class LocalScorer:
         else:
             return None
         return self._rank(best_docs, scores, k)
+
+    # -- block-max WAND (vectorized interval sweep) -----------------------
+
+    def _term_blocks(self, term: str):
+        """Global block metadata for a term, concatenated over salted
+        slices in salt order: (block_lo_doc, block_hi_doc, upper_bound)
+        with upper_bound = idf * stored block-max partial (the partials
+        were rounded UP one float32 ulp at build time, so these are true
+        upper bounds on the float64 query-time contribution)."""
+        los, his, ubs = [], [], []
+        w = self.idf(term)
+        for salt, pid in self._slices.get(term, ()):
+            row = self._slice_row(term, salt, pid)
+            bld = np.asarray(row["block_last_doc"].as_py(), dtype=np.int64)
+            if bld.size == 0:
+                continue
+            bmax = np.asarray(row["block_max_score"].as_py(), dtype=np.float64)
+            lo = np.empty(bld.size, dtype=np.int64)
+            lo[0] = row["first_doc"].as_py()
+            lo[1:] = bld[:-1] + 1
+            los.append(lo)
+            his.append(bld)
+            ubs.append(w * bmax)
+        if not los:
+            e = np.empty(0)
+            return e.astype(np.int64), e.astype(np.int64), e
+        return np.concatenate(los), np.concatenate(his), np.concatenate(ubs)
+
+    def _topk_bmw(self, query: str, k: int):
+        """Exact top-k with block-max WAND-style pruning, batched: a
+        sweep over the union of all query-term block boundaries yields,
+        per elementary docID interval, the sum of covering block maxima
+        (the WAND pivot bound, computed for ALL pivots at once).  A
+        bootstrap threshold from the best interval then prunes every
+        interval whose bound cannot reach the top-k; only blocks
+        touching surviving intervals are scored.  Results are
+        score-identical to ``exact`` (same fp summation order); returns
+        None to fall back when pruning cannot win."""
+        terms = [
+            t
+            for t in sorted(set(tokenize(query)), key=lambda s: s.encode())
+            if t in self._stats
+        ]
+        if len(terms) < 2:
+            return None
+        blocks = {}
+        for t in terms:
+            los, his, ubs = self._term_blocks(t)
+            if los.size:
+                blocks[t] = (los, his, ubs)
+        if not blocks:
+            return None
+
+        # interval sweep: +ub at block lo, -ub past block hi
+        pos = np.concatenate(
+            [b[0] for b in blocks.values()] + [b[1] + 1 for b in blocks.values()]
+        )
+        val = np.concatenate(
+            [b[2] for b in blocks.values()] + [-b[2] for b in blocks.values()]
+        )
+        order = np.argsort(pos, kind="stable")
+        pos_s, val_s = pos[order], val[order]
+        cum = np.cumsum(val_s)
+        uniq_pos, first_idx = np.unique(pos_s, return_index=True)
+        last_idx = np.concatenate([first_idx[1:] - 1, [pos_s.size - 1]])
+        bound = cum[last_idx]  # bound over [uniq_pos[i], uniq_pos[i+1])
+
+        # bootstrap threshold from the densest interval
+        bi = int(np.argmax(bound))
+        lo0 = int(uniq_pos[bi])
+        hi0 = int(uniq_pos[bi + 1]) - 1 if bi + 1 < uniq_pos.size else self.N
+        cand0 = self._docs_in_range(blocks, lo0, hi0)
+        if cand0.size < k:
+            return None
+        theta0 = self._exact_scores_for(terms, cand0, kth=k)
+        if not np.isfinite(theta0):
+            return None
+
+        sel = bound >= theta0
+        cumsel = np.concatenate([[0], np.cumsum(sel)])
+        # candidate selection density guard: pruning must skip enough
+        sel_span = float(
+            np.sum((uniq_pos[1:] - uniq_pos[:-1]) * sel[:-1].astype(np.int64))
+        )
+        if sel_span > 0.5 * max(1, self.N):
+            return None
+
+        doc_parts, contrib_parts = [], []
+        for t in terms:
+            if t not in blocks:
+                continue
+            los, his, _ = blocks[t]
+            js = np.searchsorted(uniq_pos, los, side="right") - 1
+            je = np.searchsorted(uniq_pos, his, side="right") - 1
+            need = (cumsel[je + 1] - cumsel[np.maximum(js, 0)]) > 0
+            if not need.any():
+                continue
+            docs, tfs = self.postings(t)
+            ji = np.searchsorted(uniq_pos, docs, side="right") - 1
+            mask = sel[np.clip(ji, 0, sel.size - 1)] & (ji >= 0)
+            if not mask.any():
+                continue
+            d = docs[mask]
+            w = self.idf(t)
+            doc_parts.append(d)
+            contrib_parts.append(self._contrib(tfs[mask], self._dl[d], w))
+        if not doc_parts:
+            return None
+        all_docs = np.concatenate(doc_parts)
+        all_contrib = np.concatenate(contrib_parts)
+        u, inv = np.unique(all_docs, return_inverse=True)
+        scores = np.bincount(inv, weights=all_contrib)
+        if u.size < k:
+            return None
+        return self._rank(u, scores, k)
+
+    def _docs_in_range(self, blocks, lo: int, hi: int) -> np.ndarray:
+        """Union of docIDs within [lo, hi] across the query terms."""
+        parts = []
+        for t in blocks:
+            docs, _ = self.postings(t)
+            a = np.searchsorted(docs, lo, side="left")
+            b = np.searchsorted(docs, hi, side="right")
+            if b > a:
+                parts.append(docs[a:b])
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    def _exact_scores_for(self, terms, cand: np.ndarray, kth: int) -> float:
+        """Exact scores of `cand` over all query terms (byte-sorted
+        order); returns the kth best score (the bootstrap threshold)."""
+        total = np.zeros(cand.size, dtype=np.float64)
+        for t in terms:
+            docs, tfs = self.postings(t)
+            pos = np.searchsorted(docs, cand)
+            hit = (pos < docs.size) & (docs[np.minimum(pos, docs.size - 1)] == cand)
+            if hit.any():
+                w = self.idf(t)
+                total[hit] += self._contrib(
+                    tfs[pos[hit]], self._dl[cand[hit]], w
+                )
+        if cand.size < kth:
+            return float("-inf")
+        return float(np.partition(total, cand.size - kth)[cand.size - kth])
 
     # -- result decoration ------------------------------------------------
 

@@ -59,6 +59,54 @@ def test_maxscore_identical_to_exact(engine_and_oracle):
             assert s1.tolist() == s2.tolist(), (q, k)
 
 
+def test_bmw_identical_to_exact(engine_and_oracle):
+    """Block-max WAND pruning must stay score-identical to exhaustive
+    scoring (it falls back to exact whenever pruning can't be proven)."""
+    engine, oracle = engine_and_oracle
+    for q in QUERIES:
+        for k in (1, 3, 10, 50):
+            d1, s1 = engine.topk(q, k=k, mode="exact")
+            d2, s2 = engine.topk(q, k=k, mode="bmw")
+            assert d1.tolist() == d2.tolist(), (q, k)
+            assert s1.tolist() == s2.tolist(), (q, k)
+
+
+def test_bmw_engages_and_prunes(tmp_path):
+    """On data with tf variance the block-max sweep must actually prune
+    (not fall back) and still match exhaustive scoring: a hot docID
+    region with tf=6 sets a threshold the tf=1 blocks cannot reach."""
+    n = 6000
+    hot = range(3000, 3050)
+    texts = [
+        "aaa aaa aaa aaa aaa aaa bbb bbb bbb bbb bbb bbb" if i in hot
+        else "aaa bbb"
+        for i in range(n)
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([f"conv-{i:07d}" for i in range(n)]),
+            "turn_idx": pa.array([0] * n, type=pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array(texts),
+            "tool": pa.array([""] * n),
+            "ts": pa.array([0] * n, type=pa.timestamp("us")),
+        }
+    )
+    out = str(tmp_path / "bmwidx")
+    build_index(
+        ray.data.from_arrow(tbl).repartition(3),
+        out,
+        BuildParams(num_partitions=4, heavy_df_frac=0.0),
+    )
+    scorer = LocalScorer(out)
+    r = scorer._topk_bmw("aaa bbb", 10)
+    assert r is not None, "block-max pruning should engage on skewed tf"
+    d_exact, s_exact = scorer.topk("aaa bbb", k=10, mode="exact")
+    assert r[0].tolist() == d_exact.tolist()
+    assert r[1].tolist() == s_exact.tolist()
+    assert set(d_exact.tolist()) <= set(hot)
+
+
 def test_tie_break_by_doc_id(engine_and_oracle):
     engine, oracle = engine_and_oracle
     # single-term queries give many equal scores (same tf, same dl) ->
