@@ -32,6 +32,22 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Min
 
+
+def _embedding_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix, zero-copy flatten
+    (no per-element Python objects)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    d = int(lengths[0])
+    if not (lengths == d).all():
+        raise ValueError("ragged embedding column")
+    flat = np.asarray(pc.list_flatten(col))
+    return flat.reshape(n, d).astype(np.float64, copy=False)
+
 NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 KEY_PREFIX_CHARS = 40
 
@@ -353,7 +369,7 @@ def q_dedup_embedding(sf_dir: str) -> pa.Table:
     path = os.path.join(sf_dir, "embeddings.parquet")
     tbl = pq.read_table(path, columns=["vec_id", "embedding"])
     ids_all = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    E = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    E = _embedding_matrix(tbl["embedding"])
     norms = np.sqrt((E * E).sum(axis=1))
     ref = ray.put((ids_all, E, norms))
 
@@ -363,7 +379,7 @@ def q_dedup_embedding(sf_dir: str) -> pa.Table:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             bid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            B = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            B = _embedding_matrix(batch["embedding"])
             bn = np.sqrt((B * B).sum(axis=1))
             sims = (B @ self.E.T) / (bn[:, None] * self.norms[None, :])
             ai, bi = np.nonzero((sims >= COSINE_TAU) & (bid[:, None] < self.ids[None, :]))

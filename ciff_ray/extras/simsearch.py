@@ -19,8 +19,25 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
+
+
+def _embedding_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix, zero-copy flatten
+    (no per-element Python objects)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    d = int(lengths[0])
+    if not (lengths == d).all():
+        raise ValueError("ragged embedding column")
+    flat = np.asarray(pc.list_flatten(col))
+    return flat.reshape(n, d).astype(np.float64, copy=False)
 
 N_QUERIES = 8  # query set = embeddings with vec_id < N_QUERIES
 TOP_K = 10
@@ -34,7 +51,7 @@ def _load_embeddings(sf_dir: str):
     path = os.path.join(sf_dir, "embeddings.parquet")
     tbl = pq.read_table(path, columns=["vec_id", "embedding"])
     ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    E = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    E = _embedding_matrix(tbl["embedding"])
     return path, ids, E
 
 
@@ -57,7 +74,7 @@ class _BatchTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        V = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        V = _embedding_matrix(batch["embedding"])
         vn = np.sqrt((V * V).sum(axis=1))
         sims = (self.Q @ V.T) / (self.qn[:, None] * vn[None, :])
         sims = np.round(sims, 9)
@@ -146,7 +163,7 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            V = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            V = _embedding_matrix(batch["embedding"])
             vn = np.sqrt((V * V).sum(axis=1))
             assign = np.argmax((V @ self.C.T) / vn[:, None], axis=1)
             sims = (self.Q @ V.T) / (self.qn[:, None] * vn[None, :])
