@@ -67,7 +67,7 @@ from ciff_ray.schemas import (
     SEGMENT_SCHEMA,
     TERM_DICT_SCHEMA,
 )
-from ciff_ray.tokenizer import flatten_tokens, tokenize_column
+from ciff_ray.tokenizer import token_ids
 
 _SALT_MIX = 0x9E3779B1
 
@@ -222,13 +222,10 @@ def invert_partial(
     heavy_set: dict[str, int] = ray.get(heavy_ref) if heavy_ref is not None else {}
     salt_range = max(1, salt_range)
     nrows = len(batch)
-    toks = tokenize_column(batch["text"])
-    flat_terms, flat_rows = flatten_tokens(toks, np.arange(nrows, dtype=np.int64))
-    if len(flat_terms) == 0:
+    term_dict, idx, flat_rows = token_ids(batch["text"])
+    if len(term_dict) == 0:
         return _PARTIAL_SCHEMA.empty_table()
-    dict_arr = pc.dictionary_encode(flat_terms)
-    uniq = dict_arr.dictionary.to_pylist()
-    idx = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = term_dict.to_pylist()
     crc = np.array([stable_hash(t.encode()) for t in uniq], dtype=np.int64)
     heavy = np.array([t in heavy_set for t in uniq], dtype=bool)
 
@@ -277,7 +274,7 @@ def invert_partial(
     return pa.table(
         {
             "partition_id": pa.array(pid),
-            "term": dict_arr.dictionary.take(pa.array(term_idx_sl)),
+            "term": term_dict.take(pa.array(term_idx_sl)),
             "salt": pa.array(salt_sl.astype(np.int32)),
             "df": pa.array(sl_ends - sl_starts, type=pa.int64()),
             "doc_bytes": doc_bytes,
@@ -742,8 +739,7 @@ def stats_partials(batch: pa.Table) -> pa.Table:
         )
     ]
     nrows = len(batch)
-    toks = tokenize_column(batch["text"])
-    flat_terms, flat_rows = flatten_tokens(toks, np.arange(nrows, dtype=np.int64))
+    term_dict, t_idx_all, flat_rows = token_ids(batch["text"])
     # doclength per turn = token count (Σ tf; empty turns stay 0)
     dl = np.bincount(flat_rows, minlength=nrows).astype(np.int32)
     parts.append(
@@ -764,21 +760,19 @@ def stats_partials(batch: pa.Table) -> pa.Table:
     )
     # per-term df partial = distinct (row, term) pair count: one sort of
     # the token stream by a composite key, runs = pairs
-    if len(flat_terms):
-        dict_arr = pc.dictionary_encode(flat_terms)
-        t_idx = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        key = t_idx * nrows + flat_rows
+    if len(term_dict):
+        key = t_idx_all * nrows + flat_rows
         ks = np.sort(key)
         run_starts = np.concatenate(
             [[0], np.flatnonzero(ks[1:] != ks[:-1]) + 1]
         ).astype(np.int64)
         df_per_term = np.bincount(
-            ks[run_starts] // nrows, minlength=len(dict_arr.dictionary)
+            ks[run_starts] // nrows, minlength=len(term_dict)
         )
         order_df = np.argsort(-df_per_term, kind="stable")[:_HEAVY_TOPK]
         counts = pa.table(
             {
-                "term": dict_arr.dictionary.take(pa.array(order_df)),
+                "term": term_dict.take(pa.array(order_df)),
                 "df_part": pa.array(df_per_term[order_df], type=pa.int64()),
             }
         )

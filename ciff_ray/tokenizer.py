@@ -75,6 +75,29 @@ def term_frequencies(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
     )
 
 
+def token_ids(text) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """(term dictionary, per-token term index, per-token row index) for a
+    text column.  (A byte-level ASCII fast path was measured here and
+    REVERTED: its 2-D gather of fixed-width token keys looked fine
+    single-stream but collapsed under full-node concurrency — RE2 split
+    + Arrow dictionary hashing stream caches far better.)"""
+    toks = tokenize_column(text)
+    n = len(toks)
+    flat_terms, flat_rows = flatten_tokens(toks, np.arange(n, dtype=np.int64))
+    if len(flat_terms) == 0:
+        return (
+            pa.array([], type=pa.string()),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+        )
+    dict_arr = pc.dictionary_encode(flat_terms)
+    return (
+        dict_arr.dictionary,
+        dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+        flat_rows.astype(np.int64),
+    )
+
+
 def doc_lengths(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
     """(id, text) -> (id, doclength) where doclength = token count of the
     turn (Σ tf — the natural-text rule, SURVEY.md §1.3; NOT the JSONL
