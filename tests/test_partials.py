@@ -1,0 +1,99 @@
+"""Property tests for the combiner wire format: pack_partial_runs /
+unpack_partial_rows round-trip (packed varint d-gap + tf + doclength
+streams sliced through Arrow binary offsets)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ciff_ray.build import pack_partial_runs, unpack_partial_rows
+
+
+@st.composite
+def runs(draw):
+    n_runs = draw(st.integers(1, 8))
+    docs_all, tfs_all, dls_all, counts = [], [], [], []
+    for _ in range(n_runs):
+        df = draw(st.integers(1, 50))
+        gaps = draw(
+            st.lists(st.integers(1, 10_000), min_size=df, max_size=df)
+        )
+        first = draw(st.integers(0, 2**40))
+        docs = first + np.cumsum(np.asarray(gaps, dtype=np.int64)) - gaps[0]
+        tfs = np.asarray(
+            draw(st.lists(st.integers(1, 300), min_size=df, max_size=df)),
+            dtype=np.int64,
+        )
+        dls = np.asarray(
+            draw(st.lists(st.integers(0, 5000), min_size=df, max_size=df)),
+            dtype=np.int64,
+        )
+        docs_all.append(docs)
+        tfs_all.append(tfs)
+        dls_all.append(dls)
+        counts.append(df)
+    return docs_all, tfs_all, dls_all, np.asarray(counts, dtype=np.int64)
+
+
+@settings(max_examples=60, deadline=None)
+@given(runs())
+def test_pack_unpack_roundtrip(data):
+    docs_all, tfs_all, dls_all, counts = data
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    docs = np.concatenate(docs_all)
+    tfs = np.concatenate(tfs_all)
+    dls = np.concatenate(dls_all)
+    db, tb, lb = pack_partial_runs(docs, tfs, starts, ends, dls)
+    group = pa.table(
+        {
+            "df": pa.array(counts, type=pa.int64()),
+            "doc_bytes": db,
+            "tf_bytes": tb,
+            "dl_bytes": lb,
+        }
+    )
+    lengths, d2, t2, l2 = unpack_partial_rows(group)
+    assert lengths.tolist() == counts.tolist()
+    assert d2.tolist() == docs.tolist()
+    assert t2.tolist() == tfs.tolist()
+    assert l2.tolist() == dls.tolist()
+
+
+def test_pack_unpack_after_take():
+    """Row reordering through Arrow take (what the writer does before
+    decode) must still decode each row's payload correctly."""
+    rng = np.random.default_rng(3)
+    counts = rng.integers(1, 40, size=20).astype(np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    docs = np.sort(rng.choice(10**9, size=int(counts.sum()), replace=False))
+    # make each run ascending within itself
+    parts = np.split(docs, ends[:-1])
+    docs = np.concatenate([np.sort(p) for p in parts])
+    tfs = rng.integers(1, 9, size=docs.size).astype(np.int64)
+    dls = rng.integers(0, 200, size=docs.size).astype(np.int64)
+    db, tb, lb = pack_partial_runs(docs, tfs, starts, ends, dls)
+    group = pa.table(
+        {
+            "df": pa.array(counts, type=pa.int64()),
+            "doc_bytes": db,
+            "tf_bytes": tb,
+            "dl_bytes": lb,
+        }
+    )
+    perm = rng.permutation(len(group))
+    shuffled = group.take(pa.array(perm)).combine_chunks()
+    lengths, d2, t2, l2 = unpack_partial_rows(shuffled)
+    # reassemble expectations row by row
+    exp_docs, exp_tfs, exp_dls = [], [], []
+    for p in perm:
+        exp_docs.extend(docs[starts[p] : ends[p]].tolist())
+        exp_tfs.extend(tfs[starts[p] : ends[p]].tolist())
+        exp_dls.extend(dls[starts[p] : ends[p]].tolist())
+    assert d2.tolist() == exp_docs
+    assert t2.tolist() == exp_tfs
+    assert l2.tolist() == exp_dls
