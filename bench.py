@@ -180,9 +180,10 @@ def main() -> None:
         # BASELINE.md.
         levels = os.environ.get("RAY_GRAFT_SCALING", "2,8")
         lo_cpus, hi_cpus = (int(x) for x in levels.split(","))
-        sf_dir = os.environ.get(
-            "GRAFT_SCALING_SF", "/root/testdata/" + ("sfbig" if lo_cpus < 8 else "sfhuge")
-        )
+        # default input: the 19.5M-turn table — large enough that the
+        # fixed driver/stage cost amortizes (the recorded 0.88 run);
+        # takes ~15 min end-to-end at 2-vs-8
+        sf_dir = os.environ.get("GRAFT_SCALING_SF", "/root/testdata/sfhuge")
         res = {}
         for c in (lo_cpus, hi_cpus):
             env = dict(
