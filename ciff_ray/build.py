@@ -52,7 +52,12 @@ import ray.data
 from ray.data.aggregate import Max, Sum
 
 from ciff_ray import codecs
-from ciff_ray.docids import add_doc_ids, conv_partials, merge_conv_partials
+from ciff_ray.docids import (
+    add_doc_ids,
+    conv_partials,
+    finalize_conv_offsets,
+    merge_conv_blocks,
+)
 from ciff_ray.layout import (
     IndexPaths,
     Manifest,
@@ -831,16 +836,47 @@ def _docmap_from_partials(batch: pa.Table, *, offsets_ref) -> pa.Table:
 
 
 @ray.remote
-def _extract_small_stats(block: pa.Table) -> tuple[pa.Table, int]:
-    """Per-block pre-filter so the driver only fetches the small
-    (conv/heavy) partial rows, plus this block's doclength sum."""
-    small = block.filter(pc.less_equal(block["kind"], 1)).select(
-        ["kind", "conv_id", "n_turns", "min_turn", "max_turn", "term", "df_part"]
-    )
+def _extract_heavy_stats(block: pa.Table) -> tuple[pa.Table, int]:
+    """Per-block pre-filter: the (tiny) heavy-term partial rows plus
+    this block's doclength sum."""
+    heavy = block.filter(pc.equal(block["kind"], 1)).select(["term", "df_part"])
     dlsum = pc.sum(
         block.filter(pc.equal(block["kind"], 3))["doclength"]
     ).as_py()
-    return small, int(dlsum or 0)
+    return heavy, int(dlsum or 0)
+
+
+_CONV_SHARDS = 16
+
+
+@ray.remote
+def _conv_shard_parts(block: pa.Table, nshard: int):
+    """Split a block's conversation partials into disjoint hash shards
+    so the (n_convs-sized) combine runs distributed instead of as one
+    driver group_by."""
+    import pandas as pd
+
+    pa.set_cpu_count(1)
+    conv = block.filter(pc.equal(block["kind"], 0)).select(
+        ["conv_id", "n_turns", "min_turn", "max_turn"]
+    )
+    if conv.num_rows == 0:
+        return tuple(conv for _ in range(nshard))
+    h = (
+        pd.util.hash_array(conv["conv_id"].to_numpy(zero_copy_only=False))
+        % nshard
+    )
+    return tuple(conv.filter(pa.array(h == s)) for s in range(nshard))
+
+
+@ray.remote
+def _merge_conv_shard(*parts: pa.Table) -> pa.Table:
+    """Combine one disjoint conversation shard (sum/min/max)."""
+    pa.set_cpu_count(1)
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return None
+    return merge_conv_blocks(pa.concat_tables(parts))
 
 
 def _merge_heavy_partials(
@@ -887,18 +923,37 @@ def build_index(
     # driver fetches only the small conv/heavy rows (per-block remote
     # pre-filter); the fat docmap partials stay in the object store. ---
     stats_ds = ds.map_batches(stats_partials, batch_format="pyarrow").materialize()
-    extracted = ray.get(
-        [_extract_small_stats.remote(b) for b in stats_ds.to_arrow_refs()]
+    stat_blocks = stats_ds.to_arrow_refs()
+    # conv-partial combine runs distributed over disjoint hash shards;
+    # the driver only concatenates the (exactly n_convs rows of) merged
+    # shards, sorts by conv_id bytes and prefix-sums
+    shard_refs = [
+        _conv_shard_parts.options(num_returns=_CONV_SHARDS).remote(
+            b, _CONV_SHARDS
+        )
+        for b in stat_blocks
+    ]
+    shard_tasks = [
+        _merge_conv_shard.remote(*[sr[s] for sr in shard_refs])
+        for s in range(_CONV_SHARDS)
+    ]
+    extracted = ray.get([_extract_heavy_stats.remote(b) for b in stat_blocks])
+    heavy_tables = [t for t, _ in extracted if t.num_rows]
+    heavy_parts = (
+        pa.concat_tables(heavy_tables)
+        if heavy_tables
+        else pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "df_part": pa.array([], type=pa.int64()),
+            }
+        )
     )
-    small = pa.concat_tables([t for t, _ in extracted if t.num_rows])
     total_terms = int(sum(s for _, s in extracted))
-    conv_parts = small.filter(pc.equal(small["kind"], 0)).select(
-        ["conv_id", "n_turns", "min_turn", "max_turn"]
-    )
-    heavy_parts = small.filter(pc.equal(small["kind"], 1)).select(
-        ["term", "df_part"]
-    )
-    offsets, num_docs = merge_conv_partials(conv_parts)
+    merged_shards = [t for t in ray.get(shard_tasks) if t is not None]
+    if not merged_shards:
+        raise ValueError("empty input: no conversations found")
+    offsets, num_docs = finalize_conv_offsets(pa.concat_tables(merged_shards))
     offsets_ref = ray.put(offsets)
     heavy = _merge_heavy_partials(heavy_parts, num_docs, params)
     heavy_ref = ray.put(heavy)

@@ -39,16 +39,27 @@ def conv_partials(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["conv_id", "n_turns", "min_turn", "max_turn"])
 
 
+def merge_conv_blocks(parts: pa.Table) -> pa.Table:
+    """Combine conversation partials (sum counts, min/max turn) — used
+    both for the driver merge and for the sharded distributed merge."""
+    merged = parts.group_by("conv_id").aggregate(
+        [("n_turns", "sum"), ("min_turn", "min"), ("max_turn", "max")]
+    )
+    return merged.rename_columns(["conv_id", "n_turns", "min_turn", "max_turn"])
+
+
 def merge_conv_partials(parts: pa.Table) -> tuple[pa.Table, int]:
     """Merge per-block partials -> (conv_offsets sorted by conv_id bytes,
     num_docs).  Validates per-conversation turn density and (conv_id,
     turn_idx) uniqueness (duplicate keys inflate n_turns past max+1 and
     fail the density check — the analogue of the reference's dense-docid
     bail, /root/reference/src/lib.rs:545-546)."""
-    merged = parts.group_by("conv_id").aggregate(
-        [("n_turns", "sum"), ("min_turn", "min"), ("max_turn", "max")]
-    )
-    merged = merged.rename_columns(["conv_id", "n_turns", "min_turn", "max_turn"])
+    return finalize_conv_offsets(merge_conv_blocks(parts))
+
+
+def finalize_conv_offsets(merged: pa.Table) -> tuple[pa.Table, int]:
+    """Already-combined per-conversation aggregates -> validated,
+    byte-sorted (conv_id, conv_offset) prefix-sum table + num_docs."""
     order = pc.sort_indices(merged["conv_id"].combine_chunks())
     merged = merged.take(order)
 
