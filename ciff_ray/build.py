@@ -665,6 +665,11 @@ def _write_term_stats(paths: IndexPaths) -> int:
     max_score) stats (A1/A2 analogue).  Returns the number of posting
     lists (vocabulary size)."""
     os.makedirs(paths.term_stats, exist_ok=True)
+    # write_parquet APPENDS uniquely-named files into an existing dir, so a
+    # resumed build would duplicate every term-stats row without this clear
+    # (same rationale as the docmap-dir clearing in build_index)
+    for f in os.listdir(paths.term_stats):
+        os.remove(os.path.join(paths.term_stats, f))
     part_files = [
         os.path.join(paths.term_dict_dir, f)
         for f in os.listdir(paths.term_dict_dir)
@@ -988,8 +993,21 @@ def build_index(
         os.replace(tmp, docmap_marker)
 
     docmap_thread = None
+    docmap_errs: list[BaseException] = []
+
+    def _finalize_docmap_guarded() -> None:
+        # the thread deletes the existing docmap before rewriting, so a
+        # swallowed failure would leave a missing/partial docmap behind a
+        # "successful" build — capture and re-raise after join()
+        try:
+            _finalize_docmap()
+        except BaseException as e:  # noqa: BLE001
+            docmap_errs.append(e)
+
     if not docmap_done:
-        docmap_thread = threading.Thread(target=_finalize_docmap, daemon=True)
+        docmap_thread = threading.Thread(
+            target=_finalize_docmap_guarded, daemon=True
+        )
         docmap_thread.start()
 
     # --- pass C: local inversion (combiner) + scatter/gather + write
@@ -1018,6 +1036,8 @@ def build_index(
 
     if docmap_thread is not None:
         docmap_thread.join()
+        if docmap_errs:
+            raise docmap_errs[0]
 
     # --- term stats (global df/cf per term) ---
     num_lists = _write_term_stats(paths)

@@ -48,14 +48,17 @@ def cmd_query(args) -> None:
 
     eng = QueryEngine(args.index)
     docs, scores = eng.topk(args.query, k=args.k, mode=args.mode)
-    titles = eng._local.collection_docids(docs)
+    titles = eng.collection_docids(docs)
     for rank, (d, s, t) in enumerate(zip(docs, scores, titles), 1):
         print(f"{rank}\t{d}\t{s:.6f}\t{t}")
 
 
 def cmd_ciff2pisa(args) -> None:
-    from ciff_ray.interop import CiffToPisa
+    from ciff_ray.interop import CiffReader, CiffToPisa
 
+    # the reference prints the CIFF header before converting
+    # (/root/reference/src/lib.rs:497)
+    print(CiffReader(args.input).header)
     b = CiffToPisa().input_path(args.input).output_paths(args.output)
     if args.skip_lexicons:
         b.skip_lexicons()
@@ -118,7 +121,7 @@ def main(argv=None) -> None:
     q.add_argument("index")
     q.add_argument("query")
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--mode", choices=["exact", "maxscore"], default="exact")
+    q.add_argument("--mode", choices=["exact", "maxscore", "bmw"], default="exact")
     q.set_defaults(fn=cmd_query)
 
     c2p = sub.add_parser("ciff2pisa", help="CIFF file -> PISA binary collection")

@@ -160,10 +160,10 @@ def gamma_decode(buf: bytes, count: int) -> np.ndarray:
     """Decode `count` gamma codes.
 
     Codes are self-delimiting so boundary discovery is inherently
-    sequential, but a run of consecutive 1-bits at a code start is a run
-    of value-1 codes — batched in one step.  The Python loop therefore
-    iterates O(#values > 1), not O(count): on the mostly-1 streams gamma
-    is selected for (tf streams, gap==1 stopword runs) it is near-free."""
+    sequential.  Boundaries are found by one pointer chase per code over
+    a precomputed vectorized jump table (O(count) steps, ~0.1us each on
+    a plain Python list); the value extraction below is fully
+    vectorized, O(max code length) numpy passes."""
     if count == 0:
         return np.empty(0, dtype=np.uint64)
     bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))

@@ -310,8 +310,10 @@ sc AS (
 ),
 filled AS (
   SELECT d.doc_id,
-         coalesce(s.score_de, 0) AS score_de, coalesce(s.score_en, 0) AS score_en,
-         coalesce(s.score_es, 0) AS score_es, coalesce(s.score_fr, 0) AS score_fr
+         CAST(coalesce(s.score_de, 0) AS BIGINT) AS score_de,
+         CAST(coalesce(s.score_en, 0) AS BIGINT) AS score_en,
+         CAST(coalesce(s.score_es, 0) AS BIGINT) AS score_es,
+         CAST(coalesce(s.score_fr, 0) AS BIGINT) AS score_fr
   FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
 )
 SELECT doc_id, {pred} AS lang_pred, score_de, score_en, score_es, score_fr

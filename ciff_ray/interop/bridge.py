@@ -21,6 +21,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -136,6 +138,11 @@ def ciff_to_index(
             Max("max_score", alias_name="max_score"),
         )
     )
+    # write_parquet appends into an existing dir; clear so a resumed
+    # import can't duplicate term-stats rows
+    os.makedirs(paths.term_stats, exist_ok=True)
+    for f in os.listdir(paths.term_stats):
+        os.remove(os.path.join(paths.term_stats, f))
     term_stats.write_parquet(paths.term_stats)
 
     manifest = Manifest(

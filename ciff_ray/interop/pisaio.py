@@ -88,6 +88,8 @@ class RandomAccessBinaryCollection:
         return self._offsets.size
 
     def get(self, i: int) -> np.ndarray:
+        if not 0 <= i < self._offsets.size:
+            raise IndexError(i)
         off = int(self._offsets[i])
         n = int(self._words[off])
         return self._words[off + 1 : off + 1 + n]
@@ -155,15 +157,22 @@ class PayloadSlice:
 
     def __init__(self, buf):
         self._buf = buf
+        if len(buf) < 8:
+            raise InvalidFormat("payload vector too short for count")
         count = int(np.frombuffer(buf[:8], dtype="<u8")[0])
-        self._offsets = np.frombuffer(buf[8 : 8 + 8 * (count + 1)], dtype="<u8")
-        self._base = 8 + 8 * (count + 1)
+        base = 8 + 8 * (count + 1)
+        if len(buf) < base:
+            raise InvalidFormat("payload vector offsets truncated")
+        self._offsets = np.frombuffer(buf[8:base], dtype="<u8")
+        self._base = base
         self._count = count
 
     def __len__(self) -> int:
         return self._count
 
     def __getitem__(self, i: int) -> bytes:
+        if not 0 <= i < self._count:
+            raise IndexError(i)
         start = self._base + int(self._offsets[i])
         end = self._base + int(self._offsets[i + 1])
         return bytes(self._buf[start:end])

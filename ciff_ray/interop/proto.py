@@ -108,6 +108,29 @@ class CiffHeader:
         6: "total_terms_in_collection",
     }
 
+    def __str__(self) -> str:
+        """Display-format parity with the reference's `impl fmt::Display
+        for Header` (/root/reference/src/proto/mod.rs:6-31), including
+        the missing colon after "Total Terms in Collection"."""
+        # Rust's `{}` on f64 prints the shortest round-trip repr and
+        # omits a trailing ".0" on integral values; Python's repr() is
+        # also shortest-round-trip, so only the ".0" differs.
+        avg = repr(float(self.average_doclength))
+        if avg.endswith(".0"):
+            avg = avg[:-2]
+        return (
+            "----- CIFF HEADER -----\n"
+            f"Version: {self.version}\n"
+            f"No. Postings Lists: {self.num_postings_lists}\n"
+            f"Total Postings Lists: {self.total_postings_lists}\n"
+            f"No. Documents: {self.num_docs}\n"
+            f"Total Documents: {self.total_docs}\n"
+            f"Total Terms in Collection {self.total_terms_in_collection}\n"
+            f"Average Document Length: {avg}\n"
+            f"Description: {self.description}\n"
+            "-----------------------"
+        )
+
     @classmethod
     def parse(cls, buf) -> "CiffHeader":
         h = cls()

@@ -243,7 +243,7 @@ tf AS (
   SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
   GROUP BY doc_id, term
 )
-SELECT term, count(*) AS df, SUM(tf) AS cf FROM tf GROUP BY term""",
+SELECT term, count(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term""",
         "docmap": f"""{T},
 tok AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term

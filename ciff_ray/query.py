@@ -585,6 +585,10 @@ class QueryEngine:
     def topk(self, query: str, k: int = 10, mode: str = "exact"):
         return self._local.topk(query, k, mode=mode)
 
+    def collection_docids(self, doc_ids: np.ndarray) -> list[str]:
+        """Map internal doc IDs back to collection docids (J4)."""
+        return self._local.collection_docids(doc_ids)
+
     def topk_table(self, queries: list[str], k: int = 10, mode: str = "exact") -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
         for qid, q in enumerate(queries):

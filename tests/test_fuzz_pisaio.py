@@ -1,0 +1,87 @@
+"""Arbitrary-bytes robustness fuzzing of the PISA binary-collection and
+payload-vector (lexicon) parsers.
+
+Analogue of the reference's quickcheck property that sequence access
+never crashes on arbitrary input
+(/root/reference/src/binary_collection.rs:427-437).  Contract: on ANY
+byte buffer the parsers either succeed or raise a *controlled* error
+(InvalidFormat for malformed buffers, IndexError for out-of-range
+access) — never an uncontrolled numpy/struct exception, hang, or
+huge allocation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ciff_ray.interop import pisaio
+from ciff_ray.interop.pisaio import InvalidFormat
+
+CONTROLLED = (InvalidFormat, IndexError)
+
+
+@given(st.binary(max_size=512))
+@settings(max_examples=300, deadline=None)
+def test_binary_collection_iter_never_crashes(buf):
+    try:
+        seqs = list(pisaio.BinaryCollection(buf))
+    except CONTROLLED:
+        return
+    # success path: every sequence is a u32 view into the buffer
+    total = sum(1 + s.size for s in seqs)
+    assert total * 4 == len(buf)
+
+
+@given(st.binary(max_size=512), st.lists(st.integers(-10, 1000), max_size=20))
+@settings(max_examples=300, deadline=None)
+def test_random_access_get_never_crashes(buf, indices):
+    try:
+        coll = pisaio.RandomAccessBinaryCollection(buf)
+    except CONTROLLED:
+        return
+    for i in indices:
+        try:
+            seq = coll.get(i)
+        except CONTROLLED:
+            continue
+        assert seq.dtype == np.dtype("<u4")
+
+
+@given(st.binary(max_size=512), st.lists(st.integers(-10, 1000), max_size=20))
+@settings(max_examples=300, deadline=None)
+def test_payload_slice_never_crashes(buf, indices):
+    try:
+        lex = pisaio.PayloadSlice(buf)
+    except CONTROLLED:
+        return
+    assert len(lex) >= 0
+    for i in indices:
+        try:
+            payload = lex[i]
+        except CONTROLLED:
+            continue
+        assert isinstance(payload, bytes)
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=200, deadline=None)
+def test_sizes_and_doc_count_never_crash(buf):
+    try:
+        pisaio.sizes(buf)
+    except CONTROLLED:
+        pass
+    try:
+        pisaio.read_document_count(pisaio.BinaryCollection(buf))
+    except CONTROLLED:
+        pass
+
+
+@given(st.lists(st.binary(max_size=32), max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_payload_vector_round_trip(items):
+    buf = pisaio.build_payload_vector(items)
+    lex = pisaio.PayloadSlice(buf)
+    assert len(lex) == len(items)
+    assert [lex[i] for i in range(len(lex))] == [bytes(x) for x in items]

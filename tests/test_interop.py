@@ -283,3 +283,36 @@ def test_jsonl_no_positive_scores_quantize(tmp_path):
     _write_jsonl(src, [{"id": "a", "vector": {"t": 0.0}}])
     with pytest.raises(ValueError, match="No valid scores"):
         jsonl_to_ciff(src, str(tmp_path / "o.ciff"), quantize=True)
+
+
+def test_header_display_parity():
+    # mirrors the reference's test_display_header
+    # (/root/reference/src/proto/mod.rs:36-64)
+    from ciff_ray.interop.proto import CiffHeader
+
+    h = CiffHeader(
+        version=1,
+        num_postings_lists=13,
+        num_docs=39,
+        total_postings_lists=399,
+        total_docs=200,
+        total_terms_in_collection=888,
+        average_doclength=12.7,
+        description="Test description",
+    )
+    assert str(h) == (
+        "----- CIFF HEADER -----\n"
+        "Version: 1\n"
+        "No. Postings Lists: 13\n"
+        "Total Postings Lists: 399\n"
+        "No. Documents: 39\n"
+        "Total Documents: 200\n"
+        "Total Terms in Collection 888\n"
+        "Average Document Length: 12.7\n"
+        "Description: Test description\n"
+        "-----------------------"
+    )
+    # Rust's {} omits the trailing .0 on integral f64
+    assert "Average Document Length: 5\n" in str(
+        CiffHeader(average_doclength=5.0)
+    )

@@ -89,7 +89,21 @@ def main() -> int:
             print(f"[FAIL] {name}: rows {len(got)} != {len(exp)}")
             failures += 1
             continue
-        # dtype-tolerant value compare (driver hashes values)
+        # dtype-strict first (the driver hashes raw values, so an int64-vs-
+        # float64 divergence that passes a tolerant compare is still a
+        # hash-mismatch for the driver — surface it here).
+        dtype_warn = [
+            c for c in got.columns
+            if got[c].dtype.kind != exp[c].dtype.kind
+        ]
+        if dtype_warn:
+            print(
+                f"[FAIL] {name}: dtype-kind mismatch in {dtype_warn}: "
+                f"ray={[str(got[c].dtype) for c in dtype_warn]} "
+                f"oracle={[str(exp[c].dtype) for c in dtype_warn]}"
+            )
+            failures += 1
+            continue
         ok = True
         for c in got.columns:
             a, b = got[c], exp[c]
