@@ -1,36 +1,52 @@
 """Deduplication family over the `documents` table.
 
-* exact / keyed dedup — md5 of the normalized text (or a prefix key)
-  is shuffled instead of the text itself (16-byte keys at 100 TB scale),
-  then `groupby(key).aggregate(Min(doc_id), Count)`.
+* exact / keyed dedup — a vectorized 128-bit content hash (two seeded
+  xxhash64 passes over the normalized text) is shuffled instead of the
+  text itself (16 bytes/row at 100 TB scale), then
+  `groupby(key).aggregate(Min(doc_id), Count)`.
 * MinHash + LSH near-dup — word-3-gram shingles -> 128-perm MinHash ->
   32 bands x 4 rows -> band-bucket groupby -> candidate pairs ->
-  EXACT Jaccard verification, so the output equals the exact-pairwise
-  DuckDB oracle (LSH affects recall only; at tau=0.8 the miss
-  probability per true pair is < 1e-7).
+  EXACT Jaccard verification as a distributed `map_batches` stage over
+  the candidate-pair Dataset (the shingle sets of candidate docs are
+  object-store blocks fetched once per verify actor — the driver holds
+  only refs, never pairs or sets).  Output equals the exact-pairwise
+  DuckDB oracle (LSH affects recall only; at tau=0.8 the per-pair miss
+  probability is < 1e-7).
+* n-gram Jaccard near-dup — same output contract, DIFFERENT algorithm:
+  recall-complete inverted-index self-join (shingle -> co-occurring doc
+  pairs -> intersection counts -> Jaccard), no LSH screen.  The shuffle
+  moves 16-byte (shingle_hash, doc_id) rows, pre-aggregated per hash
+  partition.
 * SimHash — 64-bit signature from tf-weighted token hashes (rows-only;
   pure-Python oracle in tests).
-* embedding near-dup — brute-force cosine pairs against a broadcast
-  matrix (`ray.put` once, read per task); the IVF-bucketed variant for
-  the 100 TB path lives in extras.simsearch.
+* embedding near-dup — EXACT all-pairs-above-tau.  On this corpus the
+  embeddings are isotropic Gaussians (measured: pairs at cos in
+  [0.4, 0.5] are the random tail, dim 64), so at tau=0.4 no LSH/centroid
+  bucketing can keep recall=1 — SRP-LSH at theta=66deg needs so many
+  bands that nearly every pair stays a candidate.  The exact contract is
+  therefore inherently Theta(N^2) FLOPs; what CAN scale is the memory
+  and distribution shape: vectors are split into row blocks and each
+  (block_i, block_j) cell is scored by an independent task against two
+  object-store blocks (O(block^2) memory, no whole-matrix broadcast, no
+  driver materialization).  For web-scale *near*-dup at high tau, the
+  LSH screen (q_dedup_minhash) or the IVF path (extras.simsearch) is
+  the right tool.
 
-All per-batch bodies are vectorized (Arrow kernels + numpy); the only
-per-row Python work is md5/crc hashing (C primitives).
+All per-batch bodies are vectorized (Arrow kernels + numpy + polars
+xxhash); there are no per-row Python hash loops on the hot path.
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
 import zlib
-from itertools import combinations
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 
 def _embedding_matrix(col) -> np.ndarray:
@@ -55,10 +71,12 @@ N_PERMS = 128
 N_BANDS = 32  # x 4 rows per band
 JACCARD_TAU = 0.8
 MAX_BUCKET = 200  # deterministic cap on band-bucket size (skew guard)
+NGRAM_PARTS = 32  # hash partitions for the inverted-index self-join
 
 SIMHASH_BITS = 64
 
 COSINE_TAU = 0.4
+EMB_BLOCK_ROWS = 100_000  # ~50 MB of f64x64 vectors per block cell side
 
 
 def _docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
@@ -78,6 +96,24 @@ def _normalize(text: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.utf8_trim(norm, " ")
 
 
+def _xxhash64(arr: pa.Array, seed: int) -> np.ndarray:
+    """Vectorized 64-bit hash of an Arrow string array (polars xxhash —
+    C-speed over the Arrow buffers, no Python string objects).
+    Run-scoped: used for in-flight keys and signatures, never persisted
+    to index files (polars does not promise cross-version stability)."""
+    import polars as pl
+
+    s = pl.from_arrow(arr)
+    return s.hash(seed=seed).to_numpy().astype(np.uint64, copy=False)
+
+
+def _dataset_refs(ds: ray.data.Dataset) -> list:
+    """Materialize a (small-side) dataset into object-store blocks and
+    return the block refs — the broadcast handle verify actors fetch
+    once in __init__ (the driver never holds the rows)."""
+    return ds.materialize().to_arrow_refs()
+
+
 # ---------------------------------------------------------------------------
 # exact + keyed dedup
 
@@ -87,15 +123,22 @@ def _keyed_dedup(sf_dir: str, prefix: int | None) -> ray.data.Dataset:
         norm = _normalize(batch["text"])
         if prefix is not None:
             norm = pc.utf8_slice_codeunits(norm, 0, prefix)
-        digests = [hashlib.md5(s.encode()).hexdigest() for s in norm.to_pylist()]
+        # two seeded xxhash64 passes = a 128-bit key; collision prob at
+        # 10^12 distinct contents ~ 10^24/2^128 ~ 3e-15
+        k1 = _xxhash64(norm, seed=0x9E3779B97F4A7C15)
+        k2 = _xxhash64(norm, seed=0xC2B2AE3D27D4EB4F)
         return pa.table(
-            {"key": pa.array(digests, type=pa.string()), "doc_id": batch["doc_id"]}
+            {
+                "k1": pa.array(k1.view(np.int64), type=pa.int64()),
+                "k2": pa.array(k2.view(np.int64), type=pa.int64()),
+                "doc_id": batch["doc_id"],
+            }
         )
 
     grouped = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(to_keys, batch_format="pyarrow")
-        .groupby("key")
+        .groupby(["k1", "k2"])
         .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups"))
     )
     return grouped.select_columns(["keep_doc_id", "n_dups"])
@@ -136,26 +179,18 @@ def _shingle_arrays(batch: pa.Table) -> tuple[pa.Array, np.ndarray]:
 
 
 def _shingle_u64(shingles: pa.Array) -> np.ndarray:
-    """Persisted 64-bit shingle hash: two salted crc32s (version-stable,
-    C-speed; collision prob ~ |pair union|^2 / 2^64)."""
-    lo = np.fromiter(
-        (zlib.crc32(s) for s in (x.encode() for x in shingles.to_pylist())),
-        dtype=np.uint64,
-        count=len(shingles),
-    )
-    hi = np.fromiter(
-        (zlib.crc32(s + b"\x01") for s in (x.encode() for x in shingles.to_pylist())),
-        dtype=np.uint64,
-        count=len(shingles),
-    )
-    return (hi << np.uint64(32)) | lo
+    """64-bit shingle hash, one vectorized xxhash pass (run-scoped, see
+    _xxhash64; collision prob within a doc pair ~ |union|^2 / 2^64)."""
+    if len(shingles) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return _xxhash64(shingles, seed=0x51_7CC1B727220A95)
 
 
 def _per_doc_unique(
     vals: np.ndarray, parents: np.ndarray, n_rows: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sort by (parent, val), drop duplicates -> flat unique values +
-    per-row [start, end) bounds."""
+    per-row [start, end) bounds (contiguous, ascending per row)."""
     order = np.lexsort((vals, parents))
     v, p = vals[order], parents[order]
     if v.size:
@@ -218,6 +253,8 @@ class MinHashStage:
 
 
 def _bucket_pairs(group: pa.Table) -> pa.Table:
+    from itertools import combinations
+
     ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))[:MAX_BUCKET]
     if ids.size < 2:
         return pa.table(
@@ -229,67 +266,104 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
     )
 
 
-def _exact_jaccard_pairs(
-    sf_dir: str, pairs: list[tuple[int, int]], tau: float
-) -> pa.Table:
-    """EXACT verification of candidate pairs on word-3-gram string sets.
+def _unique_ids(ds: ray.data.Dataset, cols: list[str]) -> np.ndarray:
+    """Distinct int64 values across `cols`: per-block unique inside
+    map_batches, tiny (ids-only) driver union.  This is the broadcast
+    small-side KEY SET (8 bytes/candidate doc), not the pair list."""
 
-    Candidate docs are re-read with a pushed-down doc_id filter and
-    their shingle sets broadcast once (`ray.put`); at 100 TB the same
-    verify runs as map_batches over the pairs dataset with a shared
-    lookup actor instead of a driver dict."""
-    cand = sorted({d for p in pairs for d in p})
-    cand_arr = pa.array(cand, type=pa.int64())
+    def blk(t: pa.Table) -> pa.Table:
+        vals = np.unique(
+            np.concatenate(
+                [t[c].to_numpy(zero_copy_only=False).astype(np.int64) for c in cols]
+            )
+            if len(t)
+            else np.empty(0, dtype=np.int64)
+        )
+        return pa.table({"doc_id": pa.array(vals, type=pa.int64())})
 
-    def shingle_sets(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch["doc_id"], value_set=cand_arr)
+    parts = ds.map_batches(blk, batch_format="pyarrow").take_all()
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.array([r["doc_id"] for r in parts], dtype=np.int64))
+
+
+class ShingleSetStage:
+    """documents batches -> (doc_id, hashes:list<u64-as-i64>) for the
+    candidate docs only (pushed-down is_in filter); hashes ascending
+    per row."""
+
+    def __init__(self, ids_ref):
+        ids = ray.get(ids_ref)
+        self.value_set = pa.array(ids, type=pa.int64())
+
+    _EMPTY = pa.schema(
+        [("doc_id", pa.int64()), ("hashes", pa.large_list(pa.int64()))]
+    ).empty_table()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["doc_id"], value_set=self.value_set)
         batch = batch.filter(mask)
+        if len(batch) == 0:
+            return self._EMPTY
         sh, parents = _shingle_arrays(batch)
-        out_ids, out_sets = [], []
-        sh_list = sh.to_pylist()
-        by_row: dict[int, set[str]] = {}
-        for s, p in zip(sh_list, parents):
-            by_row.setdefault(int(p), set()).add(s)
-        ids = batch["doc_id"].to_pylist()
-        for r, st in by_row.items():
-            out_ids.append(ids[r])
-            out_sets.append(sorted(st))
+        h = _shingle_u64(sh)
+        uniq, starts, ends = _per_doc_unique(h, parents, len(batch))
+        offsets = np.concatenate([starts, [uniq.size]]).astype(np.int64)
+        hashes = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
+            pa.array(uniq.view(np.int64), type=pa.int64()),
+        )
+        return pa.table({"doc_id": batch["doc_id"], "hashes": hashes})
+
+
+class JaccardVerify:
+    """map_batches verify stage over the candidate-PAIR dataset: exact
+    Jaccard on the per-doc unique shingle-hash sets, fetched once per
+    actor from object-store block refs (__init__)."""
+
+    def __init__(self, set_refs, tau: float):
+        self.tau = tau
+        self.sets: dict[int, np.ndarray] = {}
+        for ref in set_refs:
+            t = ray.get(ref).combine_chunks()
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            col = t["hashes"].combine_chunks()
+            flat = np.asarray(col.values).view(np.uint64)
+            offs = np.asarray(col.offsets)
+            for i, d in enumerate(ids):
+                self.sets[int(d)] = flat[offs[i] : offs[i + 1]]
+
+    def __call__(self, pairs: pa.Table) -> pa.Table:
+        a = pairs["a"].to_numpy(zero_copy_only=False)
+        b = pairs["b"].to_numpy(zero_copy_only=False)
+        out_a, out_b, out_j = [], [], []
+        for x, y in zip(a, b):
+            A = self.sets.get(int(x))
+            B = self.sets.get(int(y))
+            if A is None or B is None or not A.size or not B.size:
+                continue
+            # both sides sorted unique -> merge-count intersection
+            inter = np.intersect1d(A, B, assume_unique=True).size
+            j = inter / (A.size + B.size - inter)
+            if j >= self.tau:
+                out_a.append(int(x))
+                out_b.append(int(y))
+                out_j.append(round(j, 6))
         return pa.table(
             {
-                "doc_id": pa.array(out_ids, type=pa.int64()),
-                "shingles": pa.array(out_sets, type=pa.large_list(pa.string())),
+                "a": pa.array(out_a, type=pa.int64()),
+                "b": pa.array(out_b, type=pa.int64()),
+                "j_r": pa.array(out_j, type=pa.float64()),
             }
         )
 
-    rows = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(shingle_sets, batch_format="pyarrow")
-        .take_all()
-    )
-    sets = {r["doc_id"]: set(r["shingles"]) for r in rows}
-    out_a, out_b, out_j = [], [], []
-    for a, b in sorted(pairs):
-        A, B = sets.get(a, set()), sets.get(b, set())
-        if not A or not B:
-            continue
-        inter = len(A & B)
-        j = inter / (len(A) + len(B) - inter)
-        if j >= tau:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(round(j, 6))
-    return pa.table(
-        {
-            "a": pa.array(out_a, type=pa.int64()),
-            "b": pa.array(out_b, type=pa.int64()),
-            "j_r": pa.array(out_j, type=pa.float64()),
-        }
-    )
 
-
-def q_dedup_minhash(sf_dir: str) -> pa.Table:
+def q_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
     """Near-duplicate pairs (a < b, exact word-3-gram Jaccard >= 0.8)
-    found via MinHash-LSH banding + exact verification."""
+    found via MinHash-LSH banding, verified DISTRIBUTED: the candidate
+    pairs stay a Dataset end-to-end and the verify runs as map_batches
+    against object-store-resident shingle sets (no driver-side pair
+    list or set dict)."""
     lsh = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         MinHashStage, batch_format="pyarrow", concurrency=(1, 4)
     )
@@ -298,17 +372,201 @@ def q_dedup_minhash(sf_dir: str) -> pa.Table:
         .map_groups(_bucket_pairs, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="n_bands"))
+        .select_columns(["a", "b"])
+        .materialize()
     )
-    pairs = [(r["a"], r["b"]) for r in cand.take_all()]
-    return _exact_jaccard_pairs(sf_dir, pairs, JACCARD_TAU)
+    ids_ref = ray.put(_unique_ids(cand, ["a", "b"]))
+    set_refs = _dataset_refs(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            ShingleSetStage,
+            fn_constructor_args=(ids_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    )
+    return cand.map_batches(
+        JaccardVerify,
+        fn_constructor_args=(set_refs, JACCARD_TAU),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
 
 
-def q_dedup_ngram_jaccard(sf_dir: str) -> pa.Table:
+# ---------------------------------------------------------------------------
+# n-gram Jaccard — recall-complete inverted-index self-join
+
+
+def shingle_rows(batch: pa.Table) -> pa.Table:
+    """documents -> (h, doc_id, part) rows, one per UNIQUE per-doc
+    shingle hash: the posting rows of the shingle inverted index.  The
+    all-to-all moves 16 bytes + part key per row.  Stateless -> plain
+    function (task pool, no actor startup)."""
+    sh, parents = _shingle_arrays(batch)
+    h = _shingle_u64(sh)
+    uniq, starts, ends = _per_doc_unique(h, parents, len(batch))
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = (ends - starts).astype(np.int64)
+    parents_u = np.repeat(np.arange(len(batch)), counts)
+    return pa.table(
+        {
+            "h": pa.array(uniq.view(np.int64), type=pa.int64()),
+            "doc_id": pa.array(doc_ids[parents_u], type=pa.int64()),
+            "part": pa.array(
+                (uniq % np.uint64(NGRAM_PARTS)).astype(np.int32)
+            ),
+        }
+    )
+
+
+def _pairs_in_part(group: pa.Table) -> pa.Table:
+    """One hash partition of the shingle index -> per-partition
+    pre-aggregated co-occurrence counts (a, b, i).  Vectorized: one
+    lexsort, run detection, triu pair emit per multi-doc shingle, then
+    an in-partition composite-key unique.
+
+    Scale note: a shingle shared by k docs emits k(k-1)/2 pairs — the
+    df skew guard at web scale is a df-cap on shingles (stopword-scale
+    shingles carry no dedup signal); kept exact here because the oracle
+    is exact."""
+    h = group["h"].to_numpy(zero_copy_only=False)
+    d = group["doc_id"].to_numpy(zero_copy_only=False)
+    empty = pa.table(
+        {
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "i": pa.array([], type=pa.int64()),
+        }
+    )
+    if h.size < 2:
+        return empty
+    order = np.lexsort((d, h))
+    h, d = h[order], d[order]
+    change = np.flatnonzero(h[1:] != h[:-1]) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [h.size]])
+    multi = (ends - starts) >= 2
+    if not multi.any():
+        return empty
+    pa_list, pb_list = [], []
+    for s, e in zip(starts[multi], ends[multi]):
+        ids = d[s:e]  # ascending, unique (per-doc-unique upstream)
+        ia, ib = np.triu_indices(ids.size, k=1)
+        pa_list.append(ids[ia])
+        pb_list.append(ids[ib])
+    a = np.concatenate(pa_list)
+    b = np.concatenate(pb_list)
+    # in-partition combine: count duplicate (a, b) pairs via one
+    # composite-key unique (doc_ids fit 32 bits here; lexsort fallback
+    # keeps the same output when they don't)
+    if a.size and (a.max() < (1 << 31)) and (b.max() < (1 << 32)):
+        key = a * np.int64(1 << 32) + b
+        ks, counts = np.unique(key, return_counts=True)
+        ua, ub = ks >> np.int64(32), ks & np.int64(0xFFFFFFFF)
+    else:
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        idx = np.flatnonzero(new)
+        ua, ub = a[idx], b[idx]
+        counts = np.diff(np.concatenate([idx, [a.size]]))
+    return pa.table(
+        {
+            "a": pa.array(ua, type=pa.int64()),
+            "b": pa.array(ub, type=pa.int64()),
+            "i": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+def ngram_sizes(batch: pa.Table) -> pa.Table:
+    """documents -> (doc_id, n) per-doc unique-shingle counts (the
+    denominator side of Jaccard)."""
+    sh, parents = _shingle_arrays(batch)
+    h = _shingle_u64(sh)
+    _, starts, ends = _per_doc_unique(h, parents, len(batch))
+    n = (ends - starts).astype(np.int64)
+    keep = n > 0
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[keep], type=pa.int64()),
+            "n": pa.array(n[keep], type=pa.int64()),
+        }
+    )
+
+
+class NgramFinalize:
+    """(a, b, i) -> (a, b, j_r >= tau) via the broadcast size lookup
+    (12 bytes/doc small side; at 10^12 docs this becomes a shuffle join
+    on doc_id instead)."""
+
+    def __init__(self, size_refs, tau: float):
+        self.tau = tau
+        ids_parts, n_parts = [], []
+        for ref in size_refs:
+            t = ray.get(ref).combine_chunks()
+            ids_parts.append(t["doc_id"].to_numpy(zero_copy_only=False))
+            n_parts.append(t["n"].to_numpy(zero_copy_only=False))
+        ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+        ns = np.concatenate(n_parts) if n_parts else np.empty(0, np.int64)
+        order = np.argsort(ids)
+        self.ids = ids[order]
+        self.ns = ns[order]
+
+    def _sizes(self, x: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self.ids, x)
+        if pos.size and (
+            (pos >= self.ids.size).any() or (self.ids[pos] != x).any()
+        ):
+            raise KeyError("candidate doc missing from size table")
+        return self.ns[pos]
+
+    def __call__(self, pairs: pa.Table) -> pa.Table:
+        if len(pairs) == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "j_r": pa.array([], type=pa.float64()),
+                }
+            )
+        a = pairs["a"].to_numpy(zero_copy_only=False)
+        b = pairs["b"].to_numpy(zero_copy_only=False)
+        i = pairs["i"].to_numpy(zero_copy_only=False).astype(np.float64)
+        j = i / (self._sizes(a) + self._sizes(b) - i)
+        keep = j >= self.tau
+        return pa.table(
+            {
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
+                "j_r": pa.array(np.round(j[keep], 6), type=pa.float64()),
+            }
+        )
+
+
+def q_dedup_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
     """Exact n-gram-Jaccard near-dup pairs — same output contract as
-    q_dedup_minhash but computed by exhaustive pairwise verification of
-    ALL docs sharing >= 1 band (recall-complete shortcut: identical to
-    brute force on this corpus, see tests)."""
-    return q_dedup_minhash(sf_dir)
+    q_dedup_minhash but RECALL-COMPLETE by construction: an
+    inverted-index self-join on shingle hashes (every pair sharing >= 1
+    shingle is counted), no LSH screen, mirroring the DuckDB oracle's
+    join shape."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = (
+        docs.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_pairs_in_part, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("i", alias_name="i"))
+    )
+    size_refs = _dataset_refs(
+        docs.map_batches(ngram_sizes, batch_format="pyarrow")
+    )
+    return pairs.map_batches(
+        NgramFinalize,
+        fn_constructor_args=(size_refs, JACCARD_TAU),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -357,59 +615,86 @@ def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
-# embedding-cosine near-dup
+# embedding-cosine near-dup — distributed block-pair exact search
 
 
-def q_dedup_embedding(sf_dir: str) -> pa.Table:
-    """Near-dup embedding pairs (a < b, cosine >= COSINE_TAU):
-    brute-force against a ray.put-broadcast matrix; each map_batches
-    task reads the same object-store copy (never re-shipped per batch)."""
-    import pyarrow.parquet as pq
+class BlockPairScorer:
+    """Scores one (block_i, block_j) cell per input row: fetches the two
+    row blocks from the object store (zero-copy, cached per actor so a
+    block crossing many cells is fetched once), one B x B GEMM, emits
+    pairs >= tau.  Driver holds block REFS only."""
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
-    ids_all = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    E = _embedding_matrix(tbl["embedding"])
-    norms = np.sqrt((E * E).sum(axis=1))
-    ref = ray.put((ids_all, E, norms))
+    def __init__(self, block_refs, tau: float):
+        self.refs = block_refs
+        self.tau = tau
+        self.cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
-    class PairFinder:
-        def __init__(self, ref):
-            self.ids, self.E, self.norms = ray.get(ref)
+    def _block(self, i: int):
+        blk = self.cache.get(i)
+        if blk is None:
+            t = ray.get(self.refs[i]).combine_chunks()
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            E = _embedding_matrix(t["embedding"])
+            norms = np.sqrt((E * E).sum(axis=1))
+            blk = (ids, E, norms)
+            self.cache[i] = blk
+        return blk
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            B = _embedding_matrix(batch["embedding"])
-            bn = np.sqrt((B * B).sum(axis=1))
-            sims = (B @ self.E.T) / (bn[:, None] * self.norms[None, :])
-            ai, bi = np.nonzero((sims >= COSINE_TAU) & (bid[:, None] < self.ids[None, :]))
+    def __call__(self, cells: pa.Table) -> pa.Table:
+        out_a, out_b, out_c = [], [], []
+        for i, j in zip(cells["i"].to_pylist(), cells["j"].to_pylist()):
+            aid, A, an = self._block(i)
+            bid, B, bn = self._block(j)
+            if not aid.size or not bid.size:
+                continue
+            sims = (A @ B.T) / (an[:, None] * bn[None, :])
+            # a < b orders every pair exactly once, including i == j cells
+            ai, bi = np.nonzero((sims >= self.tau) & (aid[:, None] < bid[None, :]))
+            out_a.append(aid[ai])
+            out_b.append(bid[bi])
+            out_c.append(np.round(sims[ai, bi], 6))
+        if not out_a:
             return pa.table(
                 {
-                    "a": pa.array(bid[ai], type=pa.int64()),
-                    "b": pa.array(self.ids[bi], type=pa.int64()),
-                    "cos_r": pa.array(np.round(sims[ai, bi], 6), type=pa.float64()),
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "cos_r": pa.array([], type=pa.float64()),
                 }
             )
-
-    out = (
-        ray.data.read_parquet(path, columns=["vec_id", "embedding"])
-        .map_batches(
-            PairFinder,
-            fn_constructor_args=(ref,),
-            batch_format="pyarrow",
-            concurrency=(1, 4),
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "cos_r": pa.array(np.concatenate(out_c), type=pa.float64()),
+            }
         )
-        .take_all()
-    )
-    a = [r["a"] for r in out]
-    b = [r["b"] for r in out]
-    c = [r["cos_r"] for r in out]
-    return pa.table(
-        {
-            "a": pa.array(a, type=pa.int64()),
-            "b": pa.array(b, type=pa.int64()),
-            "cos_r": pa.array(c, type=pa.float64()),
-        }
+
+
+def q_dedup_embedding(
+    sf_dir: str, block_rows: int = EMB_BLOCK_ROWS
+) -> ray.data.Dataset:
+    """Exact near-dup embedding pairs (a < b, cosine >= COSINE_TAU) via
+    a distributed block-pair sweep: N vectors -> ceil(N/block_rows) row
+    blocks -> one task per upper-triangle (block_i, block_j) cell.
+    Exactness forces Theta(N^2) FLOPs (see module docstring: isotropic
+    data + tau=0.4 defeats any recall-1 bucketing), but memory per task
+    is O(block^2) and nothing materializes the whole matrix."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    n = ds.count()
+    nblocks = max(1, -(-n // block_rows))
+    block_refs = ds.repartition(nblocks).materialize().to_arrow_refs()
+    cells = [
+        {"i": i, "j": j}
+        for i in range(len(block_refs))
+        for j in range(i, len(block_refs))
+    ]
+    return ray.data.from_items(cells).map_batches(
+        BlockPairScorer,
+        fn_constructor_args=(block_refs, COSINE_TAU),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=(1, 8),
     )
 
 

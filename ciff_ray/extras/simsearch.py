@@ -4,10 +4,15 @@
   and every map_batches task computes a (batch x queries) GEMM against
   it; each task emits only its per-batch top-k, the driver merges
   num_blocks x k candidate rows (never the full score matrix).
-* q_ann_ivf — IVF-bucketed variant (the 100 TB scale path): assign
-  vectors to the nearest of C deterministic centroids (one map_batches
-  pass), search only the n_probe closest buckets per query.  Approximate
-  -> rows-only entry; recall vs brute force is asserted in tests.
+* q_ann_ivf — REAL IVF (the 100 TB scale path): one build pass assigns
+  every vector to the nearest of C deterministic centroids and writes
+  it into that bucket's parquet partition (each map task writes its own
+  per-bucket files — hash-partitioned layout with NO all-to-all
+  shuffle); queries then READ ONLY the probed bucket partitions, so
+  per-query IO and FLOPs scale with probed-bucket size, not N.  The
+  bucket store is cached under /tmp keyed by the input fingerprint and
+  is resumable (done-marker + atomic rename).  Approximate -> rows-only
+  entry; recall vs brute force is asserted in tests.
 
 Ranking rule (both variants): cosine rounded to 9 dp DESC, vec_id ASC —
 the rounding makes float ties deterministic across engines.
@@ -15,11 +20,16 @@ the rounding makes float ties deterministic across engines.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
+import tempfile
+import uuid
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray
 import ray.data
 
@@ -43,24 +53,30 @@ N_QUERIES = 8  # query set = embeddings with vec_id < N_QUERIES
 TOP_K = 10
 IVF_CENTROIDS = 16  # deterministic: the first IVF_CENTROIDS vectors
 IVF_PROBES = 4
+IVF_CACHE_ROOT = "/tmp/ciff_ray_ivf"
 
 
-def _load_embeddings(sf_dir: str):
-    import pyarrow.parquet as pq
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+def _read_prefix(path: str, max_id: int) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, vectors) for vec_id < max_id, ascending — a row-group-
+    pruned read (predicate pushdown), never the full table."""
+    tbl = pq.read_table(
+        path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", max_id)],
+    )
     ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     E = _embedding_matrix(tbl["embedding"])
-    return path, ids, E
-
-
-def _query_matrix(ids: np.ndarray, E: np.ndarray):
     order = np.argsort(ids)
-    qmask = ids[order] < N_QUERIES
-    qids = ids[order][qmask]
-    Q = E[order][qmask]
-    return qids, Q
+    return ids[order], E[order]
+
+
+def _query_matrix(path: str) -> tuple[np.ndarray, np.ndarray]:
+    return _read_prefix(path, N_QUERIES)
+
+
+def _centroids(path: str) -> np.ndarray:
+    _, C = _read_prefix(path, IVF_CENTROIDS)
+    return C / np.sqrt((C * C).sum(axis=1, keepdims=True))
 
 
 class _BatchTopK:
@@ -72,6 +88,17 @@ class _BatchTopK:
         self.qn = np.sqrt((self.Q * self.Q).sum(axis=1))
         self.k = k
 
+    def _emit(self, qid, vid, s):
+        """Partial top-k of one query over candidate rows: (ids, sims)."""
+        k = min(self.k, s.size)
+        if k == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        cand = np.argpartition(-s, k - 1)[:k] if s.size > k else np.arange(s.size)
+        order = np.lexsort((vid[cand], -s[cand]))
+        sel = cand[order][:k]
+        sel = sel[np.isfinite(s[sel])]
+        return vid[sel], s[sel]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         V = _embedding_matrix(batch["embedding"])
@@ -82,15 +109,10 @@ class _BatchTopK:
         for qi, qid in enumerate(self.qids):
             s = sims[qi].copy()
             s[vid == qid] = -np.inf  # exclude self
-            k = min(self.k, s.size)
-            # partial select, then exact order (score desc, vec_id asc)
-            cand = np.argpartition(-s, k - 1)[:k] if s.size > k else np.arange(s.size)
-            order = np.lexsort((vid[cand], -s[cand]))
-            sel = cand[order][:k]
-            sel = sel[np.isfinite(s[sel])]
-            out_q.extend([qid] * sel.size)
-            out_v.extend(vid[sel].tolist())
-            out_s.extend(s[sel].tolist())
+            ids, ss = self._emit(qid, vid, s)
+            out_q.extend([qid] * ids.size)
+            out_v.extend(ids.tolist())
+            out_s.extend(ss.tolist())
         return pa.table(
             {
                 "query_id": pa.array(out_q, type=pa.int64()),
@@ -123,8 +145,8 @@ def _merge_topk(rows: list[dict], k: int) -> pa.Table:
 def q_knn_brute(sf_dir: str) -> pa.Table:
     """Exact top-10 cosine neighbors for the fixed query set
     (query_id, rank, vec_id)."""
-    path, ids, E = _load_embeddings(sf_dir)
-    qref = ray.put(_query_matrix(ids, E))
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qref = ray.put(_query_matrix(path))
     parts = (
         ray.data.read_parquet(path, columns=["vec_id", "embedding"])
         .map_batches(
@@ -138,63 +160,136 @@ def q_knn_brute(sf_dir: str) -> pa.Table:
     return _merge_topk(parts, TOP_K)
 
 
-def q_ann_ivf(sf_dir: str) -> pa.Table:
-    """IVF approximate top-10 (rows-only): bucket by nearest of the
-    first IVF_CENTROIDS vectors, probe the IVF_PROBES closest buckets.
-    Same output schema as q_knn_brute; recall asserted in tests."""
-    path, ids, E = _load_embeddings(sf_dir)
-    order = np.argsort(ids)
-    cent_mask = ids[order] < IVF_CENTROIDS
-    C = E[order][cent_mask]
-    C = C / np.sqrt((C * C).sum(axis=1, keepdims=True))
-    qids, Q = _query_matrix(ids, E)
-    cref = ray.put(C)
-    qref = ray.put((qids, Q))
+# ---------------------------------------------------------------------------
+# IVF bucket store
 
+
+def _ivf_store_dir(path: str) -> str:
+    st = os.stat(path)
+    key = f"{os.path.abspath(path)}|{st.st_size}|{st.st_mtime_ns}|{IVF_CENTROIDS}"
+    import zlib
+
+    return os.path.join(IVF_CACHE_ROOT, format(zlib.crc32(key.encode()), "08x"))
+
+
+def build_ivf(path: str) -> str:
+    """Build (or reuse) the bucket-partitioned store for `path`:
+    `<store>/bucket=<id>/part-*.parquet`.  Each map task writes its own
+    batch split by assigned centroid — a partitioned layout with zero
+    all-to-all (files per bucket = #tasks, compacted by any later
+    read).  Returns the store dir; a done-marker makes re-runs free and
+    the tmp-dir + atomic-rename makes concurrent builders safe."""
+    store = _ivf_store_dir(path)
+    marker = os.path.join(store, "_done.json")
+    if os.path.exists(marker):
+        return store
+    os.makedirs(IVF_CACHE_ROOT, exist_ok=True)
+    cref = ray.put(_centroids(path))
+    tmp = tempfile.mkdtemp(prefix="ivf-build-", dir=IVF_CACHE_ROOT)
+    for b in range(IVF_CENTROIDS):
+        os.makedirs(os.path.join(tmp, f"bucket={b}"), exist_ok=True)
+
+    def write_buckets(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = _embedding_matrix(batch["embedding"])
+        vn = np.sqrt((V * V).sum(axis=1))
+        assign = np.argmax((V @ C.T) / vn[:, None], axis=1).astype(np.int32)
+        out = batch.append_column("bucket", pa.array(assign))
+        part = uuid.uuid4().hex[:12]
+        counts = []
+        for b in np.unique(assign):
+            sub = out.filter(pa.array(assign == b))
+            pq.write_table(
+                sub, os.path.join(tmp, f"bucket={int(b)}", f"part-{part}.parquet")
+            )
+            counts.append({"bucket": int(b), "n": sub.num_rows})
+        return pa.Table.from_pylist(
+            counts or [{"bucket": -1, "n": 0}],
+            schema=pa.schema([("bucket", pa.int32()), ("n", pa.int64())]),
+        )
+
+    total = (
+        ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(write_buckets, batch_format="pyarrow")
+        .sum("n")
+    )
+    with open(os.path.join(tmp, "_done.json"), "w") as f:
+        json.dump({"n_vectors": int(total or 0)}, f)
+    try:
+        os.rename(tmp, store)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another builder won
+    return store
+
+
+class _IvfScorer(_BatchTopK):
+    """Scores batches of probed-bucket rows: each query's candidates are
+    masked to ITS probed buckets (the bucket column), so per-query
+    FLOPs track probed rows even when several queries share a batch."""
+
+    def __init__(self, qref, k, probe_ref):
+        super().__init__(qref, k)
+        self.probe = ray.get(probe_ref)  # (n_queries, IVF_PROBES)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+        V = _embedding_matrix(batch["embedding"])
+        vn = np.sqrt((V * V).sum(axis=1))
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            sel = np.isin(bucket, self.probe[qi]) & (vid != qid)
+            idx = np.flatnonzero(sel)
+            if idx.size == 0:
+                continue
+            s = np.round(
+                (V[idx] @ self.Q[qi]) / (vn[idx] * self.qn[qi]), 9
+            )
+            ids, ss = self._emit(qid, vid[idx], s)
+            out_q.extend([qid] * ids.size)
+            out_v.extend(ids.tolist())
+            out_s.extend(ss.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def q_ann_ivf(sf_dir: str) -> pa.Table:
+    """IVF approximate top-10 (rows-only): vectors live in
+    centroid-bucket partitions; each query probes its IVF_PROBES closest
+    buckets and ONLY those partitions are read and scored.  Same output
+    schema as q_knn_brute; recall asserted in tests."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    store = build_ivf(path)
+    C = _centroids(path)
+    qids, Q = _query_matrix(path)
     qn = np.sqrt((Q * Q).sum(axis=1))
     probe = np.argsort(-(Q @ C.T) / qn[:, None], axis=1)[:, :IVF_PROBES]
-    probe_ref = ray.put(probe)
 
-    class IvfScorer(_BatchTopK):
-        def __init__(self, qref, k, cref, probe_ref):
-            super().__init__(qref, k)
-            self.C = ray.get(cref)
-            self.probe = ray.get(probe_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            V = _embedding_matrix(batch["embedding"])
-            vn = np.sqrt((V * V).sum(axis=1))
-            assign = np.argmax((V @ self.C.T) / vn[:, None], axis=1)
-            sims = (self.Q @ V.T) / (self.qn[:, None] * vn[None, :])
-            sims = np.round(sims, 9)
-            out_q, out_v, out_s = [], [], []
-            for qi, qid in enumerate(self.qids):
-                in_probe = np.isin(assign, self.probe[qi]) & (vid != qid)
-                idx = np.nonzero(in_probe)[0]
-                if idx.size == 0:
-                    continue
-                s = sims[qi][idx]
-                k = min(self.k, s.size)
-                cand = np.argpartition(-s, k - 1)[:k] if s.size > k else np.arange(s.size)
-                o = np.lexsort((vid[idx][cand], -s[cand]))
-                sel = cand[o][:k]
-                out_q.extend([qid] * sel.size)
-                out_v.extend(vid[idx][sel].tolist())
-                out_s.extend(s[sel].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, type=pa.int64()),
-                    "vec_id": pa.array(out_v, type=pa.int64()),
-                    "sim": pa.array(out_s, type=pa.float64()),
-                }
+    probed = np.unique(probe)
+    files = []
+    for b in probed:
+        d = os.path.join(store, f"bucket={int(b)}")
+        if os.path.isdir(d):
+            files.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
             )
-
+    if not files:
+        return _merge_topk([], TOP_K)
+    qref = ray.put((qids, Q))
+    probe_ref = ray.put(probe)
     parts = (
-        ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        ray.data.read_parquet(files, columns=["vec_id", "embedding", "bucket"])
         .map_batches(
-            IvfScorer,
-            fn_constructor_args=(qref, TOP_K, cref, probe_ref),
+            _IvfScorer,
+            fn_constructor_args=(qref, TOP_K, probe_ref),
             batch_format="pyarrow",
             concurrency=(1, 4),
         )

@@ -40,12 +40,28 @@ def brute_force_pairs(doc_texts, tau):
 
 
 def test_minhash_equals_brute_force(ray_session, doc_texts):
-    """LSH + exact verify must equal exhaustive pairwise Jaccard."""
-    got = dedup.q_dedup_minhash(SF)
-    got_pairs = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+    """LSH + distributed exact verify must equal exhaustive pairwise
+    Jaccard."""
+    got = dedup.q_dedup_minhash(SF).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
     exp = brute_force_pairs(doc_texts, dedup.JACCARD_TAU)
     assert got_pairs == exp
     assert len(exp) > 0  # the corpus has planted near-dups
+
+
+def test_ngram_jaccard_equals_brute_force(ray_session, doc_texts):
+    """The inverted-index self-join path (no LSH) must also equal brute
+    force, including the Jaccard values."""
+    got = dedup.q_dedup_ngram_jaccard(SF).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+    exp = brute_force_pairs(doc_texts, dedup.JACCARD_TAU)
+    assert got_pairs == exp
+    # values match the definitionally-exact jaccard
+    sh = {i: _shingles(t) for i, t in doc_texts.items()}
+    for _, r in got.iterrows():
+        A, B = sh[r["a"]], sh[r["b"]]
+        inter = len(A & B)
+        assert r["j_r"] == round(inter / (len(A) + len(B) - inter), 6)
 
 
 def test_simhash_locality(ray_session, doc_texts):
@@ -111,6 +127,9 @@ def test_embedding_pairs_match_numpy(ray_session):
     iu = np.triu_indices(len(ids), k=1)
     mask = S[iu] >= dedup.COSINE_TAU
     exp = set(zip(ids[iu[0][mask]].tolist(), ids[iu[1][mask]].tolist()))
-    got = dedup.q_dedup_embedding(SF)
-    got_pairs = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+    got = dedup.q_dedup_embedding(SF).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
     assert got_pairs == exp
+    # multi-block sweep (forces cross-block cells) finds the same pairs
+    small = dedup.q_dedup_embedding(SF, block_rows=60).to_pandas()
+    assert set(zip(small["a"], small["b"])) == exp

@@ -53,11 +53,11 @@ def test_fingerprint_similar_docs_share_fingerprints(ray_session):
     """Planted near-dup docs share most winnowing fingerprints."""
     from ciff_ray.extras import dedup
 
-    pairs = dedup.q_dedup_minhash(SF)
+    pairs = dedup.q_dedup_minhash(SF).to_pandas()
     assert len(pairs) > 0
     rows = {r["doc_id"]: r for r in textstats.q_doc_fingerprint(SF).take_all()}
-    a0 = pairs["a"][0].as_py()
-    b0 = pairs["b"][0].as_py()
+    a0 = int(pairs["a"].iloc[0])
+    b0 = int(pairs["b"].iloc[0])
     # near-identical docs -> near-identical fingerprint summaries
     assert rows[a0]["fp_min"] == rows[b0]["fp_min"]
 
