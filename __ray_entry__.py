@@ -34,7 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_stats": p.q_postings_stats,
         "docmap": p.q_docmap,
         "collection_stats": p.q_collection_stats,
-        "postings_lists": p.q_postings_lists,  # rows-only (list columns)
+        "postings_lists": p.q_postings_lists,
         "bm25_scores": p.q_bm25_scores,
         "bm25_topk": p.q_bm25_topk,
     }

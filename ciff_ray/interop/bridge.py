@@ -181,7 +181,7 @@ def index_to_ciff(
         description=description if description is not None else m.description,
     )
     # byte-sorted term order — required by PISA downstream (O1 semantics)
-    all_terms = sorted(scorer._stats.keys(), key=lambda s: s.encode())
+    all_terms = scorer.vocabulary()  # byte-sorted by construction
     with CiffWriter(output_path, header) as w:
         for term in all_terms:
             docs, tfs = scorer.postings(term)

@@ -120,23 +120,121 @@ def q_collection_stats(sf_dir: str) -> pa.Table:
     )
 
 
-def q_postings_lists(sf_dir: str) -> pa.Table:
-    """Full POSTINGS_SCHEMA rows (term, df, cf, doc_ids, tfs) decoded
-    from the packed segments — logical PostingsList view (rows-only
-    check: list columns don't hash portably in the driver compare)."""
+# order-free list-content hash modulus: elementwise terms stay < M so
+# int64 partial sums can't overflow before the final mod (M^2 < 2^62);
+# (doc, tf) pairing + the ascending-docID invariant make the hash pin
+# the full decoded list content
+_LIST_HASH_MOD = 2147483647  # 2^31 - 1
+
+
+def _postings_partials(batch: pa.Table) -> pa.Table:
+    """Segment slice rows -> per-slice partial (df, cf, dh, th):
+    dh = sum(doc^2 mod M), th = sum(doc*tf mod M).  Slices of a salted
+    term sum globally because the hash is order-free (the docID order is
+    implied by the ascending invariant)."""
+    from ciff_ray import codecs
+
+    M = np.int64(_LIST_HASH_MOD)
+    n = len(batch)
+    dfs = batch["df"].to_numpy(zero_copy_only=False)
+    firsts = batch["first_doc"].to_numpy(zero_copy_only=False)
+    dcodec = batch["doc_codec"].to_numpy(zero_copy_only=False)
+    tcodec = batch["tf_codec"].to_numpy(zero_copy_only=False)
+    dh = np.empty(n, dtype=np.int64)
+    th = np.empty(n, dtype=np.int64)
+    for i in range(n):  # per SLICE; each decode below is vectorized
+        df = int(dfs[i])
+        gaps = codecs.decode(
+            batch["doc_bytes"][i].as_py(), df - 1, int(dcodec[i])
+        ).astype(np.int64)
+        docs = np.empty(df, dtype=np.int64)
+        docs[0] = int(firsts[i])
+        if df > 1:
+            np.cumsum(gaps, out=docs[1:])
+            docs[1:] += docs[0]
+        tfs = codecs.decode(
+            batch["tf_bytes"][i].as_py(), df, int(tcodec[i])
+        ).astype(np.int64)
+        dm = docs % M
+        dh[i] = int(np.sum(dm * dm % M, dtype=np.int64)) % M
+        th[i] = int(np.sum(dm * (tfs % M) % M, dtype=np.int64)) % M
+    return pa.table(
+        {
+            "term": batch["term"],
+            "df": batch["df"],
+            "cf": batch["cf"],
+            "dh": pa.array(dh),
+            "th": pa.array(th),
+        }
+    )
+
+
+def q_postings_lists(sf_dir: str) -> ray.data.Dataset:
+    """Per-term decoded-postings check, STREAMED over the segment files:
+    map_batches decodes each packed slice and emits order-free partial
+    content hashes; a distributed groupby(term) sum merges salted
+    slices.  (term, df, cf, dh, th) hash-matches the DuckDB oracle's
+    exploded-postings CTE — no driver-side decode, no list columns."""
+    idx = ensure_index(sf_dir)
+    paths = IndexPaths(idx)
+    m = Manifest.read(paths.manifest)
+    seg_files = [
+        paths.segment(pid)
+        for pid in range(m.num_partitions)
+        if os.path.exists(paths.segment(pid))
+    ]
+    from ray.data.aggregate import Sum
+
+    def _final_mod(t: pa.Table) -> pa.Table:
+        dh = t["dh"].to_numpy(zero_copy_only=False) % _LIST_HASH_MOD
+        th = t["th"].to_numpy(zero_copy_only=False) % _LIST_HASH_MOD
+        return pa.table(
+            {
+                "term": t["term"],
+                "df": t["df"],
+                "cf": t["cf"],
+                "dh": pa.array(dh, type=pa.int64()),
+                "th": pa.array(th, type=pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            seg_files,
+            columns=[
+                "term", "salt", "df", "cf", "first_doc",
+                "doc_codec", "tf_codec", "doc_bytes", "tf_bytes",
+            ],
+        )
+        .map_batches(_postings_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(
+            Sum("df", alias_name="df"),
+            Sum("cf", alias_name="cf"),
+            Sum("dh", alias_name="dh"),
+            Sum("th", alias_name="th"),
+        )
+        .map_batches(_final_mod, batch_format="pyarrow")
+    )
+
+
+def postings_table(sf_dir: str) -> pa.Table:
+    """Full logical POSTINGS_SCHEMA view (term, df, cf, doc_ids, tfs)
+    — small-scale convenience/diagnostics (materializes every list via
+    the scorer); the driver-checked entry is q_postings_lists."""
     idx = ensure_index(sf_dir)
     from ciff_ray.query import LocalScorer
 
     s = LocalScorer(idx)
-    terms = sorted(s._stats.keys(), key=lambda t: t.encode())
+    terms = s.vocabulary()
     doc_lists, tf_lists, dfs, cfs = [], [], [], []
     for t in terms:
         d, f = s.postings(t)
         doc_lists.append(d.astype(np.int32))
         tf_lists.append(f.astype(np.int32))
-        st = s._stats[t]
-        dfs.append(st[0])
-        cfs.append(st[1])
+        df, cf, _ = s._term_stat(t)
+        dfs.append(df)
+        cfs.append(cf)
     return pa.table(
         {
             "term": pa.array(terms, type=pa.string()),
@@ -244,6 +342,21 @@ tf AS (
   GROUP BY doc_id, term
 )
 SELECT term, count(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term""",
+        "postings_lists": f"""{T},
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM transcripts
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+  GROUP BY doc_id, term
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+       CAST(SUM((doc_id % {_LIST_HASH_MOD}) * (doc_id % {_LIST_HASH_MOD})
+                % {_LIST_HASH_MOD}) % {_LIST_HASH_MOD} AS BIGINT) AS dh,
+       CAST(SUM((doc_id % {_LIST_HASH_MOD}) * (tf % {_LIST_HASH_MOD})
+                % {_LIST_HASH_MOD}) % {_LIST_HASH_MOD} AS BIGINT) AS th
+FROM tf GROUP BY term""",
         "docmap": f"""{T},
 tok AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term

@@ -19,17 +19,20 @@ Two scoring modes, both exact:
   exact when the pruning guarantee (Σ U_nonessential < θ_k) cannot be
   established, so results are always identical to ``exact``.
 
-Deployment model: each scorer holds the (small) term dictionary +
-collection stats and lazily loads/caches posting slices from the
-segment Parquet files — on a cluster these live on shared storage, so
-any actor can serve any query and the pool scales with query load
-(`QueryEngine.score_dataset` = map_batches actor pool).  At 10^12-doc
-scale the in-memory doclength array would become a doc-range-sharded
-lookup; that sharding is isolated in `_doclengths`.
+Deployment model: each scorer keeps the vocabulary as term-sorted
+Arrow columns with binary-search lookup (init cost = one columnar
+read + sort; per-query memory = O(touched terms)) and lazily
+loads/caches posting slices from the segment Parquet files — on a
+cluster these live on shared storage, so any actor can serve any
+query and the pool scales with query load
+(`QueryEngine.score_dataset` = map_batches actor pool).  Doclengths
+are doc-range-sharded (`DoclengthStore`): a scorer materializes only
+the 2^20-doc shards its postings touch.
 """
 
 from __future__ import annotations
 
+import bisect
 import math
 import os
 from dataclasses import dataclass
@@ -51,6 +54,130 @@ class BM25Params:
     b: float = 0.4
 
 
+class _SortedStrColumn:
+    """Byte-ordered Arrow string column exposed as a bisectable
+    sequence: O(log n) term lookup with ~30 scalar accesses, ZERO
+    Python-side materialization of the vocabulary (SURVEY §2.5 J3 —
+    the searchsorted mapping).  Tokens are [a-z0-9]+ ASCII, so Python
+    string comparison == byte order."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        self.arr = arr
+
+    def __len__(self) -> int:
+        return len(self.arr)
+
+    def __getitem__(self, i: int) -> str:
+        return self.arr[i].as_py()
+
+    def range_of(self, term: str) -> tuple[int, int]:
+        """[lo, hi) of rows equal to `term` (empty range if absent)."""
+        lo = bisect.bisect_left(self, term)
+        hi = lo
+        n = len(self.arr)
+        while hi < n and self.arr[hi].as_py() == term:
+            hi += 1
+        return lo, hi
+
+
+class DoclengthStore:
+    """Doc-range-sharded doclength lookup over the docmap parquet dir.
+
+    The scorer's doclength state at 10^12-doc scale cannot be one dense
+    array; this store maps fixed-size docID ranges (2^20 docs, 4 MB of
+    int32 each) to the docmap files that intersect them (parquet
+    row-group min/max stats — metadata only) and materializes a shard
+    the first time a posting touches it.  Dense-docid validation is
+    preserved: the global row count is checked against the manifest at
+    init (metadata read), each shard's ids must be exactly its arange
+    on load."""
+
+    SHARD_BITS = 20
+
+    def __init__(self, docmap_dir: str, num_docs: int):
+        self.num_docs = num_docs
+        self._files: list[str] = [
+            os.path.join(docmap_dir, f)
+            for f in sorted(os.listdir(docmap_dir))
+            if f.endswith(".parquet")
+        ]
+        total = 0
+        spans: list[tuple[int, int, str]] = []
+        for path in self._files:
+            md = pq.ParquetFile(path).metadata
+            total += md.num_rows
+            idx = md.schema.to_arrow_schema().names.index("doc_id")
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    lo, hi = 0, num_docs - 1  # no stats: file covers all
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if md.num_rows:
+                spans.append((int(lo), int(hi), path))
+        if total != num_docs:
+            raise ValueError(
+                f"docmap is not a dense docid map: {total} rows for "
+                f"{num_docs} docs"
+            )
+        self._spans = spans
+        self._shards: dict[int, np.ndarray] = {}
+
+    def _load_shard(self, s: int) -> np.ndarray:
+        base = s << self.SHARD_BITS
+        end = min(base + (1 << self.SHARD_BITS), self.num_docs)
+        parts = []
+        for lo, hi, path in self._spans:
+            if hi < base or lo >= end:
+                continue
+            t = pq.read_table(
+                path,
+                columns=["doc_id", "doclength"],
+                filters=[("doc_id", ">=", base), ("doc_id", "<", end)],
+            )
+            parts.append(t)
+        ids = (
+            np.concatenate(
+                [p["doc_id"].to_numpy(zero_copy_only=False) for p in parts]
+            )
+            if parts
+            else np.empty(0, dtype=np.int64)
+        )
+        # dense 0..N-1 docids, no duplicates — the reference's
+        # doc-record order invariant (/root/reference/src/lib.rs:545-546);
+        # a stale or double-written docmap must fail fast, not mis-score
+        if ids.size != end - base:
+            raise ValueError(
+                f"docmap shard {s} is not dense: {ids.size} rows for "
+                f"docs [{base}, {end})"
+            )
+        dl = np.concatenate(
+            [p["doclength"].to_numpy(zero_copy_only=False) for p in parts]
+        ).astype(np.int64)
+        order = np.argsort(ids)
+        if not np.array_equal(ids[order], np.arange(base, end)):
+            raise ValueError(f"docmap shard {s} has gaps or duplicates")
+        return dl[order]
+
+    def __getitem__(self, docs: np.ndarray) -> np.ndarray:
+        docs = np.asarray(docs)
+        shard_of = docs >> self.SHARD_BITS
+        out = np.empty(docs.shape, dtype=np.int64)
+        for s in np.unique(shard_of):
+            arr = self._shards.get(int(s))
+            if arr is None:
+                arr = self._shards[int(s)] = self._load_shard(int(s))
+            m = shard_of == s
+            out[m] = arr[docs[m] - (int(s) << self.SHARD_BITS)]
+        return out
+
+
 class LocalScorer:
     """In-process scorer; also the body of the map_batches actor pool."""
 
@@ -67,31 +194,31 @@ class LocalScorer:
         self.N = self.manifest.num_docs
         self.avgdl = self.manifest.average_doclength
 
+        # Vocabulary state stays ARROW: term-sorted columns + binary
+        # search (searchsorted/J3 mapping), so actor init cost is one
+        # columnar read + sort and per-query memory is O(touched terms)
+        # — no full-vocab Python dicts (at 10^9+-term vocab those were
+        # the query path's scale-killer).
         stats = pq.read_table(self.paths.term_stats)
-        self._stats: dict[str, tuple[int, int, float]] = {}
-        for t, df, cf, ms in zip(
-            stats["term"].to_pylist(),
-            stats["df"].to_numpy(zero_copy_only=False),
-            stats["cf"].to_numpy(zero_copy_only=False),
-            stats["max_score"].to_numpy(zero_copy_only=False),
-        ):
-            self._stats[t] = (int(df), int(cf), float(ms))
+        stats = stats.take(pc.sort_indices(stats["term"].combine_chunks()))
+        self._st_terms = _SortedStrColumn(stats["term"])
+        self._st_df = stats["df"].to_numpy(zero_copy_only=False)
+        self._st_cf = stats["cf"].to_numpy(zero_copy_only=False)
+        self._st_ms = stats["max_score"].to_numpy(zero_copy_only=False)
+        self._stat_memo: dict[str, tuple[int, int, float] | None] = {}
 
         tdict = pq.read_table(self.paths.term_dict_dir)
         order = pc.sort_indices(
             tdict, sort_keys=[("term", "ascending"), ("salt", "ascending")]
         )
         tdict = tdict.take(order)
-        self._slices: dict[str, list[tuple[int, int]]] = {}
-        for t, s, p in zip(
-            tdict["term"].to_pylist(),
-            tdict["salt"].to_numpy(zero_copy_only=False),
-            tdict["partition_id"].to_numpy(zero_copy_only=False),
-        ):
-            self._slices.setdefault(t, []).append((int(s), int(p)))
+        self._sl_terms = _SortedStrColumn(tdict["term"])
+        self._sl_salt = tdict["salt"].to_numpy(zero_copy_only=False)
+        self._sl_pid = tdict["partition_id"].to_numpy(zero_copy_only=False)
+        self._slice_memo: dict[str, list[tuple[int, int]]] = {}
 
-        self._dl = self._doclengths()
-        self._segments: dict[int, tuple[pa.Table, dict]] = {}
+        self._dl = DoclengthStore(self.paths.docmap_dir, self.N)
+        self._segments: dict[int, tuple[pa.Table, _SortedStrColumn, np.ndarray, np.ndarray]] = {}
         self._doc_titles: pa.Table | None = None
         # decoded-postings cache: hot (stopword-scale) lists decode once
         # per scorer, bounded by total cached postings
@@ -101,52 +228,76 @@ class LocalScorer:
 
     # -- index access ----------------------------------------------------
 
-    def _doclengths(self) -> np.ndarray:
-        dm = pq.read_table(self.paths.docmap_dir, columns=["doc_id", "doclength"])
-        ids = dm["doc_id"].combine_chunks()
-        order = pc.sort_indices(ids)
-        sorted_ids = ids.take(order)
-        # dense 0..N-1 docids, no duplicates — the reference's doc-record
-        # order invariant (/root/reference/src/lib.rs:545-546); a stale or
-        # double-written docmap must fail fast, not mis-score
-        if dm.num_rows != self.N or (
-            dm.num_rows
-            and (
-                sorted_ids[0].as_py() != 0
-                or sorted_ids[-1].as_py() != self.N - 1
+    def _term_stat(self, term: str) -> tuple[int, int, float] | None:
+        """(df, cf, max_score) via binary search over the term-sorted
+        stats columns; memoized per touched term."""
+        try:
+            return self._stat_memo[term]
+        except KeyError:
+            pass
+        lo = bisect.bisect_left(self._st_terms, term)
+        if lo < len(self._st_terms) and self._st_terms[lo] == term:
+            st = (
+                int(self._st_df[lo]),
+                int(self._st_cf[lo]),
+                float(self._st_ms[lo]),
             )
-        ):
-            raise ValueError(
-                f"docmap is not a dense docid map: {dm.num_rows} rows for "
-                f"{self.N} docs"
-            )
-        return (
-            dm["doclength"].combine_chunks().take(order).to_numpy(
-                zero_copy_only=False
-            )
-        ).astype(np.int64)
+        else:
+            st = None
+        self._stat_memo[term] = st
+        return st
 
-    def _segment(self, pid: int) -> tuple[pa.Table, dict]:
+    def vocabulary(self) -> list[str]:
+        """All index terms, byte-sorted.  Diagnostics/tests only: this
+        materializes the full vocabulary (the hot paths never do)."""
+        return self._st_terms.arr.to_pylist()
+
+    def _slices_for(self, term: str) -> list[tuple[int, int]]:
+        """[(salt, partition_id), ...] in ascending salt order (rows
+        sorted by (term, salt))."""
+        try:
+            return self._slice_memo[term]
+        except KeyError:
+            pass
+        lo, hi = self._sl_terms.range_of(term)
+        out = [
+            (int(self._sl_salt[i]), int(self._sl_pid[i]))
+            for i in range(lo, hi)
+        ]
+        self._slice_memo[term] = out
+        return out
+
+    def _segment(self, pid: int):
+        """Segment table + a (term, salt)-sorted lookup view: binary
+        search on the sorted term column, then searchsorted on the salt
+        run — no per-segment Python dict of the segment's vocabulary."""
         seg = self._segments.get(pid)
         if seg is None:
             path = self.paths.segment(pid)
             tbl = pq.read_table(path, memory_map=True)
-            index = {
-                (t, int(s)): i
-                for i, (t, s) in enumerate(
-                    zip(
-                        tbl["term"].to_pylist(),
-                        tbl["salt"].to_numpy(zero_copy_only=False),
-                    )
+            order = pc.sort_indices(
+                tbl, sort_keys=[("term", "ascending"), ("salt", "ascending")]
+            )
+            order_np = order.to_numpy(zero_copy_only=False)
+            terms_sorted = _SortedStrColumn(
+                tbl["term"].combine_chunks().take(order)
+            )
+            salts_sorted = (
+                tbl["salt"].combine_chunks().take(order).to_numpy(
+                    zero_copy_only=False
                 )
-            }
-            seg = (tbl, index)
+            )
+            seg = (tbl, terms_sorted, salts_sorted, order_np)
             self._segments[pid] = seg
         return seg
 
     def _slice_row(self, term: str, salt: int, pid: int) -> dict:
-        tbl, index = self._segment(pid)
-        i = index[(term, salt)]
+        tbl, terms_sorted, salts_sorted, order_np = self._segment(pid)
+        lo, hi = terms_sorted.range_of(term)
+        pos = lo + int(np.searchsorted(salts_sorted[lo:hi], salt))
+        if pos >= hi or salts_sorted[pos] != salt:
+            raise KeyError((term, salt))
+        i = int(order_np[pos])
         return {name: tbl[name][i] for name in tbl.column_names}
 
     def _decode_slice(self, row: dict) -> tuple[np.ndarray, np.ndarray]:
@@ -172,7 +323,7 @@ class LocalScorer:
         cached = self._plist_cache.get(term)
         if cached is not None:
             return cached
-        slices = self._slices.get(term)
+        slices = self._slices_for(term)
         if not slices:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         parts = [self._decode_slice(self._slice_row(term, s, p)) for s, p in slices]
@@ -191,7 +342,7 @@ class LocalScorer:
     # -- BM25 -------------------------------------------------------------
 
     def idf(self, term: str) -> float:
-        st = self._stats.get(term)
+        st = self._term_stat(term)
         if st is None:
             return 0.0
         df = st[0]
@@ -207,7 +358,7 @@ class LocalScorer:
         terms = sorted(set(tokenize(query)), key=lambda s: s.encode())
         doc_parts, contrib_parts = [], []
         for t in terms:
-            if t not in self._stats:
+            if self._term_stat(t) is None:
                 continue
             docs, tfs = self.postings(t)
             if docs.size == 0:
@@ -297,7 +448,7 @@ class LocalScorer:
         """tf of each candidate doc under `term` (0 if absent), decoding
         only the blocks that can contain a candidate."""
         out = np.zeros(cand.size, dtype=np.int64)
-        for salt, pid in self._slices.get(term, ()):
+        for salt, pid in self._slices_for(term):
             row = self._slice_row(term, salt, pid)
             bld = np.asarray(row["block_last_doc"].as_py(), dtype=np.int64)
             if bld.size == 0:
@@ -340,11 +491,11 @@ class LocalScorer:
         terms = [
             t
             for t in sorted(set(tokenize(query)), key=lambda s: s.encode())
-            if t in self._stats
+            if self._term_stat(t) is not None
         ]
         if len(terms) < 2:
             return None
-        ub = np.array([self.idf(t) * self._stats[t][2] for t in terms])
+        ub = np.array([self.idf(t) * self._term_stat(t)[2] for t in terms])
         order = np.argsort(-ub)  # desc upper bound
         best_docs = np.empty(0, np.int64)
         scores = np.empty(0, np.float64)
@@ -397,7 +548,7 @@ class LocalScorer:
         upper bounds on the float64 query-time contribution)."""
         los, his, ubs = [], [], []
         w = self.idf(term)
-        for salt, pid in self._slices.get(term, ()):
+        for salt, pid in self._slices_for(term):
             row = self._slice_row(term, salt, pid)
             bld = np.asarray(row["block_last_doc"].as_py(), dtype=np.int64)
             if bld.size == 0:
@@ -427,7 +578,7 @@ class LocalScorer:
         terms = [
             t
             for t in sorted(set(tokenize(query)), key=lambda s: s.encode())
-            if t in self._stats
+            if self._term_stat(t) is not None
         ]
         if len(terms) < 2:
             return None

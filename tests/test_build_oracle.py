@@ -54,14 +54,14 @@ def test_docmap_matches_oracle(built):
 def test_posting_lists_match_oracle(built):
     _, out, _, oracle = built
     scorer = LocalScorer(out)
-    assert sorted(scorer._stats.keys()) == sorted(oracle.postings.keys())
+    assert scorer.vocabulary() == sorted(oracle.postings.keys())
     for term, plist in oracle.postings.items():
         docs, tfs = scorer.postings(term)
         exp_docs = [d for d, _ in plist]
         exp_tfs = [t for _, t in plist]
         assert docs.tolist() == exp_docs, term
         assert tfs.tolist() == exp_tfs, term
-        df, cf, _ = scorer._stats[term]
+        df, cf, _ = scorer._term_stat(term)
         assert df == len(plist)
         assert cf == sum(exp_tfs)
 
@@ -72,7 +72,7 @@ def test_heavy_terms_salted(built):
     _, out, manifest, _ = built
     assert "the" in manifest.heavy_terms
     scorer = LocalScorer(out)
-    assert len(scorer._slices["the"]) > 1
+    assert len(scorer._slices_for("the")) > 1
 
 
 def test_input_order_irrelevance(built, tmp_path):

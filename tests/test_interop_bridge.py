@@ -28,7 +28,7 @@ def test_ciff_to_index_toy(tmp_path):
         pl.term: (pl.doc_ids().tolist(), pl.tfs.tolist())
         for pl in CiffReader(TOY).postings_lists()
     }
-    assert sorted(scorer._stats.keys()) == sorted(expected.keys())
+    assert scorer.vocabulary() == sorted(expected.keys())
     for term, (docs, tfs) in expected.items():
         d, t = scorer.postings(term)
         assert d.tolist() == docs, term
@@ -64,8 +64,8 @@ def test_index_to_ciff_round_trip(tmp_path):
     idx2 = str(tmp_path / "idx2")
     ciff_to_index(ciff_path, idx2, BuildParams(num_partitions=2))
     s2 = LocalScorer(idx2)
-    assert sorted(s1._stats.keys()) == sorted(s2._stats.keys())
-    for term in s1._stats:
+    assert s1.vocabulary() == s2.vocabulary()
+    for term in s1.vocabulary():
         d1, t1 = s1.postings(term)
         d2, t2 = s2.postings(term)
         assert d1.tolist() == d2.tolist(), term

@@ -84,4 +84,4 @@ def test_changed_input_invalidates_markers(tmp_path):
     # index reflects the NEW input
     oracle = OracleIndex.build(tbl2)
     scorer = LocalScorer(out)
-    assert sorted(scorer._stats.keys()) == sorted(oracle.postings.keys())
+    assert scorer.vocabulary() == sorted(oracle.postings.keys())
