@@ -158,9 +158,91 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+def run_serve_bench(sf_dir: str, num_cpus: int, n_queries: int = 4096) -> dict:
+    """Distributed query serving: a queries Dataset scored by the
+    LocalScorer actor pool (QueryEngine.score_dataset).  Measures
+    end-to-end queries/sec with index load amortized per actor — the
+    query-side horizontal-scaling story (any actor serves any query;
+    pool sized to load)."""
+    import pyarrow as pa
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ciff_ray.build import BuildParams, build_index
+    from ciff_ray.query import QueryEngine
+
+    sf = _sf_label(sf_dir)
+    tpath = _transcripts_path(sf)
+    idx_dir = f"/tmp/ciff_bench/idx_serve_{sf}"
+    if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        import ray.data as rd
+
+        ds = rd.read_parquet(tpath, columns=["conv_id", "turn_idx", "text"])
+        build_index(ds, idx_dir, BuildParams(num_partitions=32, sample_frac=0.25))
+
+    rng = np.random.default_rng(11)
+    picks = rng.integers(0, len(BENCH_QUERIES), size=n_queries)
+    queries = pa.table(
+        {
+            "query_id": pa.array(np.arange(n_queries, dtype=np.int64)),
+            "query": pa.array([BENCH_QUERIES[i] for i in picks]),
+        }
+    )
+    eng = QueryEngine(idx_dir)
+    n_actors = max(2, num_cpus // 4)
+    qds = ray.data.from_arrow(queries).repartition(n_actors * 4)
+    # warmup pass: actor startup + index load excluded from steady-state
+    eng.score_dataset(
+        qds.limit(n_actors * 8), k=10, concurrency=(n_actors, n_actors)
+    ).materialize()
+    t0 = time.monotonic()
+    out = eng.score_dataset(
+        qds, k=10, concurrency=(n_actors, n_actors)
+    ).materialize()
+    wall = time.monotonic() - t0
+    n_rows = out.count()
+    return {
+        "serve_queries": n_queries,
+        "serve_actors": n_actors,
+        "serve_sec": round(wall, 3),
+        "queries_per_sec": round(n_queries / wall, 1),
+        "result_rows": n_rows,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--serve" in sys.argv:
+        r = run_serve_bench(sf_dir, num_cpus)
+        print(
+            json.dumps(
+                {
+                    "metric": "distributed BM25 serving throughput",
+                    "value": r["queries_per_sec"],
+                    "unit": "queries/sec",
+                    "queries": r,
+                    "sf": _sf_label(sf_dir),
+                    "num_cpus": num_cpus,
+                }
+            )
+        )
+        import ray
+
+        ray.shutdown()
+        return
 
     if "--scaling" in sys.argv:
         # same job, same input, two parallelism levels, fresh processes —

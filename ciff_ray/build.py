@@ -49,7 +49,6 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
-from ray.data.aggregate import Max, Sum
 
 from ciff_ray import codecs
 from ciff_ray.docids import (
@@ -612,6 +611,30 @@ def _write_group(writer, *parts):
     return writer(pa.concat_tables(parts))
 
 
+@ray.remote
+def _concat_parts(*parts):
+    """Level-1 node of the two-level gather tree: concatenate one
+    block-group's slices for one partition."""
+    pa.set_cpu_count(1)
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:
+        return parts[0]  # empty, schema preserved
+    return pa.concat_tables(nonempty)
+
+
+# above this many (blocks x partitions) scatter slices the gather runs
+# as a two-level tree: level-1 tasks concatenate _TREE_GROUP blocks per
+# partition, so each writer's fan-in is blocks/_TREE_GROUP refs instead
+# of blocks (flat fan-in is O(blocks x partitions) refs at the driver
+# AND per-writer gather — the multi-thousand-block scale hazard).
+# Measured on this box (sf0.1, 64 blocks x 128 partitions, fresh
+# processes): flat 7.3-7.6s vs tree 8.9-9.4s — the level-1 task layer
+# costs ~1.7s of worker startup at small block counts, so the tree only
+# engages past ~512 blocks where ref fan-in, not startup, dominates.
+_TREE_FANIN_THRESHOLD = 65536
+_TREE_GROUP = 16
+
+
 def _partitioned_write(
     exploded: ray.data.Dataset,
     writer,
@@ -634,9 +657,25 @@ def _partitioned_write(
             )
             for b in block_refs
         ]
+        if len(block_refs) * num_partitions > _TREE_FANIN_THRESHOLD:
+            groups = [
+                split_refs[g : g + _TREE_GROUP]
+                for g in range(0, len(split_refs), _TREE_GROUP)
+            ]
+            per_part = [
+                [
+                    _concat_parts.remote(*[s[i] for s in grp])
+                    for grp in groups
+                ]
+                for i in range(num_partitions)
+            ]
+        else:
+            per_part = [
+                [s[i] for s in split_refs] for i in range(num_partitions)
+            ]
         tasks = [
             _write_group.options(num_cpus=writer_num_cpus).remote(
-                writer, *[s[i] for s in split_refs]
+                writer, *per_part[i]
             )
             for i in range(num_partitions)
         ]
@@ -654,20 +693,57 @@ def _partitioned_write(
 # ---------------------------------------------------------------------------
 # driver orchestration
 
-# below this many bytes of term-dict parts the global per-term stats
-# merge runs as one vectorized pyarrow group_by on the driver; above it,
-# a distributed Ray groupby (vocab can be arbitrarily large at scale)
-_TERM_STATS_DRIVER_BYTES = 256 << 20
+_TERM_STATS_SHARDS = 16
+
+
+def _term_stats_agg(t: pa.Table) -> pa.Table:
+    merged = t.group_by("term").aggregate(
+        [("df", "sum"), ("cf", "sum"), ("max_score", "max")]
+    )
+    return merged.rename_columns(["term", "df", "cf", "max_score"])
+
+
+@ray.remote
+def _term_stats_file_shards(path: str, nshard: int):
+    """Level 1: one partition's term-dict part -> locally combined stats
+    split into disjoint term-hash shards."""
+    pa.set_cpu_count(1)
+    td = pq.read_table(path, columns=["term", "df", "cf", "max_score"])
+    merged = _term_stats_agg(td)
+    import polars as pl
+
+    h = (
+        pl.from_arrow(merged["term"].combine_chunks()).hash(seed=17).to_numpy()
+        % nshard
+    )
+    return tuple(merged.filter(pa.array(h == s)) for s in range(nshard))
+
+
+@ray.remote
+def _term_stats_merge_shard(out_path: str, *parts) -> int:
+    """Level 2: merge one disjoint term shard across all partitions and
+    write its stats file."""
+    pa.set_cpu_count(1)
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:
+        return 0
+    merged = _term_stats_agg(pa.concat_tables(nonempty))
+    atomic_write_parquet(merged, out_path)
+    return merged.num_rows
 
 
 def _write_term_stats(paths: IndexPaths) -> int:
     """Merge per-partition term-dict parts into global (term, df, cf,
-    max_score) stats (A1/A2 analogue).  Returns the number of posting
-    lists (vocabulary size)."""
+    max_score) stats (A1/A2 analogue) — DISTRIBUTED two-level tree
+    (per-file local combine -> term-hash-sharded merge), zero driver
+    vocab work at any scale; only salted heavy terms span partition
+    files, so the level-2 shards are near-concatenations.  Returns the
+    number of posting lists (vocabulary size)."""
     os.makedirs(paths.term_stats, exist_ok=True)
-    # write_parquet APPENDS uniquely-named files into an existing dir, so a
-    # resumed build would duplicate every term-stats row without this clear
-    # (same rationale as the docmap-dir clearing in build_index)
+    # write_parquet/shard writers APPEND uniquely-named files into an
+    # existing dir, so a resumed build would duplicate every term-stats
+    # row without this clear (same rationale as the docmap-dir clearing
+    # in build_index)
     for f in os.listdir(paths.term_stats):
         os.remove(os.path.join(paths.term_stats, f))
     part_files = [
@@ -675,26 +751,24 @@ def _write_term_stats(paths: IndexPaths) -> int:
         for f in os.listdir(paths.term_dict_dir)
         if f.endswith(".parquet")
     ]
-    total_bytes = sum(os.path.getsize(f) for f in part_files)
-    if total_bytes <= _TERM_STATS_DRIVER_BYTES:
-        td = pq.read_table(part_files, columns=["term", "df", "cf", "max_score"])
-        merged = td.group_by("term").aggregate(
-            [("df", "sum"), ("cf", "sum"), ("max_score", "max")]
+    if not part_files:
+        return 0
+    shard_refs = [
+        _term_stats_file_shards.options(num_returns=_TERM_STATS_SHARDS).remote(
+            p, _TERM_STATS_SHARDS
         )
-        merged = merged.rename_columns(["term", "df", "cf", "max_score"])
-        atomic_write_parquet(merged, os.path.join(paths.term_stats, "part-0.parquet"))
-        return merged.num_rows
-    term_stats = (
-        ray.data.read_parquet(paths.term_dict_dir)
-        .groupby("term")
-        .aggregate(
-            Sum("df", alias_name="df"),
-            Sum("cf", alias_name="cf"),
-            Max("max_score", alias_name="max_score"),
+        for p in part_files
+    ]
+    if _TERM_STATS_SHARDS == 1:
+        shard_refs = [(r,) for r in shard_refs]
+    tasks = [
+        _term_stats_merge_shard.remote(
+            os.path.join(paths.term_stats, f"part-{s:03d}.parquet"),
+            *[fr[s] for fr in shard_refs],
         )
-    )
-    term_stats.write_parquet(paths.term_stats)
-    return pq.read_table(paths.term_stats, columns=["term"]).num_rows
+        for s in range(_TERM_STATS_SHARDS)
+    ]
+    return int(sum(ray.get(tasks)))
 
 
 _HEAVY_TOPK = 128
@@ -911,6 +985,19 @@ def build_index(
     paths = IndexPaths(out_dir)
     paths.ensure_dirs()
 
+    # phase timing (CIFF_BUILD_TIMING=1): one stderr JSON line with the
+    # wall time of each build phase — the profiling hook behind the
+    # scaling work (driver-serial fraction must shrink, not be argued
+    # away)
+    _times: dict[str, float] = {}
+    _tprev = time.monotonic()
+
+    def _mark(phase: str) -> None:
+        nonlocal _tprev
+        now = time.monotonic()
+        _times[phase] = round(now - _tprev, 3)
+        _tprev = now
+
     if input_fingerprint is None:
         try:
             files = sorted(ds.input_files())
@@ -929,6 +1016,7 @@ def build_index(
     # pre-filter); the fat docmap partials stay in the object store. ---
     stats_ds = ds.map_batches(stats_partials, batch_format="pyarrow").materialize()
     stat_blocks = stats_ds.to_arrow_refs()
+    _mark("pass_a_stats")
     # conv-partial combine runs distributed over disjoint hash shards;
     # the driver only concatenates the (exactly n_convs rows of) merged
     # shards, sorts by conv_id bytes and prefix-sums
@@ -958,8 +1046,10 @@ def build_index(
     merged_shards = [t for t in ray.get(shard_tasks) if t is not None]
     if not merged_shards:
         raise ValueError("empty input: no conversations found")
+    _mark("conv_heavy_merge")
     offsets, num_docs = finalize_conv_offsets(pa.concat_tables(merged_shards))
     offsets_ref = ray.put(offsets)
+    _mark("finalize_offsets")
     heavy = _merge_heavy_partials(heavy_parts, num_docs, params)
     heavy_ref = ray.put(heavy)
     salt_range = max(1, (num_docs + params.num_salts - 1) // params.num_salts)
@@ -1033,14 +1123,21 @@ def build_index(
         exploded, writer, params.num_partitions, params.writer_num_cpus
     )
     append_lineage(paths.lineage, lineage_rows)
+    _mark("pass_c_shuffle_write")
 
     if docmap_thread is not None:
         docmap_thread.join()
         if docmap_errs:
             raise docmap_errs[0]
+    _mark("docmap_join")
 
     # --- term stats (global df/cf per term) ---
     num_lists = _write_term_stats(paths)
+    _mark("term_stats")
+    if os.environ.get("CIFF_BUILD_TIMING"):
+        import sys
+
+        print(json.dumps({"build_phases": _times}), file=sys.stderr)
 
     manifest = Manifest(
         version=1,

@@ -94,3 +94,51 @@ def test_input_order_irrelevance(built, tmp_path):
 def test_empty_text_turns_have_zero_doclength(built):
     _, out, _, oracle = built
     assert 0 in oracle.doclengths  # generator guarantees some empty turns
+
+
+def test_tree_gather_equals_flat(built, tmp_path, monkeypatch):
+    """The two-level gather tree (blocks x partitions over threshold)
+    must produce an index identical to the flat fan-in."""
+    import ciff_ray.build as B
+
+    tbl, _, _, oracle = built
+    monkeypatch.setattr(B, "_TREE_FANIN_THRESHOLD", 1)
+    monkeypatch.setattr(B, "_TREE_GROUP", 2)
+    out = str(tmp_path / "tree_idx")
+    build_index(
+        ray.data.from_arrow(tbl).repartition(5),
+        out,
+        BuildParams(num_partitions=7, heavy_df_frac=0.2, num_salts=3,
+                    sample_frac=1.0),
+    )
+    scorer = LocalScorer(out)
+    assert scorer.vocabulary() == sorted(oracle.postings.keys())
+    for term, exp in oracle.postings.items():
+        docs, tfs = scorer.postings(term)
+        assert docs.tolist() == [d for d, _ in exp], term
+        assert tfs.tolist() == [t for _, t in exp], term
+
+
+def test_doclength_store_sharding(built, monkeypatch):
+    """DoclengthStore with tiny shards gathers identically to the flat
+    array and fail-fasts on a corrupted (non-dense) docmap."""
+    from ciff_ray.query import DoclengthStore
+
+    tbl, out, manifest, oracle = built
+    monkeypatch.setattr(DoclengthStore, "SHARD_BITS", 4)  # 16-doc shards
+    store = DoclengthStore(IndexPaths(out).docmap_dir, manifest.num_docs)
+    docs = np.arange(manifest.num_docs, dtype=np.int64)
+    rng = np.random.default_rng(3)
+    rng.shuffle(docs)
+    got = store[docs]
+    dm = pq.read_table(IndexPaths(out).docmap_dir, columns=["doc_id", "doclength"])
+    flat = np.empty(manifest.num_docs, dtype=np.int64)
+    flat[dm["doc_id"].to_numpy(zero_copy_only=False)] = dm[
+        "doclength"
+    ].to_numpy(zero_copy_only=False)
+    assert np.array_equal(got, flat[docs])
+    # multiple shards were actually materialized lazily
+    assert len(store._shards) == -(-manifest.num_docs // 16)
+    # wrong manifest count -> fail fast at init (metadata-only check)
+    with pytest.raises(ValueError, match="dense"):
+        DoclengthStore(IndexPaths(out).docmap_dir, manifest.num_docs + 1)
