@@ -3,12 +3,14 @@
 * :func:`ciff_to_index` — import a CIFF file into the ciff_ray segment
   layout so the Ray query engine (actor pools, block-max metadata)
   serves indexes exported by ANY CIFF producer (Anserini, PISA, the
-  reference converters).  The protobuf stream parse is driver-side —
-  the format is a single sequential length-delimited file — but the
-  partition encode/write fans out through the same
-  ``groupby(partition_id).map_groups`` writer as the native build
-  (ciff_ray.build), so segments, block-max scores, term dictionary and
-  lineage are identical in shape to a native build.
+  reference converters).  The only driver-side pass is a boundary SCAN
+  of the length-delimited postings stream (one varint + skip per
+  message — the format's inherently sequential part); the protobuf
+  DECODE fans out as map_batches over message chunks, and the
+  partition encode/write reuses the native build's scatter/gather
+  (`_partitioned_write`) and distributed term-stats merge, so
+  segments, block-max scores, term dictionary and lineage are
+  identical in shape to a native build.
 
 * :func:`index_to_ciff` — export a Ray-built index to a CIFF file
   (Header / term-sorted PostingsLists / docID-sorted DocRecords), the
@@ -29,11 +31,21 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
-from ray.data.aggregate import Max, Sum
 
-from ciff_ray.build import BuildParams, make_partition_writer, pack_partial_runs
+from ciff_ray.build import (
+    BuildParams,
+    _partitioned_write,
+    _write_term_stats,
+    make_partition_writer,
+    pack_partial_runs,
+)
 from ciff_ray.interop.convert import CiffReader, CiffWriter
-from ciff_ray.interop.proto import CiffDocRecord, CiffHeader, CiffPostingsList
+from ciff_ray.interop.proto import (
+    CiffDocRecord,
+    CiffHeader,
+    CiffPostingsList,
+    read_delimited,
+)
 from ciff_ray.layout import (
     IndexPaths,
     Manifest,
@@ -41,6 +53,66 @@ from ciff_ray.layout import (
     atomic_write_parquet,
     stable_hash,
 )
+
+
+class _DecodeChunk:
+    """Decodes one (byte_pos, n_messages) postings-section chunk into
+    packed combiner rows (the native build's _PARTIAL_SCHEMA shape):
+    per-actor mmap of the CIFF file + one ray.get of the doclength
+    broadcast, protobuf parse per message, ONE vectorized pack per
+    chunk."""
+
+    def __init__(self, ciff_path: str, dl_ref, num_partitions: int):
+        from ciff_ray.interop import pisaio
+
+        self.buf = pisaio.mmap_file(ciff_path)
+        self.dl = ray.get(dl_ref)
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        doc_arrs: list[np.ndarray] = []
+        tf_arrs: list[np.ndarray] = []
+        for pos, count in zip(
+            batch["pos"].to_pylist(), batch["count"].to_pylist()
+        ):
+            for _ in range(count):
+                msg, pos = read_delimited(self.buf, pos)
+                pl = CiffPostingsList.parse(msg)
+                terms.append(pl.term)
+                doc_arrs.append(pl.doc_ids())
+                tf_arrs.append(pl.tfs)
+        counts = np.asarray([d.size for d in doc_arrs], dtype=np.int64)
+        crc = np.asarray(
+            [stable_hash(t.encode()) for t in terms], dtype=np.int64
+        )
+        ends = np.cumsum(counts).astype(np.int64)
+        starts = (ends - counts).astype(np.int64)
+        docs_flat = (
+            np.concatenate(doc_arrs) if doc_arrs else np.empty(0, np.int64)
+        )
+        tfs_flat = (
+            np.concatenate(tf_arrs) if tf_arrs else np.empty(0, np.int64)
+        )
+        dls_flat = (
+            self.dl[docs_flat] if self.dl.size else np.zeros(0, dtype=np.int64)
+        )
+        doc_bytes, tf_bytes, dl_bytes = pack_partial_runs(
+            docs_flat, tfs_flat, starts, ends, dls_flat
+        )
+        return pa.table(
+            {
+                "partition_id": pa.array(
+                    (crc % self.num_partitions).astype(np.int32)
+                ),
+                "term": pa.array(terms, type=pa.string()),
+                "salt": pa.array(np.zeros(len(terms), dtype=np.int32)),
+                "df": pa.array(counts, type=pa.int64()),
+                "doc_bytes": doc_bytes,
+                "tf_bytes": tf_bytes,
+                "dl_bytes": dl_bytes,
+            }
+        )
 
 
 def ciff_to_index(
@@ -56,45 +128,13 @@ def ciff_to_index(
     header = reader.header
     fingerprint = format(stable_hash(repr(vars(header)).encode()), "08x")
 
-    # --- postings: parse stream -> exploded arrow -> Ray partition write ---
-    terms: list[str] = []
-    doc_arrs: list[np.ndarray] = []
-    tf_arrs: list[np.ndarray] = []
-    for pl in reader.postings_lists():
-        terms.append(pl.term)
-        doc_arrs.append(pl.doc_ids())
-        tf_arrs.append(pl.tfs)
-    counts = np.asarray([d.size for d in doc_arrs], dtype=np.int64)
-    crc = np.asarray([stable_hash(t.encode()) for t in terms], dtype=np.int64)
-    ends = np.cumsum(counts).astype(np.int64)
-    starts = (ends - counts).astype(np.int64)
-    docs_flat = np.concatenate(doc_arrs) if doc_arrs else np.empty(0, np.int64)
-    tfs_flat = np.concatenate(tf_arrs) if tf_arrs else np.empty(0, np.int64)
-    dl_arr = np.asarray(
-        [r.doclength for r in CiffReader(ciff_path).doc_records()], dtype=np.int64
-    )
-    dls_flat = (
-        dl_arr[docs_flat] if dl_arr.size else np.zeros(0, dtype=np.int64)
-    )
-    doc_bytes, tf_bytes, dl_bytes = pack_partial_runs(
-        docs_flat, tfs_flat, starts, ends, dls_flat
-    )
-    # one packed partial-list row per term (the writer's combiner shape)
-    exploded = pa.table(
-        {
-            "partition_id": pa.array(
-                (crc % params.num_partitions).astype(np.int32)
-            ),
-            "term": pa.array(terms, type=pa.string()),
-            "salt": pa.array(np.zeros(len(terms), dtype=np.int32)),
-            "df": pa.array(counts, type=pa.int64()),
-            "doc_bytes": doc_bytes,
-            "tf_bytes": tf_bytes,
-            "dl_bytes": dl_bytes,
-        }
-    )
+    # --- boundary scan: the ONLY inherently sequential pass over the
+    # postings section (one varint + skip per message, no decode);
+    # everything downstream decodes chunks of messages in parallel ---
+    chunks = reader.postings_chunks()
 
-    # --- docmap (dense docid order enforced, /root/reference/src/lib.rs:545-546)
+    # --- docmap, ONE doc-record pass (dense docid order enforced,
+    # /root/reference/src/lib.rs:545-546) ---
     docids, colls, lens = [], [], []
     for seen, rec in enumerate(reader.doc_records()):
         if rec.docid != seen:
@@ -110,40 +150,34 @@ def ciff_to_index(
         }
     )
     atomic_write_parquet(docmap, f"{paths.docmap_dir}/part-00000.parquet")
+    dl_arr = np.asarray(lens, dtype=np.int64)
+    # ray.put once, zero-copy read per decode task; at 10^12 docs this
+    # broadcast becomes a doc-range-sharded lookup (query.DoclengthStore
+    # shape) — the import's only whole-collection side state
+    dl_ref = ray.put(dl_arr)
     # honor the exporter's explicitly-stored precision
     # (/root/reference/proto/common-index-format-v1.proto:27-29)
     avgdl = header.average_doclength
 
+    # --- postings: parallel chunk decode -> packed combiner rows ->
+    # the SAME scatter/gather partition write as the native build ---
+    chunk_ds = ray.data.from_items(
+        [{"pos": p, "count": c} for p, c in chunks]
+    )
+    exploded = chunk_ds.map_batches(
+        _DecodeChunk,
+        fn_constructor_args=(ciff_path, dl_ref, params.num_partitions),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=(1, 8),
+    )
     writer = make_partition_writer(paths, avgdl, params, fingerprint)
-    lineage_ds = (
-        ray.data.from_arrow(exploded)
-        .groupby("partition_id")
-        .map_groups(writer, batch_format="pyarrow")
+    lineage_rows = _partitioned_write(
+        exploded, writer, params.num_partitions, params.writer_num_cpus
     )
-    rows = lineage_ds.take_all()
-    append_lineage(
-        paths.lineage,
-        [
-            {k: (v if not hasattr(v, "item") else v.item()) for k, v in r.items()}
-            for r in rows
-        ],
-    )
+    append_lineage(paths.lineage, lineage_rows)
 
-    term_stats = (
-        ray.data.read_parquet(paths.term_dict_dir)
-        .groupby("term")
-        .aggregate(
-            Sum("df", alias_name="df"),
-            Sum("cf", alias_name="cf"),
-            Max("max_score", alias_name="max_score"),
-        )
-    )
-    # write_parquet appends into an existing dir; clear so a resumed
-    # import can't duplicate term-stats rows
-    os.makedirs(paths.term_stats, exist_ok=True)
-    for f in os.listdir(paths.term_stats):
-        os.remove(os.path.join(paths.term_stats, f))
-    term_stats.write_parquet(paths.term_stats)
+    _write_term_stats(paths)
 
     manifest = Manifest(
         version=1,

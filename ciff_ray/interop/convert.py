@@ -132,6 +132,31 @@ class CiffReader:
             msg, pos = read_delimited(self.buf, pos)
             yield CiffDocRecord.parse(msg)
 
+    def postings_chunks(self, target_msgs: int = 4096) -> list[tuple[int, int]]:
+        """Boundary scan WITHOUT parsing: walk the length-delimited
+        postings section (one varint + skip per message) and return
+        (byte_pos, n_messages) chunks of ~target_msgs messages each —
+        the split points that let Ray tasks decode the protobuf stream
+        in parallel (the scan is the only inherently sequential part of
+        the format).  Also fixes _docs_start so doc_records() needs no
+        second postings pass."""
+        from ciff_ray.interop.proto import read_varint
+
+        pos = self._postings_start
+        chunks: list[tuple[int, int]] = []
+        n = self.header.num_postings_lists
+        i = 0
+        while i < n:
+            cnt = min(target_msgs, n - i)
+            start = pos
+            for _ in range(cnt):
+                ln, p2 = read_varint(self.buf, pos)
+                pos = p2 + ln
+            chunks.append((start, cnt))
+            i += cnt
+        self._docs_start = pos
+        return chunks
+
 
 class CiffWriter:
     """Sequential CIFF writer: header first, then lists, then records

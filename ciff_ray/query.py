@@ -165,16 +165,28 @@ class DoclengthStore:
             raise ValueError(f"docmap shard {s} has gaps or duplicates")
         return dl[order]
 
+    def _shard(self, s: int) -> np.ndarray:
+        arr = self._shards.get(s)
+        if arr is None:
+            arr = self._shards[s] = self._load_shard(s)
+        return arr
+
     def __getitem__(self, docs: np.ndarray) -> np.ndarray:
         docs = np.asarray(docs)
+        if docs.size == 0:
+            return np.empty(0, dtype=np.int64)
+        # O(1) single-shard fast path (an O(n log n) np.unique here would
+        # tax every per-term gather on the query hot path)
+        lo = int(docs.min()) >> self.SHARD_BITS
+        hi = int(docs.max()) >> self.SHARD_BITS
+        if lo == hi:
+            return self._shard(lo)[docs - (lo << self.SHARD_BITS)]
         shard_of = docs >> self.SHARD_BITS
         out = np.empty(docs.shape, dtype=np.int64)
-        for s in np.unique(shard_of):
-            arr = self._shards.get(int(s))
-            if arr is None:
-                arr = self._shards[int(s)] = self._load_shard(int(s))
+        for s in range(lo, hi + 1):
             m = shard_of == s
-            out[m] = arr[docs[m] - (int(s) << self.SHARD_BITS)]
+            if m.any():
+                out[m] = self._shard(s)[docs[m] - (s << self.SHARD_BITS)]
         return out
 
 
