@@ -142,7 +142,13 @@ class CiffHeader:
                 v, pos = read_varint(buf, pos)
                 setattr(h, cls._INT_FIELDS[fnum], _signed(v))
             elif fnum == 7 and wt == _WT_64BIT:
-                h.average_doclength = struct.unpack("<d", bytes(buf[pos : pos + 8]))[0]
+                raw = bytes(buf[pos : pos + 8])
+                if len(raw) < 8:
+                    # struct.error is not part of the parse-error
+                    # contract (controlled errors only; see
+                    # tests/test_fuzz_pisaio.py)
+                    raise ValueError("truncated f64 field")
+                h.average_doclength = struct.unpack("<d", raw)[0]
                 pos += 8
             elif fnum == 8 and wt == _WT_LEN:
                 n, pos = read_varint(buf, pos)

@@ -85,3 +85,40 @@ def test_payload_vector_round_trip(items):
     lex = pisaio.PayloadSlice(buf)
     assert len(lex) == len(items)
     assert [lex[i] for i in range(len(lex))] == [bytes(x) for x in items]
+
+
+# -- CIFF protobuf parsers: same controlled-error contract ------------------
+
+from ciff_ray.interop.proto import (
+    CiffDocRecord,
+    CiffHeader,
+    CiffPostingsList,
+)
+
+PROTO_CONTROLLED = (ValueError, IndexError, UnicodeDecodeError)
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=400, deadline=None)
+def test_ciff_message_parse_never_crashes(buf):
+    """Arbitrary bytes -> parse succeeds or raises a controlled error
+    (never struct.error / numpy internals / huge allocations)."""
+    for cls in (CiffHeader, CiffPostingsList, CiffDocRecord):
+        try:
+            cls.parse(buf)
+        except PROTO_CONTROLLED:
+            pass
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=200, deadline=None)
+def test_ciff_header_parse_round_trips_or_rejects(buf):
+    """If garbage parses as a header AND validates, re-serializing and
+    re-parsing must be a fixed point for the known fields."""
+    try:
+        h = CiffHeader.parse(buf)
+        h.validate()
+    except PROTO_CONTROLLED:
+        return
+    h2 = CiffHeader.parse(h.serialize())
+    assert vars(h2) == vars(h)
