@@ -71,6 +71,7 @@ N_PERMS = 128
 N_BANDS = 32  # x 4 rows per band
 JACCARD_TAU = 0.8
 MAX_BUCKET = 200  # deterministic cap on band-bucket size (skew guard)
+LSH_PARTS = 64  # hash partitions for the band-bucket pair emit
 NGRAM_PARTS = 32  # hash partitions for the inverted-index self-join
 
 SIMHASH_BITS = 64
@@ -239,30 +240,69 @@ class MinHashStage:
         keys = (bands * _BAND_MIX[None, None, :]).sum(axis=2, dtype=np.uint64)
         rows = has  # docs with no shingles emit nothing
         band_idx = np.tile(np.arange(N_BANDS, dtype=np.int32), rows.sum())
+        flat_keys = keys[rows].reshape(-1)
         return pa.table(
             {
                 "band": pa.array(band_idx),
-                "band_key": pa.array(
-                    keys[rows].reshape(-1).view(np.int64), type=pa.int64()
-                ),
+                "band_key": pa.array(flat_keys.view(np.int64), type=pa.int64()),
                 "doc_id": pa.array(
                     np.repeat(doc_ids[rows], N_BANDS), type=pa.int64()
+                ),
+                # hash partition: a (band, band_key) bucket lives in
+                # exactly one partition, so pair emit needs only
+                # LSH_PARTS group calls, not one per bucket
+                "part": pa.array(
+                    (flat_keys % np.uint64(LSH_PARTS)).astype(np.int32)
                 ),
             }
         )
 
 
 def _bucket_pairs(group: pa.Table) -> pa.Table:
-    from itertools import combinations
-
-    ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))[:MAX_BUCKET]
-    if ids.size < 2:
-        return pa.table(
-            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
-        )
-    a, b = zip(*combinations(ids.tolist(), 2))
+    """One hash partition of LSH rows -> candidate pairs: vectorized
+    (band, band_key) run detection after a single lexsort; per
+    multi-doc bucket, unique docs (capped at MAX_BUCKET — the
+    deterministic skew guard) -> upper-triangle pairs, deduped within
+    the partition by one composite-key unique."""
+    empty = pa.table(
+        {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+    )
+    if len(group) < 2:
+        return empty
+    b = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = group["band_key"].to_numpy(zero_copy_only=False)
+    d = group["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((d, k, b))
+    b, k, d = b[order], k[order], d[order]
+    change = np.flatnonzero((b[1:] != b[:-1]) | (k[1:] != k[:-1])) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [b.size]])
+    multi = (ends - starts) >= 2
+    if not multi.any():
+        return empty
+    pa_list, pb_list = [], []
+    for s, e in zip(starts[multi], ends[multi]):
+        ids = d[s:e]
+        ids = ids[np.concatenate([[True], ids[1:] != ids[:-1]])][:MAX_BUCKET]
+        if ids.size < 2:
+            continue
+        ia, ib = np.triu_indices(ids.size, k=1)
+        pa_list.append(ids[ia])
+        pb_list.append(ids[ib])
+    if not pa_list:
+        return empty
+    a = np.concatenate(pa_list)
+    bb = np.concatenate(pb_list)
+    if a.max() < (1 << 31) and bb.max() < (1 << 32):
+        key = np.unique(a * np.int64(1 << 32) + bb)
+        a, bb = key >> np.int64(32), key & np.int64(0xFFFFFFFF)
+    else:
+        o = np.lexsort((bb, a))
+        a, bb = a[o], bb[o]
+        keep = np.concatenate([[True], (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])])
+        a, bb = a[keep], bb[keep]
     return pa.table(
-        {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
+        {"a": pa.array(a, type=pa.int64()), "b": pa.array(bb, type=pa.int64())}
     )
 
 
@@ -368,10 +408,10 @@ def q_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
         MinHashStage, batch_format="pyarrow", concurrency=(1, 4)
     )
     cand = (
-        lsh.groupby(["band", "band_key"])
+        lsh.groupby("part")
         .map_groups(_bucket_pairs, batch_format="pyarrow")
         .groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_bands"))
+        .aggregate(Count(alias_name="n_parts"))
         .select_columns(["a", "b"])
         .materialize()
     )
