@@ -17,7 +17,6 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 import ray.data
 
 from ciff_ray.build import BuildParams, build_index
@@ -89,19 +88,25 @@ def q_tokenize_tf(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def q_postings_stats(sf_dir: str) -> pa.Table:
+def q_postings_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-term (term, df, cf) from the built index's term stats
-    (aggregates A1/A2)."""
+    (aggregates A1/A2) — a streamed read of the sharded stats files
+    (the driver compare is order-insensitive; no driver-side vocab
+    materialization)."""
     idx = ensure_index(sf_dir)
-    t = pq.read_table(IndexPaths(idx).term_stats, columns=["term", "df", "cf"])
-    return t.sort_by("term")
+    return ray.data.read_parquet(
+        IndexPaths(idx).term_stats, columns=["term", "df", "cf"]
+    )
 
 
-def q_docmap(sf_dir: str) -> pa.Table:
-    """DocRecord stream analogue (doc_id, collection_docid, doclength)."""
+def q_docmap(sf_dir: str) -> ray.data.Dataset:
+    """DocRecord stream analogue (doc_id, collection_docid, doclength),
+    streamed from the docmap partition files."""
     idx = ensure_index(sf_dir)
-    t = pq.read_table(IndexPaths(idx).docmap_dir)
-    return t.sort_by("doc_id").select(["doc_id", "collection_docid", "doclength"])
+    return ray.data.read_parquet(
+        IndexPaths(idx).docmap_dir,
+        columns=["doc_id", "collection_docid", "doclength"],
+    )
 
 
 def q_collection_stats(sf_dir: str) -> pa.Table:
