@@ -914,25 +914,17 @@ def _docmap_from_partials(batch: pa.Table, *, offsets_ref) -> pa.Table:
     )
 
 
-@ray.remote
-def _extract_heavy_stats(block: pa.Table) -> tuple[pa.Table, int]:
-    """Per-block pre-filter: the (tiny) heavy-term partial rows plus
-    this block's doclength sum."""
-    heavy = block.filter(pc.equal(block["kind"], 1)).select(["term", "df_part"])
-    dlsum = pc.sum(
-        block.filter(pc.equal(block["kind"], 3))["doclength"]
-    ).as_py()
-    return heavy, int(dlsum or 0)
-
-
 _CONV_SHARDS = 16
 
 
 @ray.remote
-def _conv_shard_parts(block: pa.Table, nshard: int):
-    """Split a block's conversation partials into disjoint hash shards
-    so the (n_convs-sized) combine runs distributed instead of as one
-    driver group_by."""
+def _block_small_aggs(block: pa.Table, nshard: int):
+    """ONE task per stats block extracts every small-aggregate input:
+    conversation partials split into disjoint hash shards (returns
+    nshard + 1 values via num_returns; the combine runs distributed),
+    plus (heavy-term partial rows, block doclength sum) as the final
+    return — fused so pass A costs one task launch per block, not two
+    (the conv/heavy gather was task-launch-latency bound)."""
     import pandas as pd
 
     pa.set_cpu_count(1)
@@ -940,12 +932,18 @@ def _conv_shard_parts(block: pa.Table, nshard: int):
         ["conv_id", "n_turns", "min_turn", "max_turn"]
     )
     if conv.num_rows == 0:
-        return tuple(conv for _ in range(nshard))
-    h = (
-        pd.util.hash_array(conv["conv_id"].to_numpy(zero_copy_only=False))
-        % nshard
-    )
-    return tuple(conv.filter(pa.array(h == s)) for s in range(nshard))
+        shards = tuple(conv for _ in range(nshard))
+    else:
+        h = (
+            pd.util.hash_array(conv["conv_id"].to_numpy(zero_copy_only=False))
+            % nshard
+        )
+        shards = tuple(conv.filter(pa.array(h == s)) for s in range(nshard))
+    heavy = block.filter(pc.equal(block["kind"], 1)).select(["term", "df_part"])
+    dlsum = pc.sum(
+        block.filter(pc.equal(block["kind"], 3))["doclength"]
+    ).as_py()
+    return shards + ((heavy, int(dlsum or 0)),)
 
 
 @ray.remote
@@ -1020,17 +1018,17 @@ def build_index(
     # conv-partial combine runs distributed over disjoint hash shards;
     # the driver only concatenates the (exactly n_convs rows of) merged
     # shards, sorts by conv_id bytes and prefix-sums
-    shard_refs = [
-        _conv_shard_parts.options(num_returns=_CONV_SHARDS).remote(
+    agg_refs = [
+        _block_small_aggs.options(num_returns=_CONV_SHARDS + 1).remote(
             b, _CONV_SHARDS
         )
         for b in stat_blocks
     ]
     shard_tasks = [
-        _merge_conv_shard.remote(*[sr[s] for sr in shard_refs])
+        _merge_conv_shard.remote(*[ar[s] for ar in agg_refs])
         for s in range(_CONV_SHARDS)
     ]
-    extracted = ray.get([_extract_heavy_stats.remote(b) for b in stat_blocks])
+    extracted = ray.get([ar[_CONV_SHARDS] for ar in agg_refs])
     heavy_tables = [t for t, _ in extracted if t.num_rows]
     heavy_parts = (
         pa.concat_tables(heavy_tables)

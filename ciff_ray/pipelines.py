@@ -251,33 +251,82 @@ def postings_table(sf_dir: str) -> pa.Table:
     )
 
 
-def q_bm25_scores(sf_dir: str) -> pa.Table:
-    """All matching (query_id, doc_id, score_r) for the fixed query set;
-    scores rounded to 6 dp for cross-engine float comparison."""
-    idx = ensure_index(sf_dir)
-    eng = QueryEngine(idx)
-    qids, docs, scores = [], [], []
-    for qid, q in enumerate(QUERY_SET):
-        u, sc = eng._local.score_all(q)
-        qids.extend([qid] * u.size)
-        docs.extend(u.tolist())
-        scores.extend(np.round(sc, 6).tolist())
-    return pa.table(
-        {
-            "query_id": pa.array(qids, type=pa.int64()),
-            "doc_id": pa.array(docs, type=pa.int64()),
-            "score_r": pa.array(scores, type=pa.float64()),
-        }
+def _query_set_ds() -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(
+                    np.arange(len(QUERY_SET), dtype=np.int64)
+                ),
+                "query": pa.array(QUERY_SET),
+            }
+        )
     )
 
 
-def q_bm25_topk(sf_dir: str) -> pa.Table:
+class _ScoreAllActor:
+    """map_batches scorer: batch of (query_id, query) -> ALL matching
+    (query_id, doc_id, score_r) rows.  Index loaded once per actor."""
+
+    def __init__(self, index_dir: str):
+        from ciff_ray.query import LocalScorer
+
+        self.scorer = LocalScorer(index_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, scores = [], [], []
+        for qid, q in zip(
+            batch["query_id"].to_pylist(), batch["query"].to_pylist()
+        ):
+            u, sc = self.scorer.score_all(q)
+            qids.append(np.full(u.size, qid, dtype=np.int64))
+            docs.append(u)
+            scores.append(np.round(sc, 6))
+        if not qids:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "score_r": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qids), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(docs), type=pa.int64()),
+                "score_r": pa.array(
+                    np.concatenate(scores), type=pa.float64()
+                ),
+            }
+        )
+
+
+def q_bm25_scores(sf_dir: str) -> ray.data.Dataset:
+    """All matching (query_id, doc_id, score_r) for the fixed query set
+    (scores rounded to 6 dp for cross-engine float comparison) —
+    scored by the actor pool, not a driver loop."""
+    idx = ensure_index(sf_dir)
+    return (
+        _query_set_ds()
+        .repartition(4)
+        .map_batches(
+            _ScoreAllActor,
+            fn_constructor_args=(idx,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    )
+
+
+def q_bm25_topk(sf_dir: str) -> ray.data.Dataset:
     """Rank-identical top-k (query_id, rank, doc_id) for the fixed query
-    set (north_rule correctness gate)."""
+    set (north_rule correctness gate) — the distributed serving path
+    (QueryEngine.score_dataset actor pool)."""
     idx = ensure_index(sf_dir)
     eng = QueryEngine(idx)
-    tbl = eng.topk_table(QUERY_SET, k=TOPK_K)
-    return tbl.select(["query_id", "rank", "doc_id"])
+    return eng.score_dataset(
+        _query_set_ds().repartition(4), k=TOPK_K, concurrency=(1, 4)
+    ).select_columns(["query_id", "rank", "doc_id"])
 
 
 # ---------------------------------------------------------------------------
