@@ -53,9 +53,18 @@ def transcripts_dataset(sf_dir: str) -> ray.data.Dataset:
 # index build cache (one build per sf_dir per process tree / round)
 
 
+def _sf_fingerprint(sf_dir: str) -> str:
+    """Content-sensitive cache key: path + size + mtime of the source
+    table, so a regenerated testdata dir at the same path can never be
+    served by a stale cached index."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return format(
+        stable_hash(f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()), "08x"
+    )
+
+
 def index_dir_for(sf_dir: str) -> str:
-    key = format(stable_hash(sf_dir.encode()), "08x")
-    return os.path.join("/tmp/ciff_ray_cache", key)
+    return os.path.join("/tmp/ciff_ray_cache", _sf_fingerprint(sf_dir))
 
 
 def ensure_index(sf_dir: str) -> str:
@@ -66,7 +75,7 @@ def ensure_index(sf_dir: str) -> str:
             transcripts_dataset(sf_dir),
             out,
             BuildParams(num_partitions=16, sample_frac=1.0),
-            input_fingerprint=format(stable_hash(sf_dir.encode()), "08x"),
+            input_fingerprint=_sf_fingerprint(sf_dir),
         )
     return out
 
