@@ -142,3 +142,37 @@ def test_doclength_store_sharding(built, monkeypatch):
     # wrong manifest count -> fail fast at init (metadata-only check)
     with pytest.raises(ValueError, match="dense"):
         DoclengthStore(IndexPaths(out).docmap_dir, manifest.num_docs + 1)
+
+
+def test_postings_hash_partials_match_oracle(built):
+    """The streamed per-slice content hashes (pipelines._postings_partials)
+    must merge to the oracle's exact per-term (df, cf, dh, th) — covers
+    salted multi-slice terms and whatever codec each slice chose."""
+    import pyarrow as pa
+
+    from ciff_ray.pipelines import _LIST_HASH_MOD, _postings_partials
+
+    tbl, out, manifest, oracle = built
+    paths = IndexPaths(out)
+    merged: dict[str, list[int]] = {}
+    for pid in range(manifest.num_partitions):
+        seg = paths.segment(pid)
+        import os
+
+        if not os.path.exists(seg):
+            continue
+        part = _postings_partials(pq.read_table(seg))
+        for r in part.to_pylist():
+            acc = merged.setdefault(r["term"], [0, 0, 0, 0])
+            acc[0] += r["df"]
+            acc[1] += r["cf"]
+            acc[2] += r["dh"]
+            acc[3] += r["th"]
+    assert set(merged) == set(oracle.postings)
+    M = _LIST_HASH_MOD
+    for term, exp in oracle.postings.items():
+        df, cf, dh, th = merged[term]
+        assert df == len(exp), term
+        assert cf == sum(t for _, t in exp), term
+        assert dh % M == sum(d * d % M for d, _ in exp) % M, term
+        assert th % M == sum(d * t % M for d, t in exp) % M, term
