@@ -161,9 +161,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 def run_serve_bench(sf_dir: str, num_cpus: int, n_queries: int = 4096) -> dict:
     """Distributed query serving: a queries Dataset scored by the
     LocalScorer actor pool (QueryEngine.score_dataset).  Measures
-    end-to-end queries/sec with index load amortized per actor — the
-    query-side horizontal-scaling story (any actor serves any query;
-    pool sized to load)."""
+    end-to-end queries/sec INCLUDING per-actor index load and posting
+    decode warm-up (each score_dataset call spins a fresh pool, so this
+    is the honest "start a fleet, push N queries" number; steady-state
+    per-query cost is the single-scorer p50/p95) — the query-side
+    horizontal-scaling story (any actor serves any query; pool sized
+    to load)."""
     import pyarrow as pa
     import ray
 
@@ -202,7 +205,9 @@ def run_serve_bench(sf_dir: str, num_cpus: int, n_queries: int = 4096) -> dict:
     eng = QueryEngine(idx_dir)
     n_actors = max(2, num_cpus // 4)
     qds = ray.data.from_arrow(queries).repartition(n_actors * 4)
-    # warmup pass: actor startup + index load excluded from steady-state
+    # prime Ray worker processes / page cache; note each score_dataset
+    # call still builds a FRESH actor pool, so the timed run below
+    # includes per-actor index load (see docstring)
     eng.score_dataset(
         qds.limit(n_actors * 8), k=10, concurrency=(n_actors, n_actors)
     ).materialize()

@@ -415,9 +415,19 @@ def q_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
         .select_columns(["a", "b"])
         .materialize()
     )
-    ids_ref = ray.put(_unique_ids(cand, ["a", "b"]))
+    cand_ids = _unique_ids(cand, ["a", "b"])
+    ids_ref = ray.put(cand_ids)
+    # candidate filter pushed into the parquet scan (row-group pruning +
+    # native-code filtering) so the corpus re-read for the verify side
+    # touches only fragments containing candidates; the stage's own
+    # is_in is a cheap second line of defense
+    cand_docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(pa.array(cand_ids, type=pa.int64())),
+    )
     set_refs = _dataset_refs(
-        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        cand_docs.map_batches(
             ShingleSetStage,
             fn_constructor_args=(ids_ref,),
             batch_format="pyarrow",
