@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docmap": p.q_docmap,
         "collection_stats": p.q_collection_stats,
         "postings_lists": p.q_postings_lists,
+        "conv_stats": p.q_conv_stats,
+        "turn_window": p.q_turn_window,
         "bm25_scores": p.q_bm25_scores,
         "bm25_topk": p.q_bm25_topk,
     }

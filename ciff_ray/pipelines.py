@@ -134,6 +134,148 @@ def q_collection_stats(sf_dir: str) -> pa.Table:
     )
 
 
+def conv_stats_partials(batch: pa.Table) -> pa.Table:
+    """Transcript rows -> per-batch PARTIAL conversation aggregates
+    (one row per conversation present in the batch): the combiner half
+    of the pre-aggregate-then-small-shuffle pattern — the groupby that
+    follows moves one row per (batch, conv), never per turn."""
+    from ciff_ray.tokenizer import tokenize_column
+
+    ntok = pc.list_value_length(tokenize_column(batch["text"])).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    enc = pc.dictionary_encode(batch["conv_id"].combine_chunks())
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    ncv = len(enc.dictionary)
+    role = batch["role"].combine_chunks()
+    is_user = pc.equal(role, "user").to_numpy(zero_copy_only=False)
+    is_asst = pc.equal(role, "assistant").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "conv_id": enc.dictionary,
+            "n_turns": pa.array(
+                np.bincount(idx, minlength=ncv).astype(np.int64)
+            ),
+            "total_tokens": pa.array(
+                np.bincount(idx, weights=ntok, minlength=ncv).astype(np.int64)
+            ),
+            "n_user": pa.array(
+                np.bincount(idx, weights=is_user, minlength=ncv).astype(
+                    np.int64
+                )
+            ),
+            "n_assistant": pa.array(
+                np.bincount(idx, weights=is_asst, minlength=ncv).astype(
+                    np.int64
+                )
+            ),
+        }
+    )
+
+
+def q_conv_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-conversation aggregates over the transcripts table
+    (conv_id, n_turns, total_tokens, n_user, n_assistant) — the
+    conversation-level rollup a transcripts pipeline needs, shaped as
+    per-batch partials + one small groupby."""
+    from ray.data.aggregate import Sum
+
+    return (
+        transcripts_dataset(sf_dir)
+        .map_batches(conv_stats_partials, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("total_tokens", alias_name="total_tokens"),
+            Sum("n_user", alias_name="n_user"),
+            Sum("n_assistant", alias_name="n_assistant"),
+        )
+    )
+
+
+WINDOW_TURNS = 3  # rolling frame: the 3 turns preceding each turn
+_WINDOW_PARTS = 64
+
+
+def _turn_rows(batch: pa.Table) -> pa.Table:
+    """documents rows -> narrow (conv, turn, doc_id, ntok, part) rows
+    for the windowed aggregate (conv/turn via the derived-transcript
+    rank identity, as integers); `part` hash-partitions whole
+    conversations so the window runs in _WINDOW_PARTS vectorized group
+    calls (a conversation never spans partitions)."""
+    from ciff_ray.synth import TURNS_PER_CONV_FROM_DOCS
+    from ciff_ray.tokenizer import tokenize_column
+
+    ntok = pc.list_value_length(tokenize_column(batch["text"])).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    conv = doc // TURNS_PER_CONV_FROM_DOCS
+    return pa.table(
+        {
+            "conv": pa.array(conv, type=pa.int64()),
+            "turn": pa.array(doc % TURNS_PER_CONV_FROM_DOCS, type=pa.int64()),
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "ntok": pa.array(ntok),
+            "part": pa.array((conv % _WINDOW_PARTS).astype(np.int32)),
+        }
+    )
+
+
+def _window_in_part(group: pa.Table) -> pa.Table:
+    """One conversation-hash partition -> per-turn rolling token sums:
+    one sort by (conv, turn_idx), then a clamped prefix-sum difference
+    per conversation run — the windowed-aggregate kernel, fully
+    vectorized (no per-conversation Python)."""
+    if len(group) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "win_tokens": pa.array([], type=pa.int64()),
+            }
+        )
+    codes = group["conv"].to_numpy(zero_copy_only=False)
+    turn = group["turn"].to_numpy(zero_copy_only=False)
+    doc = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ntok = group["ntok"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((turn, codes))
+    codes, doc, ntok = codes[order], doc[order], ntok[order]
+    n = codes.size
+    run_start_idx = np.concatenate(
+        [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1]
+    )
+    starts = np.repeat(
+        run_start_idx,
+        np.diff(np.concatenate([run_start_idx, [n]])),
+    )
+    c = np.concatenate([[0], np.cumsum(ntok)])
+    i = np.arange(n)
+    lo = np.maximum(i - WINDOW_TURNS, starts)
+    win = c[i] - c[lo]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "win_tokens": pa.array(win, type=pa.int64()),
+        }
+    )
+
+
+def q_turn_window(sf_dir: str) -> ray.data.Dataset:
+    """Per-turn rolling window over each conversation: tokens in the
+    WINDOW_TURNS turns preceding the turn (0 for a conversation's first
+    turn) — the windowed-aggregate operator class, composed as
+    map_batches -> conversation-hash groupby -> vectorized window
+    kernel (the SURVEY custom-operator route (a))."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return (
+        docs.map_batches(_turn_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_window_in_part, batch_format="pyarrow")
+    )
+
+
 # order-free list-content hash modulus: elementwise terms stay < M so
 # int64 partial sums can't overflow before the final mod (M^2 < 2^62);
 # (doc, tf) pairing + the ascending-docID invariant make the hash pin
@@ -446,6 +588,38 @@ SELECT (SELECT count(*) FROM transcripts) AS num_docs,
        (SELECT count(*) FROM tok WHERE term <> '') AS total_terms_in_collection,
        (SELECT count(*) FROM tok WHERE term <> '') * 1.0
          / (SELECT count(*) FROM transcripts) AS average_doclength""",
+        "conv_stats": f"""{T},
+r AS (
+  SELECT conv_id,
+         -- role derivation mirrors synth.transcripts_from_documents
+         -- (_ROLES[doc_id % 4])
+         CASE doc_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS ntok
+  FROM transcripts
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_user,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_assistant
+FROM r GROUP BY conv_id""",
+        "turn_window": f"""{T},
+r AS (
+  SELECT conv_id, turn_idx, doc_id,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS ntok
+  FROM transcripts
+)
+SELECT doc_id,
+       CAST(coalesce(SUM(ntok) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN {WINDOW_TURNS} PRECEDING AND 1 PRECEDING
+       ), 0) AS BIGINT) AS win_tokens
+FROM r""",
         "bm25_scores": f"""{T},
 {_bm25_scored_cte().lstrip()}
 SELECT query_id, doc_id, round(score, 6) AS score_r FROM scored""",
