@@ -176,3 +176,36 @@ def test_postings_hash_partials_match_oracle(built):
         assert cf == sum(t for _, t in exp), term
         assert dh % M == sum(d * d % M for d, _ in exp) % M, term
         assert th % M == sum(d * t % M for d, t in exp) % M, term
+
+
+def test_turn_window_kernel():
+    """Clamped-prefix-sum window kernel: frame = WINDOW_TURNS preceding
+    turns, clamped at each conversation start; unsorted input."""
+    import pyarrow as pa
+
+    from ciff_ray.pipelines import WINDOW_TURNS, _window_in_part
+
+    assert WINDOW_TURNS == 3
+    group = pa.table(
+        {
+            "conv": pa.array([1, 0, 0, 0, 0, 0, 1], type=pa.int64()),
+            "turn": pa.array([1, 4, 3, 2, 1, 0, 0], type=pa.int64()),
+            "doc_id": pa.array([61, 4, 3, 2, 1, 0, 60], type=pa.int64()),
+            "ntok": pa.array([4, 7, 3, 2, 1, 5, 10], type=pa.int64()),
+        }
+    )
+    out = {
+        r["doc_id"]: r["win_tokens"] for r in _window_in_part(group).to_pylist()
+    }
+    # conv 0 ntok by turn: [5, 1, 2, 3, 7]
+    assert out == {
+        0: 0,          # first turn
+        1: 5,          # turn 0
+        2: 5 + 1,
+        3: 5 + 1 + 2,
+        4: 1 + 2 + 3,  # frame slides past turn 0
+        60: 0,
+        61: 10,
+    }
+    empty = _window_in_part(group.slice(0, 0))
+    assert empty.num_rows == 0
