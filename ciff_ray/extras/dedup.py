@@ -416,6 +416,13 @@ def q_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
         .materialize()
     )
     cand_ids = _unique_ids(cand, ["a", "b"])
+    if cand_ids.size == 0:
+        # typed empty (a dataset with no blocks would lose the schema)
+        return ray.data.from_arrow(
+            pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()), ("j_r", pa.float64())]
+            ).empty_table()
+        )
     ids_ref = ray.put(cand_ids)
     # candidate filter pushed into the parquet scan (row-group pruning +
     # native-code filtering) so the corpus re-read for the verify side
