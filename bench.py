@@ -217,11 +217,27 @@ def run_serve_bench(sf_dir: str, num_cpus: int, n_queries: int = 4096) -> dict:
     ).materialize()
     wall = time.monotonic() - t0
     n_rows = out.count()
+
+    # steady state: a PERSISTENT ServingPool (actors + caches survive
+    # across calls) — one warm pass, then the timed pass on warm actors
+    from ciff_ray.query import ServingPool
+
+    qlist = [BENCH_QUERIES[i] for i in picks]
+    pool = ServingPool(idx_dir, n_actors=n_actors)
+    try:
+        pool.topk_table(qlist, k=10)
+        t0 = time.monotonic()
+        pool.topk_table(qlist, k=10)
+        warm_wall = time.monotonic() - t0
+    finally:
+        pool.close()
     return {
         "serve_queries": n_queries,
         "serve_actors": n_actors,
         "serve_sec": round(wall, 3),
         "queries_per_sec": round(n_queries / wall, 1),
+        "warm_pool_sec": round(warm_wall, 3),
+        "warm_queries_per_sec": round(n_queries / warm_wall, 1),
         "result_rows": n_rows,
     }
 

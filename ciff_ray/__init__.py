@@ -26,7 +26,7 @@ file / PISA binary collection, SURVEY.md §1.4):
 
 from ciff_ray.schemas import TRANSCRIPTS_SCHEMA, DOCMAP_SCHEMA, POSTINGS_SCHEMA
 from ciff_ray.build import IndexBuilder, build_index
-from ciff_ray.query import QueryEngine, BM25Params
+from ciff_ray.query import QueryEngine, BM25Params, ServingPool
 from ciff_ray.oracle import OracleIndex
 
 __all__ = [
@@ -36,6 +36,7 @@ __all__ = [
     "IndexBuilder",
     "build_index",
     "QueryEngine",
+    "ServingPool",
     "BM25Params",
     "OracleIndex",
 ]

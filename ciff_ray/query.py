@@ -734,6 +734,82 @@ class ScorerActor:
         )
 
 
+class _ScorerServer:
+    """Long-lived serving actor body (wrapped with ray.remote lazily —
+    this module stays importable without Ray): one LocalScorer, queries
+    in / ranked rows out.  Index + caches persist across calls (unlike
+    score_dataset, whose actor pool is rebuilt per Dataset
+    execution)."""
+
+    def __init__(self, index_dir: str):
+        self.scorer = LocalScorer(index_dir)
+
+    def topk_batch(self, qids: list, queries: list[str], k: int, mode: str):
+        out = []
+        for qid, q in zip(qids, queries):
+            d, s = self.scorer.topk(q, k, mode=mode)
+            out.append((qid, d, s))
+        return out
+
+
+class ServingPool:
+    """Persistent BM25 serving fleet: N named scorer actors that keep
+    their index state and decoded-postings caches across calls — the
+    steady-state serving path (score_dataset spins a fresh actor pool
+    per Dataset execution, so its throughput includes index load).
+
+    This is a deliberate drop to raw Ray actors: a long-lived pool with
+    warm per-actor caches is shared mutable state the Dataset API can't
+    express (SURVEY.md §4).  On a cluster the actors spread across
+    nodes; any actor serves any query (index on shared storage)."""
+
+    def __init__(self, index_dir: str, n_actors: int = 8):
+        import ray
+
+        self._ray = ray
+        self.index_dir = index_dir
+        remote_cls = ray.remote(_ScorerServer)
+        self._actors = [remote_cls.remote(index_dir) for _ in range(n_actors)]
+
+    def topk_table(
+        self,
+        queries: list[str],
+        k: int = 10,
+        mode: str = "exact",
+        chunk: int = 64,
+    ) -> pa.Table:
+        """Score `queries` across the pool (round-robin chunks);
+        returns (query_id, rank, doc_id, score) like
+        QueryEngine.topk_table."""
+        futs = []
+        for i in range(0, len(queries), chunk):
+            qids = list(range(i, min(i + chunk, len(queries))))
+            actor = self._actors[(i // chunk) % len(self._actors)]
+            futs.append(
+                actor.topk_batch.remote(qids, queries[i : i + chunk], k, mode)
+            )
+        qid_col, rank_col, doc_col, score_col = [], [], [], []
+        for batch in self._ray.get(futs):
+            for qid, d, s in batch:
+                qid_col.extend([qid] * len(d))
+                rank_col.extend(range(1, len(d) + 1))
+                doc_col.extend(d.tolist())
+                score_col.extend(s.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qid_col, type=pa.int64()),
+                "rank": pa.array(rank_col, type=pa.int32()),
+                "doc_id": pa.array(doc_col, type=pa.int64()),
+                "score": pa.array(score_col, type=pa.float64()),
+            }
+        )
+
+    def close(self) -> None:
+        for a in self._actors:
+            self._ray.kill(a)
+        self._actors = []
+
+
 class QueryEngine:
     """User-facing engine: single queries, batches, and Dataset scoring."""
 

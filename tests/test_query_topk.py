@@ -140,3 +140,27 @@ def test_collection_docid_translation(engine_and_oracle):
     docs, _ = engine.topk("people time", k=5)
     titles = engine._local.collection_docids(docs)
     assert titles == [oracle.collection_docids[d] for d in docs.tolist()]
+
+
+def test_serving_pool_matches_local(ray_session, engine_and_oracle):
+    """Persistent serving fleet: results identical to the local scorer;
+    actors survive across calls (steady-state path)."""
+    from ciff_ray.query import ServingPool
+
+    eng, _ = engine_and_oracle
+    idx = eng.index_dir
+    queries = ["the time people", "world still own", "zzznotaterm", "year"]
+    pool = ServingPool(idx, n_actors=2)
+    try:
+        got = pool.topk_table(queries, k=5, chunk=2)
+        exp = eng.topk_table(queries, k=5)
+        assert got.sort_by([("query_id", "ascending"), ("rank", "ascending")]).equals(
+            exp.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+        )
+        # second call reuses the SAME actors (caches warm, no rebuild)
+        actors_before = list(pool._actors)
+        got2 = pool.topk_table(queries, k=5, chunk=2)
+        assert pool._actors == actors_before
+        assert got2.equals(got)
+    finally:
+        pool.close()
