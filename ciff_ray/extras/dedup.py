@@ -46,7 +46,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Min
 
 
 def _embedding_matrix(col) -> np.ndarray:
@@ -492,6 +492,7 @@ def _pairs_in_part(group: pa.Table) -> pa.Table:
             "a": pa.array([], type=pa.int64()),
             "b": pa.array([], type=pa.int64()),
             "i": pa.array([], type=pa.int64()),
+            "part2": pa.array([], type=pa.int32()),
         }
     )
     if h.size < 2:
@@ -531,6 +532,55 @@ def _pairs_in_part(group: pa.Table) -> pa.Table:
             "a": pa.array(ua, type=pa.int64()),
             "b": pa.array(ub, type=pa.int64()),
             "i": pa.array(counts, type=pa.int64()),
+            # pair-hash partition for the cross-part combine: Ray's
+            # hash aggregate over ~1M tiny (a, b) groups measured 15.7s
+            # at sf0.1; a sort exchange + vectorized per-partition sum
+            # is ~2s for the same result
+            "part2": pa.array(
+                ((ua * np.int64(2654435761) + ub) % NGRAM_PARTS).astype(
+                    np.int32
+                )
+            ),
+        }
+    )
+
+
+def _sum_pairs_in_part(group: pa.Table) -> pa.Table:
+    """One pair-hash partition -> per-(a, b) summed intersection counts
+    (a pair's rows all land in one partition): one composite-key unique
+    + bincount."""
+    a = group["a"].to_numpy(zero_copy_only=False)
+    b = group["b"].to_numpy(zero_copy_only=False)
+    i = group["i"].to_numpy(zero_copy_only=False).astype(np.float64)
+    if a.size == 0:
+        return pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "i": pa.array([], type=pa.int64()),
+            }
+        )
+    if a.max() < (1 << 31) and b.max() < (1 << 32):
+        key = a * np.int64(1 << 32) + b
+        ks, inv = np.unique(key, return_inverse=True)
+        ua, ub = ks >> np.int64(32), ks & np.int64(0xFFFFFFFF)
+    else:
+        order = np.lexsort((b, a))
+        sa, sb = a[order], b[order]
+        new = np.concatenate(
+            [[True], (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])]
+        )
+        grp = np.cumsum(new) - 1
+        inv = np.empty(a.size, dtype=np.int64)
+        inv[order] = grp
+        idx = np.flatnonzero(new)
+        ua, ub = sa[idx], sb[idx]
+    sums = np.bincount(inv, weights=i).astype(np.int64)
+    return pa.table(
+        {
+            "a": pa.array(ua, type=pa.int64()),
+            "b": pa.array(ub, type=pa.int64()),
+            "i": pa.array(sums, type=pa.int64()),
         }
     )
 
@@ -612,8 +662,8 @@ def q_dedup_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
         docs.map_batches(shingle_rows, batch_format="pyarrow")
         .groupby("part")
         .map_groups(_pairs_in_part, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Sum("i", alias_name="i"))
+        .groupby("part2")
+        .map_groups(_sum_pairs_in_part, batch_format="pyarrow")
     )
     size_refs = _dataset_refs(
         docs.map_batches(ngram_sizes, batch_format="pyarrow")
