@@ -77,3 +77,30 @@ def test_index_to_ciff_round_trip(tmp_path):
     r2 = s2.topk(q, k=5)
     assert r1[0].tolist() == r2[0].tolist()
     assert r1[1].tolist() == r2[1].tolist()
+
+
+def test_postings_chunks_boundary_scan():
+    """The varint boundary scan must partition the postings stream into
+    chunks that, parsed independently, reproduce the sequential read —
+    the invariant the parallel import decode relies on."""
+    from ciff_ray.interop.convert import CiffReader
+    from ciff_ray.interop.proto import CiffPostingsList, read_delimited
+
+    seq = [
+        (pl.term, pl.doc_ids().tolist(), pl.tfs.tolist())
+        for pl in CiffReader(TOY).postings_lists()
+    ]
+    r = CiffReader(TOY)
+    chunks = r.postings_chunks(target_msgs=2)
+    assert sum(c for _, c in chunks) == len(seq) == 9
+    assert len(chunks) == 5  # 2+2+2+2+1
+    got = []
+    for pos, count in chunks:
+        for _ in range(count):
+            msg, pos = read_delimited(r.buf, pos)
+            pl = CiffPostingsList.parse(msg)
+            got.append((pl.term, pl.doc_ids().tolist(), pl.tfs.tolist()))
+    assert got == seq
+    # the scan also fixed _docs_start: doc records readable with no
+    # second postings pass
+    assert len(list(r.doc_records())) == r.header.num_docs
