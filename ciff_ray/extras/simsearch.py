@@ -298,6 +298,101 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
     return _merge_topk(parts, TOP_K)
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (iterative algorithm family; rows-only entry)
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def _kmeans_assign_partial(batch: pa.Table, *, cref) -> pa.Table:
+    """One k-means E+partial-M step over a batch: assign rows to the
+    nearest broadcast centroid, emit per-centroid partial (count,
+    vector sum) — K rows per batch regardless of batch size, so the
+    per-iteration reduce is K x blocks tiny rows."""
+    C = ray.get(cref)
+    V = _embedding_matrix(batch["embedding"])
+    if V.size == 0:
+        return pa.table(
+            {
+                "cluster_id": pa.array([], type=pa.int32()),
+                "n": pa.array([], type=pa.int64()),
+                "vsum": pa.array([], type=pa.large_list(pa.float64())),
+            }
+        )
+    # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; argmin drops ||v||^2
+    d2 = -2.0 * (V @ C.T) + (C * C).sum(axis=1)[None, :]
+    assign = np.argmin(d2, axis=1)
+    k = C.shape[0]
+    counts = np.bincount(assign, minlength=k)
+    sums = np.zeros_like(C)
+    np.add.at(sums, assign, V)
+    present = np.flatnonzero(counts)
+    return pa.table(
+        {
+            "cluster_id": pa.array(present.astype(np.int32)),
+            "n": pa.array(counts[present], type=pa.int64()),
+            "vsum": pa.array(
+                [sums[c].tolist() for c in present],
+                type=pa.large_list(pa.float64()),
+            ),
+        }
+    )
+
+
+def kmeans_centroids(
+    path: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed Lloyd's k-means over the embedding column: per
+    iteration, centroids broadcast once (`ray.put`), one map_batches
+    pass emits per-centroid partial sums, the (K x blocks)-row reduce
+    runs on the driver.  Deterministic init = the first k vectors.
+    Returns (centroids (k, d), counts (k,))."""
+    _, C = _read_prefix(path, k)
+    counts = np.zeros(k, dtype=np.int64)
+    ds = ray.data.read_parquet(path, columns=["embedding"])
+    for _ in range(iters):
+        cref = ray.put(C)
+        parts = ds.map_batches(
+            _kmeans_assign_partial,
+            fn_kwargs={"cref": cref},
+            batch_format="pyarrow",
+        ).take_all()
+        sums = np.zeros_like(C)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in parts:
+            cid = r["cluster_id"]
+            counts[cid] += r["n"]
+            sums[cid] += np.asarray(r["vsum"])
+        nonzero = counts > 0
+        C = C.copy()
+        C[nonzero] = sums[nonzero] / counts[nonzero, None]
+    return C, counts
+
+
+def q_kmeans(sf_dir: str) -> pa.Table:
+    """K-means cluster summary over the embeddings table (cluster_id,
+    n, centroid) — the iterative-algorithm operator family (rows-only:
+    not SQL-expressible; pinned against a single-process numpy oracle
+    in tests)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    C, counts = kmeans_centroids(path)
+    return pa.table(
+        {
+            "cluster_id": pa.array(
+                np.arange(KMEANS_K, dtype=np.int64), type=pa.int64()
+            ),
+            "n": pa.array(counts, type=pa.int64()),
+            "centroid": pa.array(
+                [c.tolist() for c in C], type=pa.large_list(pa.float64())
+            ),
+        }
+    )
+
+
 ORACLE_SQLS = {
     "knn_brute": f"""WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
@@ -322,4 +417,5 @@ FROM ranked WHERE rnk <= {TOP_K}""",
 QUERIES = {
     "knn_brute": q_knn_brute,
     "ann_ivf": q_ann_ivf,  # rows-only (approximate by design)
+    "kmeans": q_kmeans,  # rows-only (iterative; numpy oracle in tests)
 }

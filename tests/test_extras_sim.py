@@ -80,3 +80,31 @@ def test_media_synthesis_schema():
 def test_real_decoder_is_marked_stub():
     with pytest.raises(NotImplementedError):
         multimodal.RealDecoder()
+
+
+def test_kmeans_matches_numpy(ray_session):
+    """Distributed Lloyd's iterations == single-process numpy oracle
+    (same deterministic init, same iteration count)."""
+    t = pq.read_table(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t["vec_id"].to_pylist())
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, E = ids[order], E[order]
+    k, iters = simsearch.KMEANS_K, simsearch.KMEANS_ITERS
+    C = E[ids < k].copy()
+    for _ in range(iters):
+        d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        counts = np.bincount(assign, minlength=k)
+        for c in range(k):
+            if counts[c]:
+                C[c] = E[assign == c].mean(axis=0)
+
+    got = simsearch.q_kmeans(SF)
+    got_counts = np.array(got["n"].to_pylist())
+    got_C = np.array(got["centroid"].to_pylist())
+    assert got_counts.tolist() == counts.tolist()
+    assert np.allclose(got_C, C, atol=1e-9)
+    assert got_counts.sum() == len(ids)
