@@ -75,8 +75,15 @@ def _query_matrix(path: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _centroids(path: str) -> np.ndarray:
-    _, C = _read_prefix(path, IVF_CENTROIDS)
-    return C / np.sqrt((C * C).sum(axis=1, keepdims=True))
+    """IVF quantizer: spherical k-means over the collection (trained,
+    not just the first vectors — balances buckets on real data), unit
+    norm so dot products rank by cosine."""
+    C, _ = kmeans_centroids(
+        path, k=IVF_CENTROIDS, iters=3, spherical=True
+    )
+    norms = np.linalg.norm(C, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return C / norms
 
 
 class _BatchTopK:
@@ -166,7 +173,8 @@ def q_knn_brute(sf_dir: str) -> pa.Table:
 
 def _ivf_store_dir(path: str) -> str:
     st = os.stat(path)
-    key = f"{os.path.abspath(path)}|{st.st_size}|{st.st_mtime_ns}|{IVF_CENTROIDS}"
+    # v2: spherical-kmeans-trained quantizer
+    key = f"{os.path.abspath(path)}|{st.st_size}|{st.st_mtime_ns}|{IVF_CENTROIDS}|km2"
     import zlib
 
     return os.path.join(IVF_CACHE_ROOT, format(zlib.crc32(key.encode()), "08x"))
@@ -344,14 +352,21 @@ def _kmeans_assign_partial(batch: pa.Table, *, cref) -> pa.Table:
 
 
 def kmeans_centroids(
-    path: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+    path: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    spherical: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Distributed Lloyd's k-means over the embedding column: per
     iteration, centroids broadcast once (`ray.put`), one map_batches
     pass emits per-centroid partial sums, the (K x blocks)-row reduce
     runs on the driver.  Deterministic init = the first k vectors.
-    Returns (centroids (k, d), counts (k,))."""
+    `spherical=True` renormalizes centroids each iteration (the cosine
+    variant the IVF quantizer trains with).  Returns
+    (centroids (k, d), counts (k,))."""
     _, C = _read_prefix(path, k)
+    if spherical:
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
     counts = np.zeros(k, dtype=np.int64)
     ds = ray.data.read_parquet(path, columns=["embedding"])
     for _ in range(iters):
@@ -370,6 +385,10 @@ def kmeans_centroids(
         nonzero = counts > 0
         C = C.copy()
         C[nonzero] = sums[nonzero] / counts[nonzero, None]
+        if spherical:
+            norms = np.linalg.norm(C, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            C = C / norms
     return C, counts
 
 
