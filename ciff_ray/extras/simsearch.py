@@ -4,8 +4,9 @@
   and every map_batches task computes a (batch x queries) GEMM against
   it; each task emits only its per-batch top-k, the driver merges
   num_blocks x k candidate rows (never the full score matrix).
-* q_ann_ivf — REAL IVF (the 100 TB scale path): one build pass assigns
-  every vector to the nearest of C deterministic centroids and writes
+* q_ann_ivf — REAL IVF (the 100 TB scale path): a spherical-k-means-
+  trained quantizer (deterministic first-k init, distributed Lloyd's
+  passes) assigns every vector to its bucket and one build pass writes
   it into that bucket's parquet partition (each map task writes its own
   per-bucket files — hash-partitioned layout with NO all-to-all
   shuffle); queries then READ ONLY the probed bucket partitions, so
@@ -51,7 +52,7 @@ def _embedding_matrix(col) -> np.ndarray:
 
 N_QUERIES = 8  # query set = embeddings with vec_id < N_QUERIES
 TOP_K = 10
-IVF_CENTROIDS = 16  # deterministic: the first IVF_CENTROIDS vectors
+IVF_CENTROIDS = 16  # quantizer size (trained: spherical k-means, see _centroids)
 IVF_PROBES = 4
 IVF_CACHE_ROOT = "/tmp/ciff_ray_ivf"
 

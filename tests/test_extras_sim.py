@@ -44,7 +44,8 @@ def test_ann_ivf_recall(ray_session):
     for qid, vids in exact.items():
         approx = set(got[got["query_id"] == qid]["vec_id"])
         recalls.append(len(approx & set(vids)) / len(vids))
-    assert np.mean(recalls) >= 0.5  # 4/16 probes of an unclustered space
+    assert np.mean(recalls) >= 0.75  # trained quantizer, 4/16 probes
+    # (measured 0.89; the untrained first-k quantizer gave ~0.55)
     assert got.groupby("query_id")["rank"].is_monotonic_increasing.all()
 
 
