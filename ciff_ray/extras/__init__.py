@@ -1,9 +1,10 @@
 """Training-data pipeline extras — the operations a 100 TB corpus
 pipeline needs beyond the reference's index model (driver brief):
 deduplication (exact / keyed / MinHash-LSH / SimHash / n-gram Jaccard /
-embedding-cosine), similarity search (brute-force + IVF), text analysis
-(language-ID, quality, token counting, fingerprinting), and multimodal
-binary-column plumbing.
+embedding-cosine), similarity search (brute-force + trained IVF +
+distributed k-means), temporal as-of joins over event streams, text
+analysis (language-ID, quality, token counting, fingerprinting), and
+multimodal binary-column plumbing.
 
 Each operator is a Ray Data pipeline over the driver's testdata tables
 (`documents`, `embeddings`); SQL-expressible ones carry a DuckDB oracle
@@ -13,9 +14,10 @@ verified against pure-Python oracles in tests/.
 
 from __future__ import annotations
 
-from ciff_ray.extras import dedup, multimodal, simsearch, textstats
+from ciff_ray.extras import dedup, eventjoin, multimodal, simsearch, textstats
 
 QUERIES = {
+    **eventjoin.QUERIES,
     **textstats.QUERIES,
     **dedup.QUERIES,
     **simsearch.QUERIES,
@@ -23,6 +25,7 @@ QUERIES = {
 }
 
 ORACLE_SQLS = {
+    **eventjoin.ORACLE_SQLS,
     **textstats.ORACLE_SQLS,
     **dedup.ORACLE_SQLS,
     **simsearch.ORACLE_SQLS,

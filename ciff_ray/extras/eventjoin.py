@@ -1,0 +1,131 @@
+"""As-of join over the `events` table — the temporal-join operator
+class Ray Data has no primitive for (driver brief: "as-of join, range
+join ... implement as a composition of map_batches +
+groupby().map_groups + sort if semantics allow").
+
+`q_asof_join`: for EVERY event, the most recent 'purchase' event of the
+same user at or before its timestamp (the classic enrich-with-state
+as-of).  Composition:
+
+    map_batches    narrow rows (user_id, ts, event_id, value, is_ref)
+                   + a user-hash partition key
+    groupby(part)  co-locates each user's full event stream — the
+    .map_groups    partitioning assumption the operator relies on —
+                   and runs ONE vectorized as-of kernel per partition:
+                   lexsort by (user, ts, ref-first), forward-fill the
+                   last reference row index (np.maximum.accumulate),
+                   invalidate fills that cross a user-run boundary.
+
+Ties: a reference row at exactly the left row's timestamp matches
+(DuckDB ASOF `e.ts >= p.ts` semantics); a purchase therefore matches
+itself.  Nulls are COALESCEd to (-1, 0.0) on BOTH sides so the driver
+value-hash sees identical dtypes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+ASOF_REF_TYPE = "purchase"
+ASOF_PARTS = 32
+
+
+def _event_rows(batch: pa.Table) -> pa.Table:
+    """events -> narrow as-of input rows; ts kept as int64 microseconds
+    (identical ordering to the SQL timestamp compare)."""
+    ts = batch["ts"].combine_chunks().cast(pa.int64())
+    user = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_ref = pc.equal(batch["event_type"], ASOF_REF_TYPE)
+    return pa.table(
+        {
+            "user_id": pa.array(user, type=pa.int64()),
+            "ts_us": ts,
+            "event_id": batch["event_id"],
+            "value": batch["value"],
+            "is_ref": is_ref,
+            "part": pa.array((user % ASOF_PARTS).astype(np.int32)),
+        }
+    )
+
+
+def _asof_in_part(group: pa.Table) -> pa.Table:
+    """One user-hash partition -> (event_id, ref_event_id, ref_value)
+    via the vectorized forward-fill as-of kernel."""
+    empty = pa.table(
+        {
+            "event_id": pa.array([], type=pa.int64()),
+            "ref_event_id": pa.array([], type=pa.int64()),
+            "ref_value": pa.array([], type=pa.float64()),
+        }
+    )
+    n = len(group)
+    if n == 0:
+        return empty
+    user = group["user_id"].to_numpy(zero_copy_only=False)
+    ts = group["ts_us"].to_numpy(zero_copy_only=False)
+    eid = group["event_id"].to_numpy(zero_copy_only=False)
+    val = group["value"].to_numpy(zero_copy_only=False)
+    is_ref = group["is_ref"].to_numpy(zero_copy_only=False)
+    # ref rows FIRST at equal (user, ts) so an equal-timestamp reference
+    # is visible to the left row (>= semantics)
+    order = np.lexsort((~is_ref, ts, user))
+    user, ts, eid, val, is_ref = (
+        user[order], ts[order], eid[order], val[order], is_ref[order],
+    )
+    pos = np.arange(n)
+    ref_pos = np.where(is_ref, pos, -1)
+    last_ref = np.maximum.accumulate(ref_pos)
+    run_start_idx = np.concatenate(
+        [[0], np.flatnonzero(user[1:] != user[:-1]) + 1]
+    )
+    starts = np.repeat(
+        run_start_idx, np.diff(np.concatenate([run_start_idx, [n]]))
+    )
+    valid = last_ref >= starts
+    matched = np.where(valid, last_ref, 0)
+    ref_eid = np.where(valid, eid[matched], -1)
+    ref_val = np.where(valid, val[matched], 0.0)
+    return pa.table(
+        {
+            "event_id": pa.array(eid, type=pa.int64()),
+            "ref_event_id": pa.array(ref_eid, type=pa.int64()),
+            "ref_value": pa.array(ref_val, type=pa.float64()),
+        }
+    )
+
+
+def q_asof_join(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, ref_event_id, ref_value): every event joined as-of to
+    the same user's latest 'purchase' at or before it (-1/0.0 when
+    none)."""
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return (
+        events.map_batches(_event_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_asof_in_part, batch_format="pyarrow")
+    )
+
+
+ORACLE_SQLS = {
+    "asof_join": f"""WITH p AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = '{ASOF_REF_TYPE}'
+)
+SELECT e.event_id,
+       CAST(coalesce(p.event_id, -1) AS BIGINT) AS ref_event_id,
+       coalesce(p.value, 0.0) AS ref_value
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts >= p.ts""",
+}
+
+QUERIES = {
+    "asof_join": q_asof_join,
+}

@@ -109,3 +109,29 @@ def test_kmeans_matches_numpy(ray_session):
     assert got_counts.tolist() == counts.tolist()
     assert np.allclose(got_C, C, atol=1e-9)
     assert got_counts.sum() == len(ids)
+
+
+def test_asof_kernel_edges():
+    """As-of forward-fill kernel: equal-ts match, no-ref user, and
+    cross-user isolation (fills must not leak across user runs)."""
+    from ciff_ray.extras.eventjoin import _asof_in_part
+
+    group = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
+            "ts_us": pa.array([10, 10, 5, 7, 6, 9], type=pa.int64()),
+            "event_id": pa.array([100, 101, 102, 200, 201, 300], type=pa.int64()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+            "is_ref": pa.array([False, True, False, False, True, False]),
+        }
+    )
+    out = {
+        r["event_id"]: (r["ref_event_id"], r["ref_value"])
+        for r in _asof_in_part(group).to_pylist()
+    }
+    assert out[102] == (-1, 0.0)      # before user 1's only purchase
+    assert out[100] == (101, 2.0)     # equal-ts purchase matches (>=)
+    assert out[101] == (101, 2.0)     # a purchase matches itself
+    assert out[200] == (201, 5.0)     # user 2's earlier purchase
+    assert out[201] == (201, 5.0)
+    assert out[300] == (-1, 0.0)      # user 3 has none; no leak from 2
