@@ -2,7 +2,7 @@
 pipeline needs beyond the reference's index model (driver brief):
 deduplication (exact / keyed / MinHash-LSH / SimHash / n-gram Jaccard /
 embedding-cosine), similarity search (brute-force + trained IVF +
-distributed k-means), temporal as-of joins over event streams, text
+distributed k-means), temporal as-of joins over event streams, broadcast dimension joins, text
 analysis (language-ID, quality, token counting, fingerprinting), and
 multimodal binary-column plumbing.
 
@@ -14,10 +14,18 @@ verified against pure-Python oracles in tests/.
 
 from __future__ import annotations
 
-from ciff_ray.extras import dedup, eventjoin, multimodal, simsearch, textstats
+from ciff_ray.extras import (
+    dedup,
+    eventjoin,
+    multimodal,
+    relational,
+    simsearch,
+    textstats,
+)
 
 QUERIES = {
     **eventjoin.QUERIES,
+    **relational.QUERIES,
     **textstats.QUERIES,
     **dedup.QUERIES,
     **simsearch.QUERIES,
@@ -26,6 +34,7 @@ QUERIES = {
 
 ORACLE_SQLS = {
     **eventjoin.ORACLE_SQLS,
+    **relational.ORACLE_SQLS,
     **textstats.ORACLE_SQLS,
     **dedup.ORACLE_SQLS,
     **simsearch.ORACLE_SQLS,
