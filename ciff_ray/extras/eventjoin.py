@@ -129,3 +129,112 @@ FROM events e ASOF LEFT JOIN p
 QUERIES = {
     "asof_join": q_asof_join,
 }
+
+
+# ---------------------------------------------------------------------------
+# range join: orders x events on key + time interval
+
+RANGE_DAYS = 30
+_RANGE_US = RANGE_DAYS * 86_400 * 1_000_000
+
+
+def _range_rows(batch: pa.Table, *, side: int) -> pa.Table:
+    """Either table -> tagged narrow rows on the shared key space
+    (orders.o_custkey == events.user_id), ts as int64 us."""
+    if side == 0:  # orders
+        key = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["o_orderdate"].combine_chunks().cast(pa.int64())
+        rid = batch["o_orderkey"]
+    else:  # events
+        key = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].combine_chunks().cast(pa.int64())
+        rid = batch["event_id"]
+    return pa.table(
+        {
+            "key": pa.array(key, type=pa.int64()),
+            "ts_us": ts,
+            "row_id": rid,
+            "side": pa.array(np.full(len(batch), side, dtype=np.int8)),
+            "part": pa.array((key % ASOF_PARTS).astype(np.int32)),
+        }
+    )
+
+
+def _range_count_in_part(group: pa.Table) -> pa.Table:
+    """One key-hash partition of the tagged union -> per-order event
+    counts within [o_orderdate, o_orderdate + RANGE_DAYS): events
+    sorted by (key, ts) once; per key present, TWO vectorized
+    searchsorted calls over that key's event run answer ALL its
+    orders."""
+    side = group["side"].to_numpy(zero_copy_only=False)
+    key = group["key"].to_numpy(zero_copy_only=False)
+    ts = group["ts_us"].to_numpy(zero_copy_only=False)
+    rid = group["row_id"].to_numpy(zero_copy_only=False)
+    is_order = side == 0
+    o_key, o_ts, o_id = key[is_order], ts[is_order], rid[is_order]
+    e_key, e_ts = key[~is_order], ts[~is_order]
+    if o_key.size == 0:
+        return pa.table(
+            {
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+            }
+        )
+    eo = np.lexsort((e_ts, e_key))
+    e_key, e_ts = e_key[eo], e_ts[eo]
+    counts = np.zeros(o_key.size, dtype=np.int64)
+    oo = np.argsort(o_key, kind="stable")
+    ok_sorted = o_key[oo]
+    run_start = np.concatenate(
+        [[0], np.flatnonzero(ok_sorted[1:] != ok_sorted[:-1]) + 1]
+    )
+    run_end = np.concatenate([run_start[1:], [ok_sorted.size]])
+    for s, e in zip(run_start, run_end):
+        k = ok_sorted[s]
+        es = np.searchsorted(e_key, k, side="left")
+        ee = np.searchsorted(e_key, k, side="right")
+        if es == ee:
+            continue
+        run_ts = e_ts[es:ee]
+        idx = oo[s:e]
+        lo = np.searchsorted(run_ts, o_ts[idx], side="left")
+        hi = np.searchsorted(run_ts, o_ts[idx] + _RANGE_US, side="left")
+        counts[idx] = hi - lo
+    return pa.table(
+        {
+            "o_orderkey": pa.array(o_id, type=pa.int64()),
+            "n_events": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+def q_range_join(sf_dir: str) -> ray.data.Dataset:
+    """Range join (key + time interval): per order, the number of the
+    same user's events with ts in [o_orderdate, o_orderdate + 30 days).
+    Both sides are tagged, key-hash co-located in ONE exchange, and
+    each partition answers all its orders with two searchsorted calls
+    per key run — the interval-join operator class."""
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(_range_rows, fn_kwargs={"side": 0}, batch_format="pyarrow")
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    ).map_batches(_range_rows, fn_kwargs={"side": 1}, batch_format="pyarrow")
+    return (
+        orders.union(events)
+        .groupby("part")
+        .map_groups(_range_count_in_part, batch_format="pyarrow")
+    )
+
+
+ORACLE_SQLS["range_join"] = f"""SELECT o.o_orderkey,
+       CAST(count(e.event_id) AS BIGINT) AS n_events
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL {RANGE_DAYS} DAY
+GROUP BY o.o_orderkey"""
+
+QUERIES["range_join"] = q_range_join

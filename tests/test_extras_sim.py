@@ -135,3 +135,33 @@ def test_asof_kernel_edges():
     assert out[200] == (201, 5.0)     # user 2's earlier purchase
     assert out[201] == (201, 5.0)
     assert out[300] == (-1, 0.0)      # user 3 has none; no leak from 2
+
+
+def test_range_join_kernel_edges():
+    """Range-count kernel: window inclusivity [start, start+R), users
+    with no events, multiple orders per user."""
+    from ciff_ray.extras.eventjoin import _RANGE_US, _range_count_in_part
+
+    R = _RANGE_US
+    group = pa.table(
+        {
+            # side 0 = orders, side 1 = events
+            "key": pa.array([1, 1, 2, 1, 1, 1, 2], type=pa.int64()),
+            "ts_us": pa.array(
+                [0, 50, 10, 0, R - 1, R, 5], type=pa.int64()
+            ),
+            "row_id": pa.array([900, 901, 902, 10, 11, 12, 20], type=pa.int64()),
+            "side": pa.array([0, 0, 0, 1, 1, 1, 1], type=pa.int8()),
+        }
+    )
+    out = {
+        r["o_orderkey"]: r["n_events"]
+        for r in _range_count_in_part(group).to_pylist()
+    }
+    # order 900 (user 1, start 0): events at 0 (incl) and R-1 (incl),
+    # R excluded -> 2
+    assert out[900] == 2
+    # order 901 (user 1, start 50): events at R-1 and R (50+R excl? R < 50+R yes) -> 2
+    assert out[901] == 2
+    # order 902 (user 2, start 10): event at 5 is before start -> 0
+    assert out[902] == 0
