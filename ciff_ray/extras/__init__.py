@@ -7,7 +7,8 @@ analysis (language-ID, quality, token counting, fingerprinting), and
 multimodal binary-column plumbing.
 
 Each operator is a Ray Data pipeline over the driver's testdata tables
-(`documents`, `embeddings`); SQL-expressible ones carry a DuckDB oracle
+(`documents`, `embeddings`, `events`, `orders`/`customer`/`nation`);
+SQL-expressible ones carry a DuckDB oracle
 in ORACLE_SQLS (driver correctness gate), the rest are rows-only and
 verified against pure-Python oracles in tests/.
 """
