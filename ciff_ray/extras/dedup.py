@@ -73,6 +73,12 @@ JACCARD_TAU = 0.8
 MAX_BUCKET = 200  # deterministic cap on band-bucket size (skew guard)
 LSH_PARTS = 64  # hash partitions for the band-bucket pair emit
 NGRAM_PARTS = 32  # hash partitions for the inverted-index self-join
+# df-cap for the ngram self-join: a shingle present in >= NGRAM_DF_CAP
+# docs is dropped from the shingle universe (sizes AND intersections) —
+# the quadratic skew guard: a stopword-scale shingle shared by k docs
+# would emit k(k-1)/2 pairs.  The oracle applies the SAME cap (HAVING
+# count(*) < cap), so exactness against the capped contract holds.
+NGRAM_DF_CAP = 128
 
 SIMHASH_BITS = 64
 
@@ -111,8 +117,36 @@ def _xxhash64(arr: pa.Array, seed: int) -> np.ndarray:
 def _dataset_refs(ds: ray.data.Dataset) -> list:
     """Materialize a (small-side) dataset into object-store blocks and
     return the block refs — the broadcast handle verify actors fetch
-    once in __init__ (the driver never holds the rows)."""
+    once in __init__ (the driver never holds the rows).
+
+    Consumers MUST tolerate zero-column blocks: Ray 2.49 propagates
+    empty blocks from filter-pruned read fragments through operator
+    boundaries WITHOUT running the UDF (the executor logs "RefBundle
+    with a different schema ... new schema: ."), so a ref list can
+    contain schema-less tables — whether one lands is a parallelism
+    race (reproduced at num_cpus=32, absent at 8).  Use _ref_tables."""
     return ds.materialize().to_arrow_refs()
+
+
+def _ref_tables(refs, required: str):
+    """Fetch broadcast block refs, skipping Ray's zero-column empty
+    blocks (see _dataset_refs) and any block lacking `required`."""
+    for ref in refs:
+        t = ray.get(ref)
+        if t.num_rows == 0 or required not in t.schema.names:
+            continue
+        yield t.combine_chunks()
+
+
+def _ranges(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Concatenated [start, end) index ranges, fully vectorized:
+    equivalent to np.concatenate([np.arange(s, e) for s, e in ...])."""
+    lens = (ends - starts).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    base = np.repeat(starts - np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+    return base + np.arange(total, dtype=np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -359,41 +393,88 @@ class ShingleSetStage:
 class JaccardVerify:
     """map_batches verify stage over the candidate-PAIR dataset: exact
     Jaccard on the per-doc unique shingle-hash sets, fetched once per
-    actor from object-store block refs (__init__)."""
+    actor from object-store block refs (__init__).  The sets stay a
+    flat hash array + per-doc [start, end) bounds exactly as they
+    arrive; __call__ is loop-free (gather + lexsort + bincount)."""
+
+    _EMPTY = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("j_r", pa.float64())]
+    ).empty_table()
 
     def __init__(self, set_refs, tau: float):
         self.tau = tau
-        self.sets: dict[int, np.ndarray] = {}
-        for ref in set_refs:
-            t = ray.get(ref).combine_chunks()
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ids_parts, flat_parts, len_parts = [], [], []
+        for t in _ref_tables(set_refs, "doc_id"):
+            ids_parts.append(
+                t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
             col = t["hashes"].combine_chunks()
-            flat = np.asarray(col.values).view(np.uint64)
-            offs = np.asarray(col.offsets)
-            for i, d in enumerate(ids):
-                self.sets[int(d)] = flat[offs[i] : offs[i + 1]]
+            flat_parts.append(np.asarray(col.values).view(np.uint64))
+            len_parts.append(np.diff(np.asarray(col.offsets)).astype(np.int64))
+        ids = (
+            np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+        )
+        lens = (
+            np.concatenate(len_parts) if len_parts else np.empty(0, np.int64)
+        )
+        self.flat = (
+            np.concatenate(flat_parts) if flat_parts else np.empty(0, np.uint64)
+        )
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        order = np.argsort(ids)
+        self.ids = ids[order]
+        self.starts = starts[order]
+        self.ends = ends[order]
+
+    def _locate(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """doc ids -> (positions, found mask); missing docs (possible:
+        a candidate doc may have had zero shingles) are masked out."""
+        pos = np.searchsorted(self.ids, x)
+        pos = np.minimum(pos, max(self.ids.size - 1, 0))
+        found = (self.ids[pos] == x) if self.ids.size else np.zeros(x.size, bool)
+        return pos, found
 
     def __call__(self, pairs: pa.Table) -> pa.Table:
-        a = pairs["a"].to_numpy(zero_copy_only=False)
-        b = pairs["b"].to_numpy(zero_copy_only=False)
-        out_a, out_b, out_j = [], [], []
-        for x, y in zip(a, b):
-            A = self.sets.get(int(x))
-            B = self.sets.get(int(y))
-            if A is None or B is None or not A.size or not B.size:
-                continue
-            # both sides sorted unique -> merge-count intersection
-            inter = np.intersect1d(A, B, assume_unique=True).size
-            j = inter / (A.size + B.size - inter)
-            if j >= self.tau:
-                out_a.append(int(x))
-                out_b.append(int(y))
-                out_j.append(round(j, 6))
+        if len(pairs) == 0:
+            return self._EMPTY
+        a = pairs["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = pairs["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_a, ok_a = self._locate(a)
+        pos_b, ok_b = self._locate(b)
+        ok = ok_a & ok_b
+        if not ok.any():
+            return self._EMPTY
+        a, b, pos_a, pos_b = a[ok], b[ok], pos_a[ok], pos_b[ok]
+        la = self.ends[pos_a] - self.starts[pos_a]
+        lb = self.ends[pos_b] - self.starts[pos_b]
+        n = a.size
+        # one tagged value stream: each side is per-doc unique, so a
+        # hash appears at most twice per pair — every equal-adjacent
+        # run of length 2 after the (pair, value) sort is one shared
+        # shingle.  No per-pair Python.
+        pid = np.concatenate(
+            [np.repeat(np.arange(n), la), np.repeat(np.arange(n), lb)]
+        )
+        vals = np.concatenate(
+            [
+                self.flat[_ranges(self.starts[pos_a], self.ends[pos_a])],
+                self.flat[_ranges(self.starts[pos_b], self.ends[pos_b])],
+            ]
+        )
+        order = np.lexsort((vals, pid))
+        v, p = vals[order], pid[order]
+        dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+        inter = np.bincount(p[1:][dup], minlength=n)
+        denom = la + lb - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = np.where(denom > 0, inter / denom, 0.0)
+        keep = j >= self.tau
         return pa.table(
             {
-                "a": pa.array(out_a, type=pa.int64()),
-                "b": pa.array(out_b, type=pa.int64()),
-                "j_r": pa.array(out_j, type=pa.float64()),
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
+                "j_r": pa.array(np.round(j[keep], 6), type=pa.float64()),
             }
         )
 
@@ -475,72 +556,101 @@ def shingle_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _pairs_in_part(group: pa.Table) -> pa.Table:
-    """One hash partition of the shingle index -> per-partition
-    pre-aggregated co-occurrence counts (a, b, i).  Vectorized: one
-    lexsort, run detection, triu pair emit per multi-doc shingle, then
-    an in-partition composite-key unique.
+def _pair_part2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pair-hash partition key for the cross-part combine: Ray's hash
+    aggregate over ~1M tiny (a, b) groups measured 15.7s at sf0.1; a
+    sort exchange + vectorized per-partition sum is ~2s for the same
+    result."""
+    return ((a * np.int64(2654435761) + b) % NGRAM_PARTS).astype(np.int32)
 
-    Scale note: a shingle shared by k docs emits k(k-1)/2 pairs — the
-    df skew guard at web scale is a df-cap on shingles (stopword-scale
-    shingles carry no dedup signal); kept exact here because the oracle
-    is exact."""
+
+_PAIRS_EMPTY = pa.schema(
+    [
+        ("a", pa.int64()),
+        ("b", pa.int64()),
+        ("i", pa.int64()),
+        ("part2", pa.int32()),
+    ]
+).empty_table()
+
+
+def _pairs_in_part(group: pa.Table, df_cap: int = NGRAM_DF_CAP) -> pa.Table:
+    """One hash partition of the shingle index -> per-partition
+    pre-aggregated co-occurrence counts (a, b, i) PLUS per-doc size
+    partials encoded as sentinel rows (a == b == doc_id, i = count of
+    surviving shingles).  Vectorized: one lexsort, run detection, triu
+    pair emit per multi-doc shingle, an in-partition composite-key
+    unique.
+
+    A shingle's full posting list lands in exactly one partition (part
+    is a hash of the shingle), so the run length here IS the global df
+    — the df-cap (drop runs with df >= df_cap from pairs AND sizes) is
+    exact, and the size partials only need a per-doc sum downstream
+    (their part2 is the pair formula with a == b, so all partials of
+    one doc meet in one partition)."""
     h = group["h"].to_numpy(zero_copy_only=False)
     d = group["doc_id"].to_numpy(zero_copy_only=False)
-    empty = pa.table(
-        {
-            "a": pa.array([], type=pa.int64()),
-            "b": pa.array([], type=pa.int64()),
-            "i": pa.array([], type=pa.int64()),
-            "part2": pa.array([], type=pa.int32()),
-        }
-    )
-    if h.size < 2:
-        return empty
+    if h.size == 0:
+        return _PAIRS_EMPTY
     order = np.lexsort((d, h))
     h, d = h[order], d[order]
     change = np.flatnonzero(h[1:] != h[:-1]) + 1
     starts = np.concatenate([[0], change])
     ends = np.concatenate([change, [h.size]])
-    multi = (ends - starts) >= 2
-    if not multi.any():
-        return empty
-    pa_list, pb_list = [], []
-    for s, e in zip(starts[multi], ends[multi]):
-        ids = d[s:e]  # ascending, unique (per-doc-unique upstream)
-        ia, ib = np.triu_indices(ids.size, k=1)
-        pa_list.append(ids[ia])
-        pb_list.append(ids[ib])
-    a = np.concatenate(pa_list)
-    b = np.concatenate(pb_list)
-    # in-partition combine: count duplicate (a, b) pairs via one
-    # composite-key unique (doc_ids fit 32 bits here; lexsort fallback
-    # keeps the same output when they don't)
-    if a.size and (a.max() < (1 << 31)) and (b.max() < (1 << 32)):
-        key = a * np.int64(1 << 32) + b
-        ks, counts = np.unique(key, return_counts=True)
-        ua, ub = ks >> np.int64(32), ks & np.int64(0xFFFFFFFF)
-    else:
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        new = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
-        idx = np.flatnonzero(new)
-        ua, ub = a[idx], b[idx]
-        counts = np.diff(np.concatenate([idx, [a.size]]))
+    df = ends - starts
+    survive = df < df_cap
+    # per-doc size partials over surviving shingles (incl. df == 1)
+    keep_rows = np.repeat(survive, df)
+    sdocs, scnts = np.unique(d[keep_rows], return_counts=True)
+    multi = survive & (df >= 2)
+    pa_list = [sdocs]
+    pb_list = [sdocs]
+    cnt_list = [scnts]
+    if multi.any():
+        ms, me = starts[multi], ends[multi]
+        rows = _ranges(ms, me)
+        docs = d[rows]
+        runlen = me - ms
+        run_off = rows - np.repeat(ms, runlen)
+        # triu pair emit without a per-run loop: pair every element
+        # with each LATER element of its run via one repeat/gather
+        reps = np.repeat(runlen, runlen) - 1 - run_off  # later elements per row
+        total = int(reps.sum())
+        if total:
+            left = np.repeat(np.arange(docs.size), reps)
+            step = np.arange(total) - np.repeat(
+                np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+            )
+            right = left + 1 + step
+            raw_a, raw_b = docs[left], docs[right]
+            # ids ascend within a run, so raw_a < raw_b already
+            if raw_a.max() < (1 << 31) and raw_b.max() < (1 << 32):
+                key = raw_a * np.int64(1 << 32) + raw_b
+                ks, counts = np.unique(key, return_counts=True)
+                ua, ub = ks >> np.int64(32), ks & np.int64(0xFFFFFFFF)
+            else:
+                o = np.lexsort((raw_b, raw_a))
+                raw_a, raw_b = raw_a[o], raw_b[o]
+                new = np.concatenate(
+                    [[True], (raw_a[1:] != raw_a[:-1]) | (raw_b[1:] != raw_b[:-1])]
+                )
+                idx = np.flatnonzero(new)
+                ua, ub = raw_a[idx], raw_b[idx]
+                counts = np.diff(np.concatenate([idx, [raw_a.size]]))
+            pa_list.append(ua)
+            pb_list.append(ub)
+            cnt_list.append(counts)
+    a = np.concatenate(pa_list).astype(np.int64)
+    b = np.concatenate(pb_list).astype(np.int64)
+    i = np.concatenate(cnt_list).astype(np.int64)
+    if a.size == 0:
+        return _PAIRS_EMPTY
     return pa.table(
         {
-            "a": pa.array(ua, type=pa.int64()),
-            "b": pa.array(ub, type=pa.int64()),
-            "i": pa.array(counts, type=pa.int64()),
-            # pair-hash partition for the cross-part combine: Ray's
-            # hash aggregate over ~1M tiny (a, b) groups measured 15.7s
-            # at sf0.1; a sort exchange + vectorized per-partition sum
-            # is ~2s for the same result
-            "part2": pa.array(
-                ((ua * np.int64(2654435761) + ub) % NGRAM_PARTS).astype(
-                    np.int32
-                )
-            ),
+            "a": pa.array(a, type=pa.int64()),
+            "b": pa.array(b, type=pa.int64()),
+            "i": pa.array(i, type=pa.int64()),
+            "part2": pa.array(_pair_part2(a, b)),
         }
     )
 
@@ -585,21 +695,18 @@ def _sum_pairs_in_part(group: pa.Table) -> pa.Table:
     )
 
 
-def ngram_sizes(batch: pa.Table) -> pa.Table:
-    """documents -> (doc_id, n) per-doc unique-shingle counts (the
-    denominator side of Jaccard)."""
-    sh, parents = _shingle_arrays(batch)
-    h = _shingle_u64(sh)
-    _, starts, ends = _per_doc_unique(h, parents, len(batch))
-    n = (ends - starts).astype(np.int64)
-    keep = n > 0
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    return pa.table(
-        {
-            "doc_id": pa.array(ids[keep], type=pa.int64()),
-            "n": pa.array(n[keep], type=pa.int64()),
-        }
-    )
+def _split_sizes(t: pa.Table) -> pa.Table:
+    """Summed (a, b, i) rows -> the sentinel size rows only, renamed to
+    (doc_id, n).  Runs over the MATERIALIZED sum output, so the shuffle
+    is not re-executed for the size side."""
+    mask = pc.equal(t["a"], t["b"])
+    s = t.filter(mask)
+    return pa.table({"doc_id": s["a"], "n": s["i"]})
+
+
+def _split_pairs(t: pa.Table) -> pa.Table:
+    """Summed (a, b, i) rows -> the real pair rows (a < b) only."""
+    return t.filter(pc.less(t["a"], t["b"]))
 
 
 class NgramFinalize:
@@ -610,8 +717,7 @@ class NgramFinalize:
     def __init__(self, size_refs, tau: float):
         self.tau = tau
         ids_parts, n_parts = [], []
-        for ref in size_refs:
-            t = ray.get(ref).combine_chunks()
+        for t in _ref_tables(size_refs, "doc_id"):
             ids_parts.append(t["doc_id"].to_numpy(zero_copy_only=False))
             n_parts.append(t["n"].to_numpy(zero_copy_only=False))
         ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
@@ -652,23 +758,29 @@ class NgramFinalize:
 
 
 def q_dedup_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
-    """Exact n-gram-Jaccard near-dup pairs — same output contract as
-    q_dedup_minhash but RECALL-COMPLETE by construction: an
-    inverted-index self-join on shingle hashes (every pair sharing >= 1
-    shingle is counted), no LSH screen, mirroring the DuckDB oracle's
-    join shape."""
+    """n-gram-Jaccard near-dup pairs over the df-capped shingle
+    universe (shingles with df < NGRAM_DF_CAP; the oracle caps
+    identically) — same output contract as q_dedup_minhash but
+    RECALL-COMPLETE by construction: an inverted-index self-join on
+    shingle hashes (every pair sharing >= 1 surviving shingle is
+    counted), no LSH screen, mirroring the DuckDB oracle's join shape.
+    Per-doc sizes ride the SAME shuffle as the pairs (sentinel a == b
+    rows), so the whole query is one all-to-all plus a broadcast."""
     docs = _docs(sf_dir, ["doc_id", "text"])
-    pairs = (
+    summed = (
         docs.map_batches(shingle_rows, batch_format="pyarrow")
         .groupby("part")
         .map_groups(_pairs_in_part, batch_format="pyarrow")
         .groupby("part2")
         .map_groups(_sum_pairs_in_part, batch_format="pyarrow")
+        .materialize()
     )
     size_refs = _dataset_refs(
-        docs.map_batches(ngram_sizes, batch_format="pyarrow")
+        summed.map_batches(_split_sizes, batch_format="pyarrow")
     )
-    return pairs.map_batches(
+    return summed.map_batches(
+        _split_pairs, batch_format="pyarrow"
+    ).map_batches(
         NgramFinalize,
         fn_constructor_args=(size_refs, JACCARD_TAU),
         batch_format="pyarrow",
@@ -808,7 +920,7 @@ def q_dedup_embedding(
 # ---------------------------------------------------------------------------
 # oracle SQL
 
-_SQL_SHINGLES = f"""
+_SQL_SHINGLE_BASE = """
 tokl AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -818,13 +930,15 @@ tokl AS (
 tokpos AS (
   SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM tokl
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT a.doc_id,
          a.term || ' ' || b.term || ' ' || c.term AS sh
   FROM tokpos a
   JOIN tokpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
   JOIN tokpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-),
+)"""
+
+_SQL_JACCARD_TAIL = f"""
 ssize AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
@@ -836,10 +950,19 @@ jac AS (
   FROM inter i
   JOIN ssize sa ON i.a = sa.doc_id
   JOIN ssize sb ON i.b = sb.doc_id
-)"""
-
-_SQL_JACCARD_PAIRS = f"""WITH {_SQL_SHINGLES.strip()}
+)
 SELECT a, b, round(j, 6) AS j_r FROM jac WHERE j >= {JACCARD_TAU}"""
+
+# uncapped universe (the minhash verify scores full shingle sets)
+_SQL_JACCARD_PAIRS = f"""WITH {_SQL_SHINGLE_BASE.strip()},
+sh AS (SELECT doc_id, sh FROM sh0),
+{_SQL_JACCARD_TAIL.strip()}"""
+
+# df-capped universe (mirrors NGRAM_DF_CAP in the ngram self-join)
+_SQL_JACCARD_PAIRS_CAPPED = f"""WITH {_SQL_SHINGLE_BASE.strip()},
+shk AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) < {NGRAM_DF_CAP}),
+sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN shk k ON s.sh = k.sh),
+{_SQL_JACCARD_TAIL.strip()}"""
 
 
 ORACLE_SQLS = {
@@ -850,7 +973,7 @@ FROM documents GROUP BY {NORM_SQL}""",
        CAST(count(*) AS BIGINT) AS n_dups
 FROM documents GROUP BY substr({NORM_SQL}, 1, {KEY_PREFIX_CHARS})""",
     "dedup_minhash": _SQL_JACCARD_PAIRS,
-    "dedup_ngram_jaccard": _SQL_JACCARD_PAIRS,
+    "dedup_ngram_jaccard": _SQL_JACCARD_PAIRS_CAPPED,
     "dedup_embedding": f"""SELECT x.vec_id AS a, y.vec_id AS b,
        round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                                     CAST(y.embedding AS DOUBLE[])), 6) AS cos_r

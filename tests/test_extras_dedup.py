@@ -26,8 +26,13 @@ def _shingles(s: str) -> set[tuple[str, str, str]]:
     return set(zip(w, w[1:], w[2:]))
 
 
-def brute_force_pairs(doc_texts, tau):
+def brute_force_pairs(doc_texts, tau, df_cap=None):
     sh = {i: _shingles(t) for i, t in doc_texts.items()}
+    if df_cap is not None:
+        from collections import Counter
+
+        df = Counter(s for S in sh.values() for s in S)
+        sh = {i: {s for s in S if df[s] < df_cap} for i, S in sh.items()}
     out = set()
     for a, b in itertools.combinations(sorted(sh), 2):
         A, B = sh[a], sh[b]
@@ -50,18 +55,139 @@ def test_minhash_equals_brute_force(ray_session, doc_texts):
 
 
 def test_ngram_jaccard_equals_brute_force(ray_session, doc_texts):
-    """The inverted-index self-join path (no LSH) must also equal brute
-    force, including the Jaccard values."""
+    """The inverted-index self-join path (no LSH, df-capped universe)
+    must equal brute force over the same capped universe, including
+    the Jaccard values."""
+    cap = dedup.NGRAM_DF_CAP
     got = dedup.q_dedup_ngram_jaccard(SF).to_pandas()
     got_pairs = set(zip(got["a"], got["b"]))
-    exp = brute_force_pairs(doc_texts, dedup.JACCARD_TAU)
+    exp = brute_force_pairs(doc_texts, dedup.JACCARD_TAU, df_cap=cap)
     assert got_pairs == exp
-    # values match the definitionally-exact jaccard
+    # values match the definitionally-exact capped jaccard
+    from collections import Counter
+
     sh = {i: _shingles(t) for i, t in doc_texts.items()}
+    df = Counter(s for S in sh.values() for s in S)
+    sh = {i: {s for s in S if df[s] < cap} for i, S in sh.items()}
     for _, r in got.iterrows():
         A, B = sh[r["a"]], sh[r["b"]]
         inter = len(A & B)
         assert r["j_r"] == round(inter / (len(A) + len(B) - inter), 6)
+
+
+def test_ngram_df_cap_kills_quadratic_skew():
+    """A stopword-scale shingle shared by 10k docs must emit ZERO pairs
+    from that shingle (df >= cap) and finish without the k^2/2 blowup —
+    unit-level on the partition kernel."""
+    import time
+
+    import pyarrow as pa
+
+    n = 10_000
+    # every doc holds the same hot shingle hash plus one unique hash
+    h = np.concatenate(
+        [np.full(n, 42, dtype=np.int64), np.arange(1000, 1000 + n)]
+    )
+    d = np.concatenate([np.arange(n), np.arange(n)]).astype(np.int64)
+    group = pa.table(
+        {
+            "h": pa.array(h, type=pa.int64()),
+            "doc_id": pa.array(d, type=pa.int64()),
+            "part": pa.array(np.zeros(2 * n, dtype=np.int32)),
+        }
+    )
+    t0 = time.perf_counter()
+    out = dedup._pairs_in_part(group)
+    dt = time.perf_counter() - t0
+    assert dt < 1.0
+    a = np.array(out["a"].to_pylist())
+    b = np.array(out["b"].to_pylist())
+    i = np.array(out["i"].to_pylist())
+    # no real pairs survive; sizes count only the surviving (unique) shingle
+    assert (a == b).all()
+    assert len(a) == n
+    assert (i == 1).all()
+    # uncapped, the same kernel DOES emit the quadratic pair set
+    out2 = dedup._pairs_in_part(group.slice(0, 8), df_cap=1 << 30)
+    a2 = np.array(out2["a"].to_pylist())
+    b2 = np.array(out2["b"].to_pylist())
+    assert ((a2 < b2).sum()) == 28  # 8 docs sharing h=42 -> C(8,2) pairs
+
+
+def test_broadcast_refs_tolerate_zero_column_blocks(ray_session):
+    """Ray 2.49 can propagate zero-column empty blocks from
+    filter-pruned read fragments into materialized block lists without
+    running the UDF; the broadcast consumers must skip them (the
+    dedup_minhash num_cpus=32 regression)."""
+    import pyarrow as pa
+    import ray
+
+    good = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "hashes": pa.array(
+                [[10, 20, 30], [10, 20, 40]],
+                type=pa.large_list(pa.int64()),
+            ),
+        }
+    )
+    schemaless = pa.table({})  # what a pruned fragment block looks like
+    refs = [ray.put(schemaless), ray.put(good)]
+    jv = dedup.JaccardVerify(refs, tau=0.5)
+    pairs = pa.table(
+        {"a": pa.array([1], type=pa.int64()), "b": pa.array([2], type=pa.int64())}
+    )
+    out = jv(pairs)
+    assert out["a"].to_pylist() == [1]
+    assert out["j_r"].to_pylist() == [0.5]
+
+    sizes = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "n": pa.array([3, 3], type=pa.int64()),
+        }
+    )
+    nf = dedup.NgramFinalize([ray.put(schemaless), ray.put(sizes)], tau=0.5)
+    out2 = nf(
+        pa.table(
+            {
+                "a": pa.array([1], type=pa.int64()),
+                "b": pa.array([2], type=pa.int64()),
+                "i": pa.array([2], type=pa.int64()),
+            }
+        )
+    )
+    assert out2["a"].to_pylist() == [1]
+
+
+def test_minhash_at_driver_parallelism():
+    """End-to-end q_dedup_minhash in a FRESH Ray at num_cpus=32 — the
+    configuration where the zero-column-block race reproduced (green at
+    4 cpus, ActorDiedError at 32 before the guard)."""
+    import subprocess
+    import sys
+
+    code = """
+import ray
+ray.init(address="local", num_cpus=32, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from ciff_ray.extras import dedup
+got = dedup.q_dedup_minhash("/root/testdata/sf0.001").to_pandas()
+assert len(got) > 0
+print("PAIRS", len(got))
+ray.shutdown()
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "PAIRS" in r.stdout
 
 
 def test_simhash_locality(ray_session, doc_texts):
