@@ -724,6 +724,9 @@ def _term_stats_merge_shard(out_path: str, *parts) -> int:
     """Level 2: merge one disjoint term shard across all partitions and
     write its stats file."""
     pa.set_cpu_count(1)
+    # with num_returns=1 Ray hands the level-1 task's whole 1-tuple
+    # through a single ref, so a part may arrive as (Table,) — unwrap
+    parts = [p[0] if isinstance(p, tuple) else p for p in parts]
     nonempty = [p for p in parts if p.num_rows]
     if not nonempty:
         return 0

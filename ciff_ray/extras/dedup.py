@@ -839,14 +839,22 @@ def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
 
 class BlockPairScorer:
     """Scores one (block_i, block_j) cell per input row: fetches the two
-    row blocks from the object store (zero-copy, cached per actor so a
-    block crossing many cells is fetched once), one B x B GEMM, emits
-    pairs >= tau.  Driver holds block REFS only."""
+    row blocks from the object store (zero-copy, LRU-cached per actor —
+    cells arrive roughly row-major, so a tiny cache captures most
+    reuse while keeping the documented O(block^2) memory shape: an
+    unbounded cache would converge to the full matrix), one B x B
+    GEMM, emits pairs >= tau.  Driver holds block REFS only."""
+
+    _CACHE_BLOCKS = 4
 
     def __init__(self, block_refs, tau: float):
+        from collections import OrderedDict
+
         self.refs = block_refs
         self.tau = tau
-        self.cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self.cache: OrderedDict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = (
+            OrderedDict()
+        )
 
     def _block(self, i: int):
         blk = self.cache.get(i)
@@ -857,6 +865,10 @@ class BlockPairScorer:
             norms = np.sqrt((E * E).sum(axis=1))
             blk = (ids, E, norms)
             self.cache[i] = blk
+            if len(self.cache) > self._CACHE_BLOCKS:
+                self.cache.popitem(last=False)
+        else:
+            self.cache.move_to_end(i)
         return blk
 
     def __call__(self, cells: pa.Table) -> pa.Table:

@@ -55,23 +55,34 @@ class _RevenuePartials:
             np.int64
         )
         price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        # sum in integer CENTS: order-independent and exact, so the
+        # nondeterministic partial-sum order can never flip a rounding
+        # boundary in the cross-engine hash compare
+        cents = np.round(price * 100.0).astype(np.int64)
         pos = np.searchsorted(self.ck, cust)
         ok = (pos < self.ck.size) & (self.ck[np.minimum(pos, self.ck.size - 1)] == cust)
         if not ok.all():
             # inner-join semantics: drop orders without a customer row
-            pos, price = pos[ok], price[ok]
+            pos, cents = pos[ok], cents[ok]
         nkey = self.nk[pos]
         npos = np.searchsorted(self.n_keys, nkey)
+        npos_c = np.minimum(npos, max(self.n_keys.size - 1, 0))
+        if npos_c.size and (self.n_keys[npos_c] != nkey).any():
+            # a dangling c_nationkey would otherwise be silently
+            # misattributed to the nearest nation — fail fast instead
+            raise KeyError("c_nationkey missing from nation table")
         k = self.n_keys.size
-        rev = np.bincount(npos, weights=price, minlength=k)
-        cnt = np.bincount(npos, minlength=k)
+        rev = np.bincount(npos_c, weights=cents.astype(np.float64), minlength=k)
+        cnt = np.bincount(npos_c, minlength=k)
         present = np.flatnonzero(cnt)
         return pa.table(
             {
                 "n_name": pa.array(
                     self.n_names[present].tolist(), type=pa.string()
                 ),
-                "revenue": pa.array(rev[present], type=pa.float64()),
+                "rev_cents": pa.array(
+                    rev[present].astype(np.int64), type=pa.int64()
+                ),
                 "n_orders": pa.array(cnt[present], type=pa.int64()),
             }
         )
@@ -80,20 +91,23 @@ class _RevenuePartials:
 def q_nation_revenue(sf_dir: str) -> ray.data.Dataset:
     """Revenue and order count per nation: broadcast-join the streamed
     orders fact to the customer/nation dims, pre-aggregate per batch,
-    one tiny groupby(n_name).  revenue rounded to 4 dp for the
-    cross-engine float compare (partial-sum error ~1e-9 absolute)."""
+    one tiny groupby(n_name).  Revenue is aggregated in integer CENTS
+    (order-independent, exact — no float partial-sum jitter in the
+    cross-engine compare; the oracle sums the same way)."""
     dims_ref = ray.put(_dim_tables(sf_dir))
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_totalprice"],
     )
 
-    def _final_round(t: pa.Table) -> pa.Table:
-        rev = np.round(t["revenue"].to_numpy(zero_copy_only=False), 4)
+    def _final(t: pa.Table) -> pa.Table:
+        cents = t["rev_cents"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "n_name": t["n_name"],
-                "revenue_r": pa.array(rev, type=pa.float64()),
+                "revenue_r": pa.array(
+                    np.round(cents / 100.0, 4), type=pa.float64()
+                ),
                 "n_orders": t["n_orders"],
             }
         )
@@ -107,16 +121,17 @@ def q_nation_revenue(sf_dir: str) -> ray.data.Dataset:
         )
         .groupby("n_name")
         .aggregate(
-            Sum("revenue", alias_name="revenue"),
+            Sum("rev_cents", alias_name="rev_cents"),
             Sum("n_orders", alias_name="n_orders"),
         )
-        .map_batches(_final_round, batch_format="pyarrow")
+        .map_batches(_final, batch_format="pyarrow")
     )
 
 
 ORACLE_SQLS = {
     "nation_revenue": """SELECT n.n_name AS n_name,
-       round(SUM(o.o_totalprice), 4) AS revenue_r,
+       round(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0, 4)
+         AS revenue_r,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey

@@ -11,8 +11,11 @@
   per-bucket files — hash-partitioned layout with NO all-to-all
   shuffle); queries then READ ONLY the probed bucket partitions, so
   per-query IO and FLOPs scale with probed-bucket size, not N.  The
-  bucket store is cached under /tmp keyed by the input fingerprint and
-  is resumable (done-marker + atomic rename).  Approximate -> rows-only
+  bucket store lives under the configurable shared cache root
+  (CIFF_RAY_CACHE_ROOT — point it at shared storage on a cluster),
+  keyed by the input fingerprint, and is resumable (done-marker +
+  atomic rename; part filenames are deterministic per input batch so
+  task retries overwrite, not duplicate).  Approximate -> rows-only
   entry; recall vs brute force is asserted in tests.
 
 Ranking rule (both variants): cosine rounded to 9 dp DESC, vec_id ASC —
@@ -54,7 +57,15 @@ N_QUERIES = 8  # query set = embeddings with vec_id < N_QUERIES
 TOP_K = 10
 IVF_CENTROIDS = 16  # quantizer size (trained: spherical k-means, see _centroids)
 IVF_PROBES = 4
-IVF_CACHE_ROOT = "/tmp/ciff_ray_ivf"
+
+
+def _ivf_root() -> str:
+    """Bucket-store root — CIFF_RAY_CACHE_ROOT-relative, so on a
+    cluster the map tasks' bucket part files and the driver's listing
+    see the same (shared) filesystem."""
+    from ciff_ray.layout import cache_root
+
+    return os.path.join(cache_root(), "ivf")
 
 
 def _read_prefix(path: str, max_id: int) -> tuple[np.ndarray, np.ndarray]:
@@ -178,7 +189,7 @@ def _ivf_store_dir(path: str) -> str:
     key = f"{os.path.abspath(path)}|{st.st_size}|{st.st_mtime_ns}|{IVF_CENTROIDS}|km2"
     import zlib
 
-    return os.path.join(IVF_CACHE_ROOT, format(zlib.crc32(key.encode()), "08x"))
+    return os.path.join(_ivf_root(), format(zlib.crc32(key.encode()), "08x"))
 
 
 def build_ivf(path: str) -> str:
@@ -192,9 +203,10 @@ def build_ivf(path: str) -> str:
     marker = os.path.join(store, "_done.json")
     if os.path.exists(marker):
         return store
-    os.makedirs(IVF_CACHE_ROOT, exist_ok=True)
+    root = _ivf_root()
+    os.makedirs(root, exist_ok=True)
     cref = ray.put(_centroids(path))
-    tmp = tempfile.mkdtemp(prefix="ivf-build-", dir=IVF_CACHE_ROOT)
+    tmp = tempfile.mkdtemp(prefix="ivf-build-", dir=root)
     for b in range(IVF_CENTROIDS):
         os.makedirs(os.path.join(tmp, f"bucket={b}"), exist_ok=True)
 
@@ -205,7 +217,10 @@ def build_ivf(path: str) -> str:
         vn = np.sqrt((V * V).sum(axis=1))
         assign = np.argmax((V @ C.T) / vn[:, None], axis=1).astype(np.int32)
         out = batch.append_column("bucket", pa.array(assign))
-        part = uuid.uuid4().hex[:12]
+        # deterministic per-batch filename: vec_ids are unique and a
+        # batch is a contiguous slice, so min(vec_id) identifies it —
+        # a RETRIED task overwrites its own part instead of duplicating
+        part = f"{int(vid.min()):012d}" if vid.size else uuid.uuid4().hex[:12]
         counts = []
         for b in np.unique(assign):
             sub = out.filter(pa.array(assign == b))

@@ -15,6 +15,18 @@ import zlib
 from dataclasses import asdict, dataclass, field
 
 
+def cache_root() -> str:
+    """Root for derived stores written by map tasks and read back by
+    the driver (IVF bucket partitions, cached pipeline indexes).  On a
+    multi-node cluster this MUST be shared storage (NFS / fuse-mounted
+    object store): workers on different nodes write part files under
+    it and the driver lists them — a node-local path would silently
+    scatter the store.  Configure via CIFF_RAY_CACHE_ROOT (read at
+    call time so tests / operators can redirect it); the default is
+    single-node-only."""
+    return os.environ.get("CIFF_RAY_CACHE_ROOT", "/tmp/ciff_ray_cache")
+
+
 @dataclass
 class IndexPaths:
     root: str

@@ -64,7 +64,9 @@ def _sf_fingerprint(sf_dir: str) -> str:
 
 
 def index_dir_for(sf_dir: str) -> str:
-    return os.path.join("/tmp/ciff_ray_cache", _sf_fingerprint(sf_dir))
+    from ciff_ray.layout import cache_root
+
+    return os.path.join(cache_root(), "index", _sf_fingerprint(sf_dir))
 
 
 def ensure_index(sf_dir: str) -> str:

@@ -49,6 +49,30 @@ def test_ann_ivf_recall(ray_session):
     assert got.groupby("query_id")["rank"].is_monotonic_increasing.all()
 
 
+def test_ivf_store_honors_cache_root(ray_session, tmp_path, monkeypatch):
+    """The bucket store must root under CIFF_RAY_CACHE_ROOT (shared
+    storage on a cluster) — no hardcoded /tmp — and a rebuild against
+    the same root must be a done-marker no-op."""
+    import os
+
+    monkeypatch.setenv("CIFF_RAY_CACHE_ROOT", str(tmp_path))
+    store = simsearch.build_ivf(f"{SF}/embeddings.parquet")
+    assert store.startswith(str(tmp_path))
+    assert os.path.exists(os.path.join(store, "_done.json"))
+    buckets = [d for d in os.listdir(store) if d.startswith("bucket=")]
+    assert buckets
+    # deterministic part names: every file is part-<min vec_id>.parquet
+    for b in buckets:
+        for f in os.listdir(os.path.join(store, b)):
+            assert f.startswith("part-") and f.endswith(".parquet")
+    before = os.stat(store).st_mtime_ns
+    assert simsearch.build_ivf(f"{SF}/embeddings.parquet") == store
+    assert os.stat(store).st_mtime_ns == before
+    # the full query path works against the redirected root
+    got = simsearch.q_ann_ivf(SF).to_pandas()
+    assert len(got) > 0
+
+
 def test_media_pipeline_schema_and_values(ray_session):
     out = multimodal.q_media_features(SF).to_pandas()
     docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])

@@ -97,3 +97,37 @@ def test_pack_unpack_after_take():
     assert d2.tolist() == exp_docs
     assert t2.tolist() == exp_tfs
     assert l2.tolist() == exp_dls
+
+
+def test_term_stats_tree_single_shard(ray_session, tmp_path, monkeypatch):
+    """_write_term_stats must work at _TERM_STATS_SHARDS == 1: with
+    num_returns=1 Ray hands the level-1 1-tuple through a single ref,
+    so the level-2 merge receives (Table,) and must unwrap it."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ciff_ray import build
+    from ciff_ray.layout import IndexPaths
+
+    paths = IndexPaths(str(tmp_path))
+    paths.ensure_dirs()
+    os.makedirs(paths.term_stats, exist_ok=True)
+    td = pa.table(
+        {
+            "term": pa.array(["a", "b", "a"]),
+            "df": pa.array([2, 1, 3], type=pa.int64()),
+            "cf": pa.array([4, 1, 5], type=pa.int64()),
+            "max_score": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    pq.write_table(td, paths.term_dict_part(0))
+    monkeypatch.setattr(build, "_TERM_STATS_SHARDS", 1)
+    n_lists = build._write_term_stats(paths)
+    assert n_lists == 2  # terms a, b
+    got = pq.read_table(paths.term_stats).to_pylist()
+    by_term = {r["term"]: r for r in got}
+    assert by_term["a"]["df"] == 5 and by_term["a"]["cf"] == 9
+    assert by_term["a"]["max_score"] == 3.0
+    assert by_term["b"]["df"] == 1
