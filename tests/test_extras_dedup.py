@@ -259,3 +259,33 @@ def test_embedding_pairs_match_numpy(ray_session):
     # multi-block sweep (forces cross-block cells) finds the same pairs
     small = dedup.q_dedup_embedding(SF, block_rows=60).to_pandas()
     assert set(zip(small["a"], small["b"])) == exp
+
+
+def test_embedding_ann_recall_and_subquadratic(ray_session):
+    """ANN-candidate near-dup: (1) output is a SUBSET of the exact
+    pairs (verification is exact), (2) recall >= 0.9 on the isotropic
+    worst case, (3) the scanned-candidate fraction FALLS as N grows
+    with K ~ sqrt(N) — the sub-quadratic claim, pinned by deterministic
+    pair accounting, not wall-clock."""
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(t["vec_id"].to_pylist())
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = En @ En.T
+    iu = np.triu_indices(len(ids), k=1)
+    mask = S[iu] >= dedup.COSINE_TAU
+    exact = set(zip(ids[iu[0][mask]].tolist(), ids[iu[1][mask]].tolist()))
+
+    got = dedup.q_dedup_embedding_ann(SF).to_pandas()
+    ann = set(zip(got["a"], got["b"]))
+    assert ann <= exact  # no false positives: candidates are exact-verified
+    assert len(ann) / len(exact) >= 0.9
+
+    s_small = dedup.embedding_ann_scan_stats("/root/testdata/sf0.001")
+    s_big = dedup.embedding_ann_scan_stats("/root/testdata/sf0.1")
+    frac_small = s_small["scanned_pairs"] / s_small["exact_pairs"]
+    frac_big = s_big["scanned_pairs"] / s_big["exact_pairs"]
+    assert s_big["n"] > s_small["n"]
+    assert s_big["k"] > s_small["k"]
+    assert frac_big < frac_small  # scanned share shrinks with N
+    assert frac_big < 0.75  # strictly below the exact sweep at N=2000
