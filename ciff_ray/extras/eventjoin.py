@@ -160,12 +160,31 @@ def _range_rows(batch: pa.Table, *, side: int) -> pa.Table:
     )
 
 
+def _lex_ranks(
+    e_key: np.ndarray, e_ts: np.ndarray, q_key: np.ndarray, q_ts: np.ndarray
+) -> np.ndarray:
+    """Per query (k, t): the number of events (ek, et) with
+    (ek, et) < (k, t) lexicographically — a vectorized composite-key
+    searchsorted('left'): ONE lexsort of the tagged union (queries
+    ordered before equal-key-and-ts events), then a cumulative event
+    count.  No per-key Python; cost is flat in distinct-key count."""
+    m, q = e_key.size, q_key.size
+    keys = np.concatenate([e_key, q_key])
+    tss = np.concatenate([e_ts, q_ts])
+    tag = np.concatenate([np.ones(m, np.int8), np.zeros(q, np.int8)])
+    order = np.lexsort((tag, tss, keys))
+    cum = np.cumsum(tag[order], dtype=np.int64)
+    inv = np.empty(m + q, dtype=np.int64)
+    inv[order] = np.arange(m + q)
+    return cum[inv[m:]]
+
+
 def _range_count_in_part(group: pa.Table) -> pa.Table:
     """One key-hash partition of the tagged union -> per-order event
-    counts within [o_orderdate, o_orderdate + RANGE_DAYS): events
-    sorted by (key, ts) once; per key present, TWO vectorized
-    searchsorted calls over that key's event run answer ALL its
-    orders."""
+    counts within [o_orderdate, o_orderdate + RANGE_DAYS): count =
+    rank(key, start + R) - rank(key, start) over the lexicographic
+    (key, ts) event order, both rank vectors from one _lex_ranks merge
+    — fully vectorized, no per-key loop."""
     side = group["side"].to_numpy(zero_copy_only=False)
     key = group["key"].to_numpy(zero_copy_only=False)
     ts = group["ts_us"].to_numpy(zero_copy_only=False)
@@ -180,26 +199,14 @@ def _range_count_in_part(group: pa.Table) -> pa.Table:
                 "n_events": pa.array([], type=pa.int64()),
             }
         )
-    eo = np.lexsort((e_ts, e_key))
-    e_key, e_ts = e_key[eo], e_ts[eo]
-    counts = np.zeros(o_key.size, dtype=np.int64)
-    oo = np.argsort(o_key, kind="stable")
-    ok_sorted = o_key[oo]
-    run_start = np.concatenate(
-        [[0], np.flatnonzero(ok_sorted[1:] != ok_sorted[:-1]) + 1]
+    n = o_key.size
+    ranks = _lex_ranks(
+        e_key,
+        e_ts,
+        np.concatenate([o_key, o_key]),
+        np.concatenate([o_ts, o_ts + _RANGE_US]),
     )
-    run_end = np.concatenate([run_start[1:], [ok_sorted.size]])
-    for s, e in zip(run_start, run_end):
-        k = ok_sorted[s]
-        es = np.searchsorted(e_key, k, side="left")
-        ee = np.searchsorted(e_key, k, side="right")
-        if es == ee:
-            continue
-        run_ts = e_ts[es:ee]
-        idx = oo[s:e]
-        lo = np.searchsorted(run_ts, o_ts[idx], side="left")
-        hi = np.searchsorted(run_ts, o_ts[idx] + _RANGE_US, side="left")
-        counts[idx] = hi - lo
+    counts = ranks[n:] - ranks[:n]
     return pa.table(
         {
             "o_orderkey": pa.array(o_id, type=pa.int64()),

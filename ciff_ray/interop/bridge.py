@@ -196,14 +196,133 @@ def ciff_to_index(
     return manifest
 
 
+_EXPORT_COLS = [
+    "term",
+    "salt",
+    "df",
+    "first_doc",
+    "doc_bytes",
+    "doc_codec",
+    "tf_bytes",
+    "tf_codec",
+]
+
+
+def _segment_slices(path: str):
+    """Stream one segment file's (term, salt) slices in stored order
+    (the writer sorts rows by (term, salt) — build.py row_order), one
+    decoded (term, salt, docs, tfs) tuple at a time; memory is one
+    record batch, never the segment."""
+    from ciff_ray import codecs
+
+    pf = pq.ParquetFile(path)
+    for rb in pf.iter_batches(batch_size=512, columns=_EXPORT_COLS):
+        terms = rb.column(0).to_pylist()
+        salts = rb.column(1).to_pylist()
+        dfs = rb.column(2).to_pylist()
+        firsts = rb.column(3).to_pylist()
+        doc_bytes = rb.column(4).to_pylist()
+        doc_codecs = rb.column(5).to_pylist()
+        tf_bytes = rb.column(6).to_pylist()
+        tf_codecs = rb.column(7).to_pylist()
+        for i in range(rb.num_rows):
+            df = dfs[i]
+            gaps = codecs.decode(doc_bytes[i], df - 1, doc_codecs[i]).astype(
+                np.int64
+            )
+            docs = np.empty(df, dtype=np.int64)
+            docs[0] = firsts[i]
+            if df > 1:
+                np.cumsum(gaps, out=docs[1:])
+                docs[1:] += firsts[i]
+            tfs = codecs.decode(tf_bytes[i], df, tf_codecs[i]).astype(np.int64)
+            yield (terms[i], salts[i], docs, tfs)
+
+
+def _merged_postings(paths: IndexPaths):
+    """Globally term-sorted posting lists streamed via a k-way merge of
+    the per-partition slice streams (keyed on (term, salt); Python str
+    comparison equals UTF-8 byte order, the O1 semantics PISA needs).
+    Salted slices of one heavy term arrive salt-ascending — covering
+    disjoint ascending docID ranges by the build invariant — and are
+    concatenated into one list."""
+    import heapq
+
+    seg_files = sorted(
+        os.path.join(paths.segments_dir, f)
+        for f in os.listdir(paths.segments_dir)
+        if f.endswith(".parquet")
+    )
+    stream = heapq.merge(
+        *(_segment_slices(p) for p in seg_files), key=lambda s: (s[0], s[1])
+    )
+    cur_term: str | None = None
+    doc_parts: list[np.ndarray] = []
+    tf_parts: list[np.ndarray] = []
+    for term, _salt, docs, tfs in stream:
+        if term != cur_term:
+            if cur_term is not None:
+                yield cur_term, np.concatenate(doc_parts), np.concatenate(tf_parts)
+            cur_term, doc_parts, tf_parts = term, [], []
+        doc_parts.append(docs)
+        tf_parts.append(tfs)
+    if cur_term is not None:
+        yield cur_term, np.concatenate(doc_parts), np.concatenate(tf_parts)
+
+
+def _docmap_batches(docmap_dir: str):
+    """Stream docmap rows in global docID order.  Files are usually
+    disjoint docID ranges (checked via parquet column stats) and stream
+    one file at a time; overlapping files fall back to one in-memory
+    sort of the docmap (O(num_docs) — still never a Python list of the
+    whole table)."""
+    files = sorted(
+        os.path.join(docmap_dir, f)
+        for f in os.listdir(docmap_dir)
+        if f.endswith(".parquet")
+    )
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo = min(
+            md.row_group(g).column(0).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(0).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        spans.append((lo, hi, f))
+    spans.sort()
+    disjoint = all(
+        spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1)
+    )
+    if disjoint:
+        for _, _, f in spans:
+            t = pq.read_table(
+                f, columns=["doc_id", "collection_docid", "doclength"]
+            )
+            t = t.take(pc.sort_indices(t["doc_id"].combine_chunks()))
+            yield from t.to_batches(max_chunksize=4096)
+    else:
+        t = pq.read_table(
+            docmap_dir, columns=["doc_id", "collection_docid", "doclength"]
+        )
+        t = t.take(pc.sort_indices(t["doc_id"].combine_chunks()))
+        yield from t.to_batches(max_chunksize=4096)
+
+
 def index_to_ciff(
     index_dir: str, output_path: str, description: str | None = None
 ) -> CiffHeader:
-    """Export a ciff_ray index to a CIFF file."""
-    from ciff_ray.query import LocalScorer
-
-    scorer = LocalScorer(index_dir)
-    m = scorer.manifest
+    """Export a ciff_ray index to a CIFF file — STREAMING: posting
+    lists come from a k-way merge over the (term, salt)-sorted segment
+    files and docmap rows from per-range-file record batches, so driver
+    memory is bounded by open record batches, never the vocabulary or
+    the docmap (the CIFF container is one sequential file, so a single
+    writer is forced either way)."""
+    paths = IndexPaths(index_dir)
+    m = Manifest.read(paths.manifest)
     header = CiffHeader(
         version=1,
         num_postings_lists=m.num_postings_lists,
@@ -214,21 +333,25 @@ def index_to_ciff(
         average_doclength=m.average_doclength,
         description=description if description is not None else m.description,
     )
-    # byte-sorted term order — required by PISA downstream (O1 semantics)
-    all_terms = scorer.vocabulary()  # byte-sorted by construction
     with CiffWriter(output_path, header) as w:
-        for term in all_terms:
-            docs, tfs = scorer.postings(term)
-            w.write_postings_list(CiffPostingsList.from_absolute(term, docs, tfs))
-        dm = pq.read_table(
-            IndexPaths(index_dir).docmap_dir,
-            columns=["doc_id", "collection_docid", "doclength"],
-        )
-        dm = dm.take(pc.sort_indices(dm["doc_id"].combine_chunks()))
-        for did, coll, dl in zip(
-            dm["doc_id"].to_pylist(),
-            dm["collection_docid"].to_pylist(),
-            dm["doclength"].to_pylist(),
-        ):
-            w.write_doc_record(CiffDocRecord(did, coll, dl))
+        n_lists = 0
+        for term, docs, tfs in _merged_postings(paths):
+            if docs.size > 1 and (docs[1:] <= docs[:-1]).any():
+                raise AssertionError(
+                    f"salted slices of {term!r} out of docID order"
+                )
+            w.write_postings_list(
+                CiffPostingsList.from_absolute(term, docs, tfs)
+            )
+            n_lists += 1
+        if n_lists != m.num_postings_lists:
+            raise AssertionError(
+                f"exported {n_lists} lists, manifest says {m.num_postings_lists}"
+            )
+        for rb in _docmap_batches(paths.docmap_dir):
+            dids = rb.column(0).to_pylist()
+            colls = rb.column(1).to_pylist()
+            dls = rb.column(2).to_pylist()
+            for did, coll, dl in zip(dids, colls, dls):
+                w.write_doc_record(CiffDocRecord(did, coll, dl))
     return header

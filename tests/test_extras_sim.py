@@ -189,3 +189,43 @@ def test_range_join_kernel_edges():
     assert out[901] == 2
     # order 902 (user 2, start 10): event at 5 is before start -> 0
     assert out[902] == 0
+
+
+def test_range_kernel_flat_in_distinct_keys():
+    """The partition kernel must not degrade with distinct-key count
+    (the old per-key-run loop did): 200k orders x 200k events over 200k
+    DISTINCT keys, one event in-window each, in well under a second."""
+    import time
+
+    import numpy as np
+
+    from ciff_ray.extras.eventjoin import _RANGE_US, _range_count_in_part
+
+    n = 200_000
+    keys = np.arange(n, dtype=np.int64)
+    group = pa.table(
+        {
+            "key": pa.array(np.concatenate([keys, keys]), type=pa.int64()),
+            "ts_us": pa.array(
+                np.concatenate(
+                    [np.zeros(n, np.int64), np.full(n, _RANGE_US - 1)]
+                ),
+                type=pa.int64(),
+            ),
+            "row_id": pa.array(
+                np.concatenate([keys + 10_000_000, keys]), type=pa.int64()
+            ),
+            "side": pa.array(
+                np.concatenate(
+                    [np.zeros(n, np.int8), np.ones(n, np.int8)]
+                ),
+                type=pa.int8(),
+            ),
+        }
+    )
+    t0 = time.perf_counter()
+    out = _range_count_in_part(group)
+    dt = time.perf_counter() - t0
+    assert dt < 1.0
+    assert len(out) == n
+    assert np.array(out["n_events"].to_pylist()).sum() == n  # one hit each
