@@ -20,6 +20,7 @@ from ciff_ray.extras import (
     eventjoin,
     multimodal,
     relational,
+    sampling,
     simsearch,
     textstats,
 )
@@ -31,6 +32,7 @@ QUERIES = {
     **dedup.QUERIES,
     **simsearch.QUERIES,
     **multimodal.QUERIES,
+    **sampling.QUERIES,
 }
 
 ORACLE_SQLS = {
@@ -40,4 +42,5 @@ ORACLE_SQLS = {
     **dedup.ORACLE_SQLS,
     **simsearch.ORACLE_SQLS,
     **multimodal.ORACLE_SQLS,
+    **sampling.ORACLE_SQLS,
 }

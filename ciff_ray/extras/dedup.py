@@ -930,6 +930,87 @@ def q_dedup_embedding(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination — n-gram overlap against a held-out set
+
+DECON_BENCH_MOD = 20  # benchmark set = docs with doc_id % 20 == 0
+
+
+def _bench_shingle_set(sf_dir: str) -> np.ndarray:
+    """Sorted unique shingle hashes of the benchmark docs — the
+    broadcast small side (the benchmark/eval set is small by
+    construction at any corpus scale; the corpus is what streams)."""
+
+    def blk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % DECON_BENCH_MOD == 0))
+        sh, _parents = _shingle_arrays(sub)
+        h = np.unique(_shingle_u64(sh))
+        return pa.table({"h": pa.array(h.view(np.int64), type=pa.int64())})
+
+    parts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(blk, batch_format="pyarrow")
+        .take_all()
+    )
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(
+        np.array([r["h"] for r in parts], dtype=np.int64).view(np.uint64)
+    )
+
+
+class DeconStage:
+    """corpus batches -> (doc_id, n_hits) for docs sharing >= 1
+    word-3-gram with the broadcast benchmark shingle set (benchmark
+    docs themselves excluded); n_hits = DISTINCT shared shingles."""
+
+    _EMPTY = pa.schema(
+        [("doc_id", pa.int64()), ("n_hits", pa.int64())]
+    ).empty_table()
+
+    def __init__(self, bench_ref):
+        self.bench = ray.get(bench_ref)  # sorted unique u64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(ids % DECON_BENCH_MOD != 0))
+        n = len(batch)
+        if n == 0 or self.bench.size == 0:
+            return self._EMPTY
+        sh, parents = _shingle_arrays(batch)
+        h = _shingle_u64(sh)
+        uniq, starts, ends = _per_doc_unique(h, parents, n)
+        pos = np.searchsorted(self.bench, uniq)
+        pos = np.minimum(pos, max(self.bench.size - 1, 0))
+        found = self.bench[pos] == uniq
+        parents_u = np.repeat(np.arange(n), ends - starts)
+        hits = np.bincount(parents_u[found], minlength=n).astype(np.int64)
+        keep = hits > 0
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[keep], type=pa.int64()),
+                "n_hits": pa.array(hits[keep], type=pa.int64()),
+            }
+        )
+
+
+def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Training-corpus decontamination: flag every non-benchmark doc
+    that shares at least one word-3-gram with the benchmark set
+    (doc_id % DECON_BENCH_MOD == 0), with the count of distinct shared
+    shingles.  Shape: tiny broadcast set (ray.put once, searchsorted in
+    every task), corpus streams — no shuffle at all."""
+    bench_ref = ray.put(_bench_shingle_set(sf_dir))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        DeconStage,
+        fn_constructor_args=(bench_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup, ANN-candidate scale path (sub-quadratic FLOPs)
 
 EMB_ANN_ASSIGN = 4  # buckets each vector is assigned to (multi-probe)
@@ -1164,6 +1245,12 @@ FROM documents GROUP BY {NORM_SQL}""",
 FROM documents GROUP BY substr({NORM_SQL}, 1, {KEY_PREFIX_CHARS})""",
     "dedup_minhash": _SQL_JACCARD_PAIRS,
     "dedup_ngram_jaccard": _SQL_JACCARD_PAIRS_CAPPED,
+    "decontaminate": f"""WITH {_SQL_SHINGLE_BASE.strip()},
+bench AS (SELECT DISTINCT sh FROM sh0 WHERE doc_id % {DECON_BENCH_MOD} = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM sh0 s JOIN bench b ON s.sh = b.sh
+WHERE s.doc_id % {DECON_BENCH_MOD} <> 0
+GROUP BY s.doc_id""",
     "dedup_embedding": f"""SELECT x.vec_id AS a, y.vec_id AS b,
        round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                                     CAST(y.embedding AS DOUBLE[])), 6) AS cos_r
@@ -1182,4 +1269,5 @@ QUERIES = {
     # rows-only (approximate by design; recall + sub-quadratic scan
     # bounds pinned in tests/test_extras_dedup.py)
     "dedup_embedding_ann": q_dedup_embedding_ann,
+    "decontaminate": q_decontaminate,
 }

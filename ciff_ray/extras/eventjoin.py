@@ -245,3 +245,124 @@ FROM orders o LEFT JOIN events e
 GROUP BY o.o_orderkey"""
 
 QUERIES["range_join"] = q_range_join
+
+
+# ---------------------------------------------------------------------------
+# sessionization: gap-based session assignment + per-session rollup
+
+SESSION_GAP_US = 2 * 3600 * 1_000_000  # new session after a 2h silence
+
+
+def _session_rows(batch: pa.Table) -> pa.Table:
+    """events -> narrow sessionization rows; value carried as integer
+    cents (order-independent exact sums, same rationale as
+    relational.q_nation_revenue)."""
+    ts = batch["ts"].combine_chunks().cast(pa.int64())
+    user = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    val = batch["value"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "user_id": pa.array(user, type=pa.int64()),
+            "ts_us": ts,
+            "cents": pa.array(
+                np.round(val * 100.0).astype(np.int64), type=pa.int64()
+            ),
+            "part": pa.array((user % ASOF_PARTS).astype(np.int32)),
+        }
+    )
+
+
+def _sessions_in_part(group: pa.Table) -> pa.Table:
+    """One user-hash partition -> per-session rollups.  Vectorized:
+    lexsort by (user, ts), break where the gap to the previous event of
+    the SAME user exceeds SESSION_GAP_US, cumulative-sum the breaks into
+    session ids, reduceat the rollups.  Equal-timestamp ties share a
+    session regardless of order (gap 0), so the kernel is
+    order-deterministic without a tiebreaker."""
+    n = len(group)
+    if n == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "session_id": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "start_us": pa.array([], type=pa.int64()),
+                "end_us": pa.array([], type=pa.int64()),
+                "value_r": pa.array([], type=pa.float64()),
+            }
+        )
+    user = group["user_id"].to_numpy(zero_copy_only=False)
+    ts = group["ts_us"].to_numpy(zero_copy_only=False)
+    cents = group["cents"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ts, user))
+    user, ts, cents = user[order], ts[order], cents[order]
+    new_user = np.concatenate([[True], user[1:] != user[:-1]])
+    gap_break = np.concatenate([[True], (ts[1:] - ts[:-1]) > SESSION_GAP_US])
+    brk = new_user | gap_break
+    gsid = np.cumsum(brk) - 1  # globally distinct (every user starts one)
+    starts = np.flatnonzero(brk)
+    ends = np.concatenate([starts[1:], [n]])
+    # per-user 1-based session ordinal: global sid minus the user's
+    # first sid (forward-filled; gsid is nondecreasing)
+    first_sid_of_user = np.where(new_user, gsid, 0)
+    first_sid_of_user = np.maximum.accumulate(first_sid_of_user)
+    sid_in_user = gsid - first_sid_of_user + 1
+    sums = np.add.reduceat(cents, starts)
+    return pa.table(
+        {
+            "user_id": pa.array(user[starts], type=pa.int64()),
+            "session_id": pa.array(sid_in_user[starts], type=pa.int64()),
+            "n_events": pa.array(ends - starts, type=pa.int64()),
+            "start_us": pa.array(ts[starts], type=pa.int64()),
+            "end_us": pa.array(ts[ends - 1], type=pa.int64()),
+            "value_r": pa.array(
+                np.round(sums / 100.0, 2), type=pa.float64()
+            ),
+        }
+    )
+
+
+def q_sessionize(sf_dir: str) -> ray.data.Dataset:
+    """Gap-based sessionization over the event stream (the stateful
+    streaming-window operator class): a session is a maximal run of a
+    user's events with inter-event silence <= 2h; output one rollup row
+    per session (user_id, 1-based session_id, n_events, start/end
+    microseconds, exact value sum).  Same shuffle shape as the as-of
+    join: ONE user-hash exchange, then a fully vectorized per-partition
+    kernel."""
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "user_id", "value"],
+    )
+    return (
+        events.map_batches(_session_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_sessions_in_part, batch_format="pyarrow")
+    )
+
+
+ORACLE_SQLS["sessionize"] = f"""WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+o AS (
+  SELECT user_id, ts_us, cents,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+s AS (
+  SELECT user_id, ts_us, cents,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us,
+       round(SUM(cents) / 100.0, 2) AS value_r
+FROM s GROUP BY user_id, session_id"""
+
+QUERIES["sessionize"] = q_sessionize

@@ -320,7 +320,188 @@ SELECT doc_id, {pred} AS lang_pred, score_de, score_en, score_es, score_fr
 FROM filled"""
 
 
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality rules: repeated content and
+# symbol density are the strongest cheap junk predictors at corpus scale)
+
+SYM_STRIP = "[^a-z0-9 \t\n\r]+"  # chars KEPT by the symbol-ratio strip
+REP_TOP_TOK_MAX = 0.3
+REP_DUP_MAX = 0.3
+
+
+def _kgram_u64(
+    flat: pa.Array, ids: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """flat non-empty tokens + parent row ids -> (u64 word-k-gram
+    hashes, parents), vectorized shifted-slice join (the dedup shingle
+    construction generalized to k)."""
+    from ciff_ray.extras.dedup import _xxhash64
+
+    n = len(flat)
+    if n < k:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    m = n - k + 1
+    joined = pc.binary_join_element_wise(
+        *[flat.slice(i, m) for i in range(k)], " "
+    )
+    valid = np.ones(m, dtype=bool)
+    for i in range(1, k):
+        valid &= ids[:m] == ids[i : m + i]
+    joined = joined.filter(pa.array(valid))
+    if len(joined) == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    return _xxhash64(joined, seed=0x2545F4914F6CDD1D), ids[:m][valid]
+
+
+def _per_doc_runs(
+    h: np.ndarray, parents: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(total per doc, distinct per doc, per-(doc,value) run counts,
+    run parents) — one lexsort, no Python loops."""
+    tot = np.bincount(parents, minlength=n).astype(np.int64)
+    if h.size == 0:
+        z = np.zeros(n, dtype=np.int64)
+        return tot, z, np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.lexsort((h, parents))
+    hs, ps = h[order], parents[order]
+    new = np.concatenate([[True], (hs[1:] != hs[:-1]) | (ps[1:] != ps[:-1])])
+    run_idx = np.flatnonzero(new)
+    run_counts = np.diff(np.concatenate([run_idx, [hs.size]])).astype(np.int64)
+    run_parent = ps[run_idx]
+    uniq = np.bincount(run_parent, minlength=n).astype(np.int64)
+    return tot, uniq, run_counts, run_parent
+
+
+def _rep_signals_batch(batch: pa.Table) -> pa.Table:
+    from ciff_ray.extras.dedup import _xxhash64
+    from ciff_ray.tokenizer import flatten_tokens
+
+    n = len(batch)
+    text = batch["text"].combine_chunks()
+    toks = tokenize_column(text)
+    flat, ids = flatten_tokens(toks, np.arange(n, dtype=np.int64))
+
+    h1 = (
+        _xxhash64(flat, seed=0x9E3779B97F4A7C15)
+        if len(flat)
+        else np.empty(0, np.uint64)
+    )
+    tot1, _uniq1, run_counts, run_parent = _per_doc_runs(h1, ids, n)
+    top = np.zeros(n, dtype=np.int64)
+    if run_counts.size:
+        doc_new = np.concatenate([[True], run_parent[1:] != run_parent[:-1]])
+        doc_starts = np.flatnonzero(doc_new)
+        top[run_parent[doc_starts]] = np.maximum.reduceat(
+            run_counts, doc_starts
+        )
+    top_frac = top / np.maximum(tot1, 1)
+
+    dup_fracs = {}
+    for k in (2, 3):
+        hk, pk = _kgram_u64(flat, ids, k)
+        totk, uniqk, _rc, _rp = _per_doc_runs(hk, pk, n)
+        dup_fracs[k] = np.where(totk > 0, 1.0 - uniqk / np.maximum(totk, 1), 0.0)
+
+    low = pc.utf8_lower(text)
+    nc = pc.utf8_length(low).to_numpy(zero_copy_only=False).astype(np.int64)
+    stripped = pc.replace_substring_regex(low, pattern=SYM_STRIP, replacement="")
+    ns = nc - pc.utf8_length(stripped).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    sym_ratio = ns / np.maximum(nc, 1)
+
+    flags = (
+        (top_frac > REP_TOP_TOK_MAX).astype(np.int64)
+        + (dup_fracs[2] > REP_DUP_MAX).astype(np.int64)
+        + (dup_fracs[3] > REP_DUP_MAX).astype(np.int64)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "top_tok_frac_r": pa.array(np.round(top_frac, 6), type=pa.float64()),
+            "dup_bigram_frac_r": pa.array(
+                np.round(dup_fracs[2], 6), type=pa.float64()
+            ),
+            "dup_trigram_frac_r": pa.array(
+                np.round(dup_fracs[3], 6), type=pa.float64()
+            ),
+            "symbol_ratio_r": pa.array(np.round(sym_ratio, 6), type=pa.float64()),
+            "rep_flags": pa.array(flags, type=pa.int64()),
+        }
+    )
+
+
+def q_repetition_signals(sf_dir: str) -> ray.data.Dataset:
+    """Per-document repetition / junk signals (Gopher-rule family):
+    fraction of tokens that are the single most frequent token,
+    duplicate word-2-gram and word-3-gram fractions, symbol-to-char
+    ratio, and a 0-3 flag count over the repetition thresholds.  Pure
+    vectorized map_batches — no shuffle."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _rep_signals_batch, batch_format="pyarrow"
+    )
+
+
+_REP_SQL = f"""WITH tokl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM tokl
+),
+tc AS (SELECT doc_id, term, count(*) AS c FROM tokpos GROUP BY doc_id, term),
+ta AS (SELECT doc_id, max(c) AS top, sum(c) AS tot FROM tc GROUP BY doc_id),
+g2 AS (
+  SELECT a.doc_id, a.term || ' ' || b.term AS g
+  FROM tokpos a JOIN tokpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+a2 AS (SELECT doc_id, count(*) AS tot, count(DISTINCT g) AS uni
+       FROM g2 GROUP BY doc_id),
+g3 AS (
+  SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS g
+  FROM tokpos a
+  JOIN tokpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tokpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+a3 AS (SELECT doc_id, count(*) AS tot, count(DISTINCT g) AS uni
+       FROM g3 GROUP BY doc_id),
+sym AS (
+  SELECT doc_id, length(lower(text)) AS nc,
+         length(lower(text))
+           - length(regexp_replace(lower(text), '{SYM_STRIP}', '', 'g')) AS ns
+  FROM documents
+),
+feat AS (
+  SELECT d.doc_id,
+         coalesce(ta.top, 0) * 1.0 / greatest(coalesce(ta.tot, 0), 1)
+           AS top_frac,
+         CASE WHEN coalesce(a2.tot, 0) = 0 THEN 0.0
+              ELSE 1.0 - a2.uni * 1.0 / a2.tot END AS dup2,
+         CASE WHEN coalesce(a3.tot, 0) = 0 THEN 0.0
+              ELSE 1.0 - a3.uni * 1.0 / a3.tot END AS dup3,
+         s.ns * 1.0 / greatest(s.nc, 1) AS symr
+  FROM documents d
+  LEFT JOIN ta ON d.doc_id = ta.doc_id
+  LEFT JOIN a2 ON d.doc_id = a2.doc_id
+  LEFT JOIN a3 ON d.doc_id = a3.doc_id
+  JOIN sym s ON d.doc_id = s.doc_id
+)
+SELECT doc_id,
+       round(top_frac, 6) AS top_tok_frac_r,
+       round(dup2, 6) AS dup_bigram_frac_r,
+       round(dup3, 6) AS dup_trigram_frac_r,
+       round(symr, 6) AS symbol_ratio_r,
+       CAST((CASE WHEN top_frac > {REP_TOP_TOK_MAX} THEN 1 ELSE 0 END)
+            + (CASE WHEN dup2 > {REP_DUP_MAX} THEN 1 ELSE 0 END)
+            + (CASE WHEN dup3 > {REP_DUP_MAX} THEN 1 ELSE 0 END)
+            AS BIGINT) AS rep_flags
+FROM feat"""
+
+
 ORACLE_SQLS = {
+    "repetition_signals": _REP_SQL,
     "token_counts": f"""SELECT doc_id,
        {_sql_nonempty_split('text', '[^a-z0-9]+')} AS n_tokens,
        {_sql_nonempty_split('text', WS_PATTERN)} AS n_ws,
@@ -360,6 +541,7 @@ FROM feat""",
 QUERIES = {
     "token_counts": q_token_counts,
     "doc_quality": q_doc_quality,
+    "repetition_signals": q_repetition_signals,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,  # rows-only
 }
