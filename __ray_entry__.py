@@ -39,6 +39,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_window": p.q_turn_window,
         "bm25_scores": p.q_bm25_scores,
         "bm25_topk": p.q_bm25_topk,
+        "boolean_and": p.q_boolean_and,
+        "role_top_terms": p.q_role_top_terms,
+        "doclength_quantiles": p.q_doclength_quantiles,
     }
     try:
         from ciff_ray import extras

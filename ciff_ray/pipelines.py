@@ -483,7 +483,326 @@ def q_bm25_topk(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# boolean conjunctive retrieval (AND semantics over the inverted index)
+
+
+def _intersect_sorted(cur: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Intersection of two ascending unique docID arrays, O(|cur| log |d|)
+    searchsorted probe — `cur` only shrinks, so driving from the rarest
+    list keeps total work near the smallest df."""
+    if cur.size == 0 or d.size == 0:
+        return np.empty(0, np.int64)
+    pos = np.searchsorted(d, cur)
+    inb = pos < d.size
+    hit = np.zeros(cur.size, dtype=bool)
+    hit[inb] = d[pos[inb]] == cur[inb]
+    return cur[hit]
+
+
+class _BooleanAndActor:
+    """map_batches stage: (query_id, query) rows -> all (query_id,
+    doc_id) with the doc containing EVERY query term — conjunctive
+    boolean retrieval, the non-scored sibling of BM25 (reference query
+    semantics family; the reference itself only ranks).  Rarest-first
+    sorted-intersection over decoded posting lists; index state loaded
+    once per actor."""
+
+    def __init__(self, index_dir: str):
+        from ciff_ray.query import LocalScorer
+
+        self.scorer = LocalScorer(index_dir)
+
+    def _conjunction(self, query: str) -> np.ndarray:
+        terms = sorted(set(tokenize(query)))
+        if not terms:
+            return np.empty(0, np.int64)
+        stats = []
+        for t in terms:
+            st = self.scorer._term_stat(t)
+            if st is None:  # a missing term empties the AND
+                return np.empty(0, np.int64)
+            stats.append((st[0], t))
+        stats.sort()  # rarest term drives
+        cur, _ = self.scorer.postings(stats[0][1])
+        for _, t in stats[1:]:
+            if cur.size == 0:
+                break
+            d, _ = self.scorer.postings(t)
+            cur = _intersect_sorted(cur, d)
+        return cur
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs = [], []
+        for qid, q in zip(
+            batch["query_id"].to_pylist(), batch["query"].to_pylist()
+        ):
+            u = self._conjunction(q)
+            qids.append(np.full(u.size, qid, dtype=np.int64))
+            docs.append(u.astype(np.int64))
+        if not qids:
+            qcat: np.ndarray = np.empty(0, np.int64)
+            dcat: np.ndarray = np.empty(0, np.int64)
+        else:
+            qcat, dcat = np.concatenate(qids), np.concatenate(docs)
+        return pa.table(
+            {
+                "query_id": pa.array(qcat, type=pa.int64()),
+                "doc_id": pa.array(dcat, type=pa.int64()),
+            }
+        )
+
+
+def q_boolean_and(sf_dir: str) -> ray.data.Dataset:
+    """Conjunctive (all-terms) match set for the fixed query set."""
+    idx = ensure_index(sf_dir)
+    return (
+        _query_set_ds()
+        .repartition(4)
+        .map_batches(
+            _BooleanAndActor,
+            fn_constructor_args=(idx,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-group heavy-hitter terms (top-k terms per transcript role)
+
+ROLE_TOP_K = 10
+_TT_PARTS = 32
+_N_ROLES = 4  # synth._ROLES; role index = doc_id % 4 (rank identity)
+_ROLE_NAMES = ("user", "assistant", "system", "tool")
+
+
+def _role_term_partials(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> per-batch (part, role, term, cnt) partials.
+    One dictionary-encode per batch; the combined (term, role) key
+    bincount is the combiner half — the shuffle moves one row per
+    distinct (term, role) per batch, never per token.  `part` is a
+    term-hash partition: a term's global counts land in exactly one
+    partition, so in-partition sums are global sums and per-partition
+    top-k candidate sets are globally sound."""
+    from ciff_ray.extras.dedup import _xxhash64
+    from ciff_ray.tokenizer import token_ids
+
+    vocab, tidx, rows = token_ids(batch["text"])
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    role = doc[rows] % _N_ROLES
+    nv = len(vocab)
+    if nv == 0:
+        return pa.table(
+            {
+                "part": pa.array([], type=pa.int32()),
+                "role": pa.array([], type=pa.int32()),
+                "term": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+    key = tidx * _N_ROLES + role
+    cnt = np.bincount(key, minlength=nv * _N_ROLES)
+    nz = np.flatnonzero(cnt)
+    vocab_part = (_xxhash64(vocab, seed=0x1B873593) % _TT_PARTS).astype(
+        np.int32
+    )
+    return pa.table(
+        {
+            "part": pa.array(vocab_part[nz // _N_ROLES]),
+            "role": pa.array((nz % _N_ROLES).astype(np.int32)),
+            "term": vocab.take(pa.array(nz // _N_ROLES)),
+            "cnt": pa.array(cnt[nz], type=pa.int64()),
+        }
+    )
+
+
+def _topk_per_role(t: pa.Table, k: int) -> pa.Table:
+    """(role, term, cnt) -> top-k rows per role by (cnt desc, term asc)
+    — one Arrow sort, then a vectorized first-k-of-each-role-run mask."""
+    order = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("role", "ascending"),
+            ("cnt", "descending"),
+            ("term", "ascending"),
+        ],
+    )
+    t = t.take(order)
+    role = t["role"].to_numpy(zero_copy_only=False)
+    n = len(t)
+    if n == 0:
+        return t
+    new_run = np.concatenate([[True], role[1:] != role[:-1]])
+    run_start = np.flatnonzero(new_run)
+    rank_in_run = np.arange(n) - np.repeat(
+        run_start, np.diff(np.concatenate([run_start, [n]]))
+    )
+    return t.filter(pa.array(rank_in_run < k)).append_column(
+        "rk", pa.array(rank_in_run[rank_in_run < k] + 1, type=pa.int64())
+    )
+
+
+def _role_topk_in_part(group: pa.Table) -> pa.Table:
+    """One term-hash partition: vectorized (term, role) group-sum, then
+    emit only the partition's top-k candidates per role (k rows/role —
+    the downstream merge sees _TT_PARTS * roles * k rows total)."""
+    if len(group) == 0:
+        return pa.table(
+            {
+                "role": pa.array([], type=pa.int32()),
+                "term": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+    summed = (
+        group.select(["role", "term", "cnt"])
+        .group_by(["role", "term"])
+        .aggregate([("cnt", "sum")])
+        .rename_columns(["role", "term", "cnt"])
+    )
+    return _topk_per_role(summed, ROLE_TOP_K).drop_columns(["rk"])
+
+
+def _role_topk_final(t: pa.Table) -> pa.Table:
+    """Candidate rows (all partitions) -> final (role, rank, term, cnt)
+    with the role index mapped to its name."""
+    top = _topk_per_role(t, ROLE_TOP_K)
+    role_names = pa.array(
+        np.array(_ROLE_NAMES, dtype=object)[
+            top["role"].to_numpy(zero_copy_only=False)
+        ],
+        type=pa.string(),
+    )
+    return pa.table(
+        {
+            "role": role_names,
+            "rank": top["rk"],
+            "term": top["term"],
+            "cnt": top["cnt"],
+        }
+    )
+
+
+def q_role_top_terms(sf_dir: str) -> ray.data.Dataset:
+    """Top-{k} most frequent terms per transcript role (heavy-hitter
+    per group): batch partials -> term-hash partitions (global sums +
+    per-partition candidates) -> one tiny final merge.  No
+    per-(role,term) tiny-group Ray aggregate anywhere — the shuffle
+    payload is bounded by (batches x distinct terms) partial rows and
+    the final stage sees parts x roles x k rows."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return (
+        docs.map_batches(_role_term_partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_role_topk_in_part, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            _role_topk_final, batch_format="pyarrow", batch_size=None
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact per-group discrete quantiles (histogram method)
+
+DLQ_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def _dlq_partials(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (role, ntok, cnt) histogram partials.  Token
+    counts are small bounded ints, so the exact quantile reduces to a
+    per-group value histogram — partials shrink each batch to at most
+    roles x distinct-lengths rows."""
+    from ciff_ray.tokenizer import tokenize_column
+
+    toks = tokenize_column(batch["text"])
+    flat = pc.list_flatten(toks)
+    nonempty = pc.cast(pc.not_equal(flat, ""), pa.int64())
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    ntok = np.zeros(len(batch), dtype=np.int64)
+    np.add.at(ntok, parents, nonempty.to_numpy(zero_copy_only=False))
+    role = (
+        batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        % _N_ROLES
+    )
+    combo = role * (1 << 32) + ntok
+    uniq, cnt = np.unique(combo, return_counts=True)
+    return pa.table(
+        {
+            "role": pa.array((uniq >> 32).astype(np.int32)),
+            "ntok": pa.array(uniq & 0xFFFFFFFF, type=pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
+def _dlq_final(group: pa.Table) -> pa.Table:
+    """One role's histogram partials -> a single quantile row.
+    quantile_disc semantics (probed against DuckDB): the value at
+    0-based index ceil(n*q)-1 of the sorted multiset — read off the
+    cumulative histogram."""
+    if len(group) == 0:
+        return pa.table(
+            {
+                "role": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                **{
+                    f"p{int(q * 100)}": pa.array([], type=pa.int64())
+                    for q in DLQ_QUANTILES
+                },
+            }
+        )
+    ntok = group["ntok"].to_numpy(zero_copy_only=False)
+    cnt = group["cnt"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ntok, kind="stable")
+    vals = ntok[order]
+    csum = np.cumsum(cnt[order])
+    # merge duplicate values across partials
+    keep = np.concatenate([vals[1:] != vals[:-1], [True]])
+    vals, csum = vals[keep], csum[keep]
+    n = int(csum[-1])
+    role_idx = int(group["role"][0].as_py())
+    cols: dict[str, pa.Array] = {
+        "role": pa.array([_ROLE_NAMES[role_idx]], type=pa.string()),
+        "n": pa.array([n], type=pa.int64()),
+    }
+    for q in DLQ_QUANTILES:
+        idx = int(np.ceil(n * q)) - 1
+        v = int(vals[np.searchsorted(csum, idx + 1)])
+        cols[f"p{int(q * 100)}"] = pa.array([v], type=pa.int64())
+    return pa.table(cols)
+
+
+def q_doclength_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact discrete quantiles (p25/p50/p75/p95) of per-turn token
+    count, per transcript role — the windowed/percentile aggregate via
+    the histogram route: value domain is small, so partials are tiny
+    (role, value, cnt) rows and the per-role reduce is exact at any
+    corpus size (no sampling, no t-digest approximation)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return (
+        docs.map_batches(_dlq_partials, batch_format="pyarrow")
+        .groupby("role")
+        .map_groups(_dlq_final, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL generators
+
+
+def _boolean_query_values() -> str:
+    """(query_id, term) VALUES rows, one per DISTINCT query term —
+    mirrors _BooleanAndActor's sorted(set(tokenize(q)))."""
+    values = []
+    for qid, q in enumerate(QUERY_SET):
+        for t in sorted(set(tokenize(q))):
+            values.append(f"({qid}, '{t}')")
+    return ", ".join(values)
 
 
 def _bm25_scored_cte() -> str:
@@ -622,6 +941,59 @@ SELECT doc_id,
          ROWS BETWEEN {WINDOW_TURNS} PRECEDING AND 1 PRECEDING
        ), 0) AS BIGINT) AS win_tokens
 FROM r""",
+        "boolean_and": f"""{T},
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM transcripts
+),
+tf AS (
+  SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''
+),
+q(query_id, term) AS (VALUES {_boolean_query_values()}),
+qn AS (SELECT query_id, count(*) AS nt FROM q GROUP BY query_id),
+hit AS (
+  SELECT q.query_id, tf.doc_id, count(*) AS nhit
+  FROM q JOIN tf USING (term) GROUP BY q.query_id, tf.doc_id
+)
+SELECT CAST(h.query_id AS BIGINT) AS query_id, h.doc_id AS doc_id
+FROM hit h JOIN qn USING (query_id) WHERE h.nhit = qn.nt""",
+        "role_top_terms": f"""{T},
+r AS (
+  SELECT CASE doc_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+         text
+  FROM transcripts
+),
+tok AS (
+  SELECT role, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM r
+),
+tc AS (
+  SELECT role, term, count(*) AS cnt FROM tok WHERE term <> ''
+  GROUP BY role, term
+),
+rk AS (
+  SELECT role, term, cnt,
+         row_number() OVER (PARTITION BY role
+                            ORDER BY cnt DESC, term ASC) AS rnk
+  FROM tc
+)
+SELECT role, CAST(rnk AS BIGINT) AS rank, term, CAST(cnt AS BIGINT) AS cnt
+FROM rk WHERE rnk <= {ROLE_TOP_K}""",
+        "doclength_quantiles": f"""{T},
+r AS (
+  SELECT CASE doc_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS ntok
+  FROM transcripts
+)
+SELECT role, CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(ntok, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(ntok, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(ntok, 0.75) AS BIGINT) AS p75,
+       CAST(quantile_disc(ntok, 0.95) AS BIGINT) AS p95
+FROM r GROUP BY role""",
         "bm25_scores": f"""{T},
 {_bm25_scored_cte().lstrip()}
 SELECT query_id, doc_id, round(score, 6) AS score_r FROM scored""",

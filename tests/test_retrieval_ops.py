@@ -1,0 +1,136 @@
+"""Round-3 retrieval/aggregate operators: conjunctive boolean AND,
+per-role heavy-hitter terms, exact per-role discrete quantiles
+(kernel edges + sf0.001 e2e vs independent Python recomputes)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _transcript_tokens() -> list[tuple[int, list[str]]]:
+    from ciff_ray.oracle import tokenize
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return [
+        (int(d), tokenize(x or ""))
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    ]
+
+
+def test_intersect_sorted_kernel():
+    from ciff_ray.pipelines import _intersect_sorted
+
+    a = np.array([1, 3, 5, 9, 12], dtype=np.int64)
+    b = np.array([3, 4, 9, 13], dtype=np.int64)
+    assert _intersect_sorted(a, b).tolist() == [3, 9]
+    # probe past the end of d must not wrap or error
+    assert _intersect_sorted(np.array([99], dtype=np.int64), b).size == 0
+    assert _intersect_sorted(np.empty(0, np.int64), b).size == 0
+    assert _intersect_sorted(a, np.empty(0, np.int64)).size == 0
+
+
+def test_boolean_and_matches_bruteforce(ray_session):
+    from ciff_ray.oracle import tokenize
+    from ciff_ray.pipelines import QUERY_SET, q_boolean_and
+
+    docs = _transcript_tokens()
+    expected = set()
+    for qid, q in enumerate(QUERY_SET):
+        terms = set(tokenize(q))
+        for doc_id, toks in docs:
+            if terms and terms <= set(toks):
+                expected.add((qid, doc_id))
+    got = {
+        (int(r["query_id"]), int(r["doc_id"]))
+        for r in q_boolean_and(SF).to_pandas().to_dict("records")
+    }
+    assert got == expected
+    # the no-hit query contributes nothing
+    assert not any(q == QUERY_SET.index("zzznotaterm") for q, _ in got)
+
+
+def test_topk_per_role_tie_break():
+    """cnt ties order by term ascending; runs don't leak across roles."""
+    from ciff_ray.pipelines import _topk_per_role
+
+    t = pa.table(
+        {
+            "role": pa.array([0, 0, 0, 1], type=pa.int32()),
+            "term": pa.array(["b", "a", "c", "z"]),
+            "cnt": pa.array([5, 5, 9, 1], type=pa.int64()),
+        }
+    )
+    top = _topk_per_role(t, 2)
+    rows = list(
+        zip(
+            top["role"].to_pylist(),
+            top["term"].to_pylist(),
+            top["rk"].to_pylist(),
+        )
+    )
+    assert rows == [(0, "c", 1), (0, "a", 2), (1, "z", 1)]
+
+
+def test_role_top_terms_e2e(ray_session):
+    from collections import Counter
+
+    from ciff_ray.pipelines import ROLE_TOP_K, _ROLE_NAMES, q_role_top_terms
+
+    counts: dict[str, Counter] = {r: Counter() for r in _ROLE_NAMES}
+    for doc_id, toks in _transcript_tokens():
+        counts[_ROLE_NAMES[doc_id % 4]].update(toks)
+    got = q_role_top_terms(SF).to_pandas()
+    assert len(got) == 4 * ROLE_TOP_K
+    for role, sub in got.groupby("role"):
+        want = sorted(
+            counts[role].items(), key=lambda kv: (-kv[1], kv[0])
+        )[:ROLE_TOP_K]
+        sub = sub.sort_values("rank")
+        assert list(sub["term"]) == [t for t, _ in want]
+        assert list(sub["cnt"]) == [c for _, c in want]
+        assert list(sub["rank"]) == list(range(1, ROLE_TOP_K + 1))
+
+
+def test_dlq_final_quantile_rule():
+    """ceil(n*q)-1 indexing, duplicate histogram rows merged across
+    partials (the same value arriving from two batches)."""
+    from ciff_ray.pipelines import _dlq_final
+
+    # multiset {3 x1, 7 x3, 9 x2} split across duplicate partial rows
+    group = pa.table(
+        {
+            "role": pa.array([2, 2, 2, 2], type=pa.int32()),
+            "ntok": pa.array([7, 3, 9, 7], type=pa.int64()),
+            "cnt": pa.array([1, 1, 2, 2], type=pa.int64()),
+        }
+    )
+    row = _dlq_final(group).to_pylist()[0]
+    vals = sorted([3, 7, 7, 7, 9, 9])
+    n = len(vals)
+    for q in (0.25, 0.5, 0.75, 0.95):
+        assert row[f"p{int(q * 100)}"] == vals[int(np.ceil(n * q)) - 1]
+    assert row["n"] == n and row["role"] == "system"
+
+
+def test_doclength_quantiles_e2e(ray_session):
+    from ciff_ray.pipelines import q_doclength_quantiles
+
+    per_role: dict[str, list[int]] = {}
+    from ciff_ray.pipelines import _ROLE_NAMES
+
+    for doc_id, toks in _transcript_tokens():
+        per_role.setdefault(_ROLE_NAMES[doc_id % 4], []).append(len(toks))
+    got = q_doclength_quantiles(SF).to_pandas().set_index("role")
+    for role, lens in per_role.items():
+        vals = sorted(lens)
+        n = len(vals)
+        assert got.loc[role, "n"] == n
+        for q in (0.25, 0.5, 0.75, 0.95):
+            assert (
+                got.loc[role, f"p{int(q * 100)}"]
+                == vals[int(np.ceil(n * q)) - 1]
+            )
