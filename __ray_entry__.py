@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": p.q_bm25_scores,
         "bm25_topk": p.q_bm25_topk,
         "boolean_and": p.q_boolean_and,
+        "phrase_match": p.q_phrase_match,
+        "doc_top_tfidf": p.q_doc_top_tfidf,
         "role_top_terms": p.q_role_top_terms,
         "doclength_quantiles": p.q_doclength_quantiles,
     }

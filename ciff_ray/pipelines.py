@@ -568,6 +568,227 @@ def q_boolean_and(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# phrase search (index-accelerated: AND candidates -> adjacency verify)
+
+# Fixed phrase set: present phrases, a repeated-token phrase, a 4-gram,
+# an AND-hit-but-not-adjacent probe, and a no-hit term.
+PHRASE_SET = [
+    "the fast key",
+    "batch batch",
+    "merge slow join",
+    "key order sort table",
+    "the the",
+    "zzznotaterm key",
+    "spark window",
+]
+
+
+def _phrase_regex(terms: list[str]) -> str:
+    """Token-adjacency regex on lower(text): terms separated by one
+    non-token run, bounded by non-token chars or string edges — the
+    exact phrase semantics of the [^a-z0-9]+ tokenizer, spelled in RE2
+    so pyarrow and DuckDB agree."""
+    import re as _re
+
+    mid = "[^a-z0-9]+".join(_re.escape(t) for t in terms)
+    return f"(^|[^a-z0-9]){mid}([^a-z0-9]|$)"
+
+
+class _PhraseVerify:
+    """map_batches stage over candidate documents: for each phrase
+    query, one vectorized regex over the rows in that query's candidate
+    set.  Candidate id arrays + patterns ride in one broadcast ref
+    (ray.put once, fetched per actor)."""
+
+    def __init__(self, spec_ref):
+        import ray
+
+        self.spec = ray.get(spec_ref)  # [(qid, pattern, sorted cand ids)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        low = pc.utf8_lower(batch["text"].combine_chunks())
+        qids, docs = [], []
+        for qid, pattern, cand in self.spec:
+            pos = np.searchsorted(cand, doc)
+            inb = pos < cand.size
+            mask = np.zeros(doc.size, dtype=bool)
+            mask[inb] = cand[pos[inb]] == doc[inb]
+            if not mask.any():
+                continue
+            sub_idx = np.flatnonzero(mask)
+            hit = pc.match_substring_regex(
+                low.take(pa.array(sub_idx)), pattern
+            ).to_numpy(zero_copy_only=False)
+            matched = doc[sub_idx[hit]]
+            qids.append(np.full(matched.size, qid, dtype=np.int64))
+            docs.append(matched)
+        if not qids:
+            q: np.ndarray = np.empty(0, np.int64)
+            d: np.ndarray = np.empty(0, np.int64)
+        else:
+            q, d = np.concatenate(qids), np.concatenate(docs)
+        return pa.table(
+            {
+                "query_id": pa.array(q, type=pa.int64()),
+                "doc_id": pa.array(d, type=pa.int64()),
+            }
+        )
+
+
+def q_phrase_match(sf_dir: str) -> ray.data.Dataset:
+    """Phrase (exact token-adjacency) search, index-accelerated: the
+    conjunctive AND over posting lists yields each phrase's candidate
+    docs (bounded by the rarest term's df — the take_all is the same
+    provably-small-side pattern as the LSH candidate sets), then one
+    streamed pass over ONLY the candidate documents (doc_id filter
+    pushed into the parquet scan) verifies adjacency with a vectorized
+    regex per query."""
+    import ray
+
+    idx = ensure_index(sf_dir)
+    and_actor = _BooleanAndActor(idx)
+    spec = []
+    all_cand: list[np.ndarray] = []
+    for qid, phrase in enumerate(PHRASE_SET):
+        terms = [t for t in tokenize(phrase)]
+        cand = and_actor._conjunction(phrase)
+        if cand.size == 0 or not terms:
+            continue
+        spec.append((qid, _phrase_regex(terms), cand))
+        all_cand.append(cand)
+    if not spec:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    union = np.unique(np.concatenate(all_cand))
+    spec_ref = ray.put(spec)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(pa.array(union, type=pa.int64())),
+    )
+    return docs.map_batches(
+        _PhraseVerify,
+        fn_constructor_args=(spec_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-document top TF-IDF terms (broadcast-df lookup, no shuffle)
+
+TFIDF_TOP_K = 5
+
+
+class _TfidfTopTerms:
+    """map_batches stage: (doc_id, text) -> per-doc top-k (doc_id, rank,
+    term, score_r) by tf * ln(N/df).  The index's sharded term-stats
+    parquet is read ONCE per actor in __init__ (from shared storage on
+    a cluster — no driver-side vocab materialization, no re-ship per
+    batch); lookups are Arrow hash index_in.  Each doc is wholly inside
+    its batch, so the top-k is a batch-local kernel and the operator
+    needs NO shuffle at any corpus size — the scale assumption is only
+    that the vocab df table fits one worker's heap (natural-language
+    vocabs are ~GBs even at web scale)."""
+
+    def __init__(self, stats_dir: str, n_docs: int):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(stats_dir, columns=["term", "df"])
+        self.terms = tbl["term"].combine_chunks()
+        self.dfs = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.n_docs = n_docs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tf_t = term_frequencies(batch, id_col="doc_id")
+        if len(tf_t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "score_r": pa.array([], type=pa.float64()),
+                }
+            )
+        pos_arr = pc.index_in(
+            tf_t["term"].combine_chunks(), value_set=self.terms
+        )
+        if pos_arr.null_count:
+            raise AssertionError("term missing from index stats")
+        pos = pos_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        df = self.dfs[pos]
+        tf = tf_t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = tf * np.log(self.n_docs / df)
+        scored = pa.table(
+            {
+                "doc_id": tf_t["doc_id"],
+                "term": tf_t["term"],
+                "score": pa.array(score, type=pa.float64()),
+            }
+        )
+        order = pc.sort_indices(
+            scored,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("score", "descending"),
+                ("term", "ascending"),
+            ],
+        )
+        scored = scored.take(order)
+        doc = scored["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(scored)
+        new_run = np.concatenate([[True], doc[1:] != doc[:-1]])
+        run_start = np.flatnonzero(new_run)
+        rank = np.arange(n) - np.repeat(
+            run_start, np.diff(np.concatenate([run_start, [n]]))
+        )
+        keep = rank < TFIDF_TOP_K
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    doc[keep].astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(rank[keep] + 1, type=pa.int64()),
+                "term": scored["term"].filter(pa.array(keep)),
+                "score_r": pa.array(
+                    np.round(
+                        scored["score"].to_numpy(zero_copy_only=False)[keep],
+                        6,
+                    ),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+
+def q_doc_top_tfidf(sf_dir: str) -> ray.data.Dataset:
+    """Top-{k} TF-IDF terms per document (tf * ln(N/df), ties by term) —
+    document keyword extraction via a broadcast of the index's term
+    stats into a stateless per-batch kernel."""
+    import ray
+
+    idx = ensure_index(sf_dir)
+    paths = IndexPaths(idx)
+    m = Manifest.read(paths.manifest)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        _TfidfTopTerms,
+        fn_constructor_args=(paths.term_stats, m.num_docs),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+# ---------------------------------------------------------------------------
 # per-group heavy-hitter terms (top-k terms per transcript role)
 
 ROLE_TOP_K = 10
@@ -805,6 +1026,16 @@ def _boolean_query_values() -> str:
     return ", ".join(values)
 
 
+def _phrase_query_values() -> str:
+    """(query_id, adjacency-regex) VALUES rows for the phrase set."""
+    values = []
+    for qid, phrase in enumerate(PHRASE_SET):
+        terms = tokenize(phrase)
+        if terms:
+            values.append(f"({qid}, '{_phrase_regex(terms)}')")
+    return ", ".join(values)
+
+
 def _bm25_scored_cte() -> str:
     """CTEs computing exact BM25 over the derived transcripts; the
     formula mirrors ciff_ray.oracle (k1=0.9 b=0.4, floored ln idf)."""
@@ -957,6 +1188,34 @@ hit AS (
 )
 SELECT CAST(h.query_id AS BIGINT) AS query_id, h.doc_id AS doc_id
 FROM hit h JOIN qn USING (query_id) WHERE h.nhit = qn.nt""",
+        "phrase_match": f"""{T},
+q(query_id, pattern) AS (VALUES {_phrase_query_values()})
+SELECT CAST(q.query_id AS BIGINT) AS query_id, t.doc_id AS doc_id
+FROM q JOIN transcripts t ON regexp_matches(lower(t.text), q.pattern)""",
+        "doc_top_tfidf": f"""{T},
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM transcripts
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((SELECT count(*) FROM transcripts) * 1.0 / df.df)
+           AS score
+  FROM tf JOIN df USING (term)
+),
+rk AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, round(score, 6) AS score_r
+FROM rk WHERE rnk <= {TFIDF_TOP_K}""",
         "role_top_terms": f"""{T},
 r AS (
   SELECT CASE doc_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'

@@ -134,3 +134,72 @@ def test_doclength_quantiles_e2e(ray_session):
                 got.loc[role, f"p{int(q * 100)}"]
                 == vals[int(np.ceil(n * q)) - 1]
             )
+
+
+def test_phrase_regex_semantics():
+    from ciff_ray.pipelines import _phrase_regex
+    import re
+
+    pat = re.compile(_phrase_regex(["the", "fast"]))
+    assert pat.search("the fast key")           # leading edge
+    assert pat.search("x the  fast")            # multi-space separator
+    assert pat.search("a the-fast b")           # any non-token run
+    assert not pat.search("the faster key")     # token boundary holds
+    assert not pat.search("lathe fast")         # left boundary holds
+    assert not pat.search("fast the")           # order matters
+
+
+def test_phrase_match_matches_bruteforce(ray_session):
+    import re
+
+    from ciff_ray.pipelines import PHRASE_SET, _phrase_regex, q_phrase_match
+    from ciff_ray.oracle import tokenize
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    expected = set()
+    for qid, phrase in enumerate(PHRASE_SET):
+        terms = tokenize(phrase)
+        if not terms:
+            continue
+        pat = re.compile(_phrase_regex(terms))
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if pat.search((x or "").lower()):
+                expected.add((qid, int(d)))
+    got = {
+        (int(r["query_id"]), int(r["doc_id"]))
+        for r in q_phrase_match(SF).to_pandas().to_dict("records")
+    }
+    assert got == expected
+    assert expected  # the phrase set is non-degenerate on this corpus
+
+
+def test_doc_top_tfidf_vs_bruteforce(ray_session):
+    import math
+    from collections import Counter
+
+    from ciff_ray.pipelines import TFIDF_TOP_K, q_doc_top_tfidf
+
+    docs = _transcript_tokens()
+    n_docs = len(docs)
+    df: Counter = Counter()
+    for _, toks in docs:
+        df.update(set(toks))
+    got = q_doc_top_tfidf(SF).to_pandas()
+    by_doc = {d: s.sort_values("rank") for d, s in got.groupby("doc_id")}
+    for doc_id, toks in docs[:50]:
+        tf = Counter(toks)
+        want = sorted(
+            (
+                (t, c * math.log(n_docs / df[t]))
+                for t, c in tf.items()
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:TFIDF_TOP_K]
+        if not want:
+            assert doc_id not in by_doc
+            continue
+        sub = by_doc[doc_id]
+        assert list(sub["term"]) == [t for t, _ in want]
+        assert np.allclose(
+            sub["score_r"], [round(s, 6) for _, s in want], atol=1e-9
+        )
