@@ -103,7 +103,10 @@ class _BatchTopK:
     per-query partial top-k so only k rows per (query, batch) move."""
 
     def __init__(self, qref, k: int):
-        self.qids, self.Q = ray.get(qref)
+        spec = ray.get(qref)
+        # (qids, Q) — unfiltered; (qids, Q, qlabels) — metadata-filtered
+        self.qids, self.Q = spec[0], spec[1]
+        self.qlabels = spec[2] if len(spec) > 2 else None
         self.qn = np.sqrt((self.Q * self.Q).sum(axis=1))
         self.k = k
 
@@ -121,6 +124,11 @@ class _BatchTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         V = _embedding_matrix(batch["embedding"])
+        labels = (
+            batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if self.qlabels is not None
+            else None
+        )
         vn = np.sqrt((V * V).sum(axis=1))
         sims = (self.Q @ V.T) / (self.qn[:, None] * vn[None, :])
         sims = np.round(sims, 9)
@@ -128,6 +136,8 @@ class _BatchTopK:
         for qi, qid in enumerate(self.qids):
             s = sims[qi].copy()
             s[vid == qid] = -np.inf  # exclude self
+            if labels is not None:  # metadata predicate per query
+                s[labels != self.qlabels[qi]] = -np.inf
             ids, ss = self._emit(qid, vid, s)
             out_q.extend([qid] * ids.size)
             out_v.extend(ids.tolist())
@@ -428,7 +438,146 @@ def q_kmeans(sf_dir: str) -> pa.Table:
     )
 
 
+def q_knn_filtered(sf_dir: str) -> pa.Table:
+    """Metadata-filtered exact vector search: top-10 cosine neighbors
+    RESTRICTED to vectors sharing the query's label (the filtered-ANN
+    shape every vector store serves: predicate + similarity in one
+    pass).  Same broadcast-query / per-batch-partial-top-k plan as
+    q_knn_brute — the predicate is a vectorized mask inside the batch
+    kernel, so filtering adds no extra scan or shuffle."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tbl = pq.read_table(
+        path,
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    )
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids)
+    qref = ray.put(
+        (
+            ids[order],
+            _embedding_matrix(tbl["embedding"])[order],
+            tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)[
+                order
+            ],
+        )
+    )
+    parts = (
+        ray.data.read_parquet(path, columns=["vec_id", "embedding", "label"])
+        .map_batches(
+            _BatchTopK,
+            fn_constructor_args=(qref, TOP_K),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .take_all()
+    )
+    return _merge_topk(parts, TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# grouped embedding centroids (mean vector per label)
+
+
+def _centroid_partials(batch: pa.Table) -> pa.Table:
+    """Embedding rows -> per-batch per-label (label, n, vsum) partial
+    sums — the combiner half: the groupby that follows moves one
+    dim-length row per (batch, label), never per vector."""
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "label": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "vsum": pa.array([], type=pa.large_list(pa.float64())),
+            }
+        )
+    V = _embedding_matrix(batch["embedding"])
+    lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = np.unique(lab)
+    idx = np.searchsorted(uniq, lab)
+    S = np.zeros((uniq.size, V.shape[1] if V.size else 0), dtype=np.float64)
+    np.add.at(S, idx, V)
+    cnt = np.bincount(idx, minlength=uniq.size).astype(np.int64)
+    return pa.table(
+        {
+            "label": pa.array(uniq, type=pa.int64()),
+            "n": pa.array(cnt),
+            "vsum": pa.array(
+                [row.tolist() for row in S], type=pa.large_list(pa.float64())
+            ),
+        }
+    )
+
+
+def _centroid_final(group: pa.Table) -> pa.Table:
+    """One label's partials -> exploded (label, dim, avg_r) rows."""
+    if len(group) == 0:
+        return pa.table(
+            {
+                "label": pa.array([], type=pa.int64()),
+                "dim": pa.array([], type=pa.int64()),
+                "avg_r": pa.array([], type=pa.float64()),
+            }
+        )
+    S = _embedding_matrix(group["vsum"])
+    n = int(group["n"].to_numpy(zero_copy_only=False).sum())
+    mean = S.sum(axis=0) / n
+    d = mean.size
+    label = int(group["label"][0].as_py())
+    return pa.table(
+        {
+            "label": pa.array(np.full(d, label, dtype=np.int64)),
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "avg_r": pa.array(np.round(mean, 6), type=pa.float64()),
+        }
+    )
+
+
+def q_embedding_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-label mean embedding, exploded long-form (label, dim, avg_r)
+    — the grouped vector aggregate (class-centroid / cluster-profile
+    step of an embedding pipeline): per-batch partial sums, then a
+    tiny per-label reduce (labels x dim values total)."""
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["embedding", "label"],
+        )
+        .map_batches(_centroid_partials, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(_centroid_final, batch_format="pyarrow")
+    )
+
+
 ORACLE_SQLS = {
+    "knn_filtered": f"""WITH q AS (
+  SELECT vec_id AS query_id, label, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 9)
+           AS sim
+  FROM q JOIN embeddings e
+    ON e.label = q.label AND e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id
+FROM ranked WHERE rnk <= {TOP_K}""",
+    "embedding_centroids": """SELECT label,
+       CAST(i - 1 AS BIGINT) AS dim,
+       round(avg(v), 6) AS avg_r
+FROM (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+GROUP BY label, i""",
     "knn_brute": f"""WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
   FROM embeddings WHERE vec_id < {N_QUERIES}
@@ -451,6 +600,8 @@ FROM ranked WHERE rnk <= {TOP_K}""",
 
 QUERIES = {
     "knn_brute": q_knn_brute,
+    "knn_filtered": q_knn_filtered,
+    "embedding_centroids": q_embedding_centroids,
     "ann_ivf": q_ann_ivf,  # rows-only (approximate by design)
     "kmeans": q_kmeans,  # rows-only (iterative; numpy oracle in tests)
 }

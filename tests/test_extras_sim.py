@@ -229,3 +229,78 @@ def test_range_kernel_flat_in_distinct_keys():
     assert dt < 1.0
     assert len(out) == n
     assert np.array(out["n_events"].to_pylist()).sum() == n  # one hit each
+
+
+def test_knn_filtered_matches_numpy(ray_session):
+    """Filtered search = brute-force restricted to the query's label."""
+    t = pq.read_table(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    ids = np.array(t["vec_id"].to_pylist())
+    lab = np.array(t["label"].to_pylist())
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    E = E / np.linalg.norm(E, axis=1, keepdims=True)
+    got = simsearch.q_knn_filtered(SF).to_pandas()
+    for qid in range(simsearch.N_QUERIES):
+        q = E[ids == qid][0]
+        ql = lab[ids == qid][0]
+        sims = np.round(E @ q, 9)
+        cand = [
+            (s, v)
+            for s, v, l in zip(sims, ids, lab)
+            if v != qid and l == ql
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        want = [v for _, v in cand[: simsearch.TOP_K]]
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert sub["vec_id"].tolist() == want
+        # every neighbor shares the query's label
+        assert all(lab[ids == v][0] == ql for v in sub["vec_id"])
+
+
+def test_embedding_centroids_matches_numpy(ray_session):
+    t = pq.read_table(
+        f"{SF}/embeddings.parquet", columns=["embedding", "label"]
+    )
+    lab = np.array(t["label"].to_pylist())
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    got = simsearch.q_embedding_centroids(SF).to_pandas()
+    for label in np.unique(lab):
+        want = np.round(E[lab == label].mean(axis=0), 6)
+        sub = got[got["label"] == label].sort_values("dim")
+        assert len(sub) == E.shape[1]
+        assert np.allclose(sub["avg_r"], want, atol=1e-6)
+
+
+def test_centroid_partials_splits_sum_correctly():
+    """Partials from two disjoint batches reduce to the full mean."""
+    from ciff_ray.extras.simsearch import _centroid_final, _centroid_partials
+
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(10, 4))
+    lab = np.array([0, 1, 0, 1, 0, 1, 0, 1, 0, 1], dtype=np.int64)
+
+    def mk(sl):
+        return pa.table(
+            {
+                "embedding": pa.array(
+                    [r.tolist() for r in V[sl]],
+                    type=pa.large_list(pa.float64()),
+                ),
+                "label": pa.array(lab[sl], type=pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        [_centroid_partials(mk(slice(0, 6))), _centroid_partials(mk(slice(6, 10)))]
+    )
+    for label in (0, 1):
+        sub = parts.filter(
+            pa.compute.equal(parts["label"], label)
+        )
+        out = _centroid_final(sub)
+        assert np.allclose(
+            out["avg_r"].to_numpy(),
+            np.round(V[lab == label].mean(axis=0), 6),
+            atol=1e-12,
+        )
