@@ -128,7 +128,122 @@ def q_nation_revenue(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# ---------------------------------------------------------------------------
+# large-large hash equi-join (orders x lineitem, both sides stream)
+
+_JOIN_PARTS = 64
+
+
+def _order_side(batch: pa.Table) -> pa.Table:
+    key = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "part": pa.array((key % _JOIN_PARTS).astype(np.int32)),
+            "side": pa.array(np.zeros(key.size, dtype=np.int8)),
+            "key": pa.array(key),
+            "prio": batch["o_orderpriority"],
+            "cents": pa.array(np.zeros(key.size, dtype=np.int64)),
+        }
+    )
+
+
+def _lineitem_side(batch: pa.Table) -> pa.Table:
+    key = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+    disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+    # integer cents, same float expression order as the oracle SQL
+    cents = np.round(price * (1 - disc) * 100).astype(np.int64)
+    return pa.table(
+        {
+            "part": pa.array((key % _JOIN_PARTS).astype(np.int32)),
+            "side": pa.array(np.ones(key.size, dtype=np.int8)),
+            "key": pa.array(key),
+            "prio": pa.array([""] * key.size, type=pa.string()),
+            "cents": pa.array(cents),
+        }
+    )
+
+
+def _join_in_part(group: pa.Table) -> pa.Table:
+    """One key-hash partition holding BOTH sides: sort the order keys,
+    searchsorted every lineitem into them, bincount/add.at the
+    aggregates — a fully vectorized per-partition hash-join kernel
+    (inner join: orders without items drop out via the cnt>0 mask,
+    dangling lineitems via the key-match mask)."""
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], type=pa.int64()),
+            "o_orderpriority": pa.array([], type=pa.string()),
+            "n_items": pa.array([], type=pa.int64()),
+            "revenue_r": pa.array([], type=pa.float64()),
+        }
+    )
+    if len(group) == 0:
+        return empty
+    side = group["side"].to_numpy(zero_copy_only=False)
+    key = group["key"].to_numpy(zero_copy_only=False)
+    o_mask = side == 0
+    okey = key[o_mask]
+    if okey.size == 0:
+        return empty
+    oorder = np.argsort(okey, kind="stable")
+    okey_s = okey[oorder]
+    prio = group["prio"].to_numpy(zero_copy_only=False)[o_mask][oorder]
+    lkey = key[~o_mask]
+    cents = group["cents"].to_numpy(zero_copy_only=False)[~o_mask]
+    pos = np.searchsorted(okey_s, lkey)
+    pos_c = np.minimum(pos, okey_s.size - 1)
+    hit = okey_s[pos_c] == lkey
+    rev = np.zeros(okey_s.size, dtype=np.int64)
+    np.add.at(rev, pos_c[hit], cents[hit])
+    cnt = np.bincount(pos_c[hit], minlength=okey_s.size)
+    present = np.flatnonzero(cnt)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(okey_s[present], type=pa.int64()),
+            "o_orderpriority": pa.array(
+                prio[present].tolist(), type=pa.string()
+            ),
+            "n_items": pa.array(cnt[present].astype(np.int64)),
+            "revenue_r": pa.array(
+                np.round(rev[present] / 100.0, 4), type=pa.float64()
+            ),
+        }
+    )
+
+
+def q_order_lineitem_join(sf_dir: str) -> ray.data.Dataset:
+    """Per-order item count + revenue: a LARGE-LARGE hash equi-join
+    where neither side fits a broadcast — both sides map to one narrow
+    tagged schema, union into a SINGLE key-hash exchange, and a
+    vectorized per-partition kernel joins and aggregates (the
+    co-partitioned shuffle-join class, complementing the broadcast
+    dimension join above).  Revenue sums in integer cents
+    (order-independent, exact vs the oracle)."""
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(_order_side, batch_format="pyarrow")
+    items = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_lineitem_side, batch_format="pyarrow")
+    return (
+        orders.union(items)
+        .groupby("part")
+        .map_groups(_join_in_part, batch_format="pyarrow")
+    )
+
+
 ORACLE_SQLS = {
+    "order_lineitem_join": """SELECT o.o_orderkey AS o_orderkey,
+       o.o_orderpriority AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) / 100.0, 4) AS revenue_r
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_orderpriority""",
     "nation_revenue": """SELECT n.n_name AS n_name,
        round(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0, 4)
          AS revenue_r,
@@ -141,4 +256,5 @@ GROUP BY n.n_name""",
 
 QUERIES = {
     "nation_revenue": q_nation_revenue,
+    "order_lineitem_join": q_order_lineitem_join,
 }

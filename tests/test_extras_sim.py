@@ -304,3 +304,41 @@ def test_centroid_partials_splits_sum_correctly():
             np.round(V[lab == label].mean(axis=0), 6),
             atol=1e-12,
         )
+
+
+def test_join_kernel_edges():
+    """Orders without items drop (inner join); dangling lineitems drop;
+    cents aggregate exactly; an all-lineitem partition emits nothing."""
+    from ciff_ray.extras.relational import _join_in_part
+
+    group = pa.table(
+        {
+            "part": pa.array([0] * 6, type=pa.int32()),
+            "side": pa.array([0, 0, 1, 1, 1, 1], type=pa.int8()),
+            "key": pa.array([10, 20, 10, 10, 99, 20], type=pa.int64()),
+            "prio": pa.array(["1-URGENT", "5-LOW", "", "", "", ""]),
+            "cents": pa.array([0, 0, 150, 250, 999, 100], type=pa.int64()),
+        }
+    )
+    out = {r["o_orderkey"]: r for r in _join_in_part(group).to_pylist()}
+    assert set(out) == {10, 20}  # key 99 dangles, both orders have items
+    assert out[10]["n_items"] == 2 and out[10]["revenue_r"] == 4.0
+    assert out[20]["n_items"] == 1 and out[20]["revenue_r"] == 1.0
+    assert out[10]["o_orderpriority"] == "1-URGENT"
+    only_items = group.filter(pa.compute.equal(group["side"], 1))
+    assert len(_join_in_part(only_items)) == 0
+
+
+def test_order_lineitem_join_e2e(ray_session):
+    """Every order with >= 1 lineitem appears exactly once; item counts
+    sum to the joined lineitem count."""
+    from ciff_ray.extras.relational import q_order_lineitem_join
+
+    got = q_order_lineitem_join(SF).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey"])
+    ok = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey"])
+    okeys = set(ok["o_orderkey"].to_pylist())
+    lkeys = [k for k in li["l_orderkey"].to_pylist() if k in okeys]
+    assert got["o_orderkey"].is_unique
+    assert set(got["o_orderkey"]) == set(lkeys)
+    assert got["n_items"].sum() == len(lkeys)
