@@ -151,8 +151,12 @@ def _lineitem_side(batch: pa.Table) -> pa.Table:
     key = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
     disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-    # integer cents, same float expression order as the oracle SQL
-    cents = np.round(price * (1 - disc) * 100).astype(np.int64)
+    # integer 1/10000ths: price has 2 decimals and discount 2, so the
+    # product has EXACTLY 4 — x10000 lands ~1e-7 from an integer, never
+    # near a .5 boundary, so np.round (half-to-even) and DuckDB round
+    # (half-away-from-zero) agree.  Plain cents (x100) sit exactly ON
+    # half-cent boundaries and the two rounding modes diverge.
+    cents = np.round(price * (1 - disc) * 10000).astype(np.int64)
     return pa.table(
         {
             "part": pa.array((key % _JOIN_PARTS).astype(np.int32)),
@@ -206,7 +210,7 @@ def _join_in_part(group: pa.Table) -> pa.Table:
             ),
             "n_items": pa.array(cnt[present].astype(np.int64)),
             "revenue_r": pa.array(
-                np.round(rev[present] / 100.0, 4), type=pa.float64()
+                np.round(rev[present] / 10000.0, 4), type=pa.float64()
             ),
         }
     )
@@ -218,7 +222,7 @@ def q_order_lineitem_join(sf_dir: str) -> ray.data.Dataset:
     tagged schema, union into a SINGLE key-hash exchange, and a
     vectorized per-partition kernel joins and aggregates (the
     co-partitioned shuffle-join class, complementing the broadcast
-    dimension join above).  Revenue sums in integer cents
+    dimension join above).  Revenue sums in integer 1/10000ths
     (order-independent, exact vs the oracle)."""
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
@@ -239,8 +243,8 @@ ORACLE_SQLS = {
     "order_lineitem_join": """SELECT o.o_orderkey AS o_orderkey,
        o.o_orderpriority AS o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_items,
-       round(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
-                      AS BIGINT)) / 100.0, 4) AS revenue_r
+       round(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) / 10000.0, 4) AS revenue_r
 FROM orders o
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderkey, o.o_orderpriority""",

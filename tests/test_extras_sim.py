@@ -342,3 +342,30 @@ def test_order_lineitem_join_e2e(ray_session):
     assert got["o_orderkey"].is_unique
     assert set(got["o_orderkey"]) == set(lkeys)
     assert got["n_items"].sum() == len(lkeys)
+
+
+def test_order_lineitem_join_oracle_exact(ray_session):
+    """revenue_r must be bit-exact vs the DuckDB oracle — guards the
+    rounding-mode divergence (np.round is half-to-even, DuckDB round is
+    half-away-from-zero) that plain-cents summing exposed at half-cent
+    boundaries."""
+    import duckdb
+
+    from ciff_ray.extras.relational import ORACLE_SQLS, q_order_lineitem_join
+
+    got = (
+        q_order_lineitem_join(SF)
+        .to_pandas()
+        .sort_values("o_orderkey", ignore_index=True)
+    )
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    exp = (
+        con.execute(ORACLE_SQLS["order_lineitem_join"])
+        .fetchdf()
+        .sort_values("o_orderkey", ignore_index=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["revenue_r"].to_numpy() == exp["revenue_r"].to_numpy()).all()
+    assert (got["n_items"].to_numpy() == exp["n_items"].to_numpy()).all()
