@@ -18,6 +18,7 @@ from __future__ import annotations
 from ciff_ray.extras import (
     dedup,
     eventjoin,
+    graph,
     multimodal,
     relational,
     sampling,
@@ -30,6 +31,7 @@ QUERIES = {
     **relational.QUERIES,
     **textstats.QUERIES,
     **dedup.QUERIES,
+    **graph.QUERIES,
     **simsearch.QUERIES,
     **multimodal.QUERIES,
     **sampling.QUERIES,
@@ -40,6 +42,7 @@ ORACLE_SQLS = {
     **relational.ORACLE_SQLS,
     **textstats.ORACLE_SQLS,
     **dedup.ORACLE_SQLS,
+    **graph.ORACLE_SQLS,
     **simsearch.ORACLE_SQLS,
     **multimodal.ORACLE_SQLS,
     **sampling.ORACLE_SQLS,
