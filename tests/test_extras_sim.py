@@ -308,7 +308,8 @@ def test_centroid_partials_splits_sum_correctly():
 
 def test_join_kernel_edges():
     """Orders without items drop (inner join); dangling lineitems drop;
-    cents aggregate exactly; an all-lineitem partition emits nothing."""
+    integer 1/10000ths aggregate exactly; an all-lineitem partition
+    emits nothing."""
     from ciff_ray.extras.relational import _join_in_part
 
     group = pa.table(
@@ -317,7 +318,10 @@ def test_join_kernel_edges():
             "side": pa.array([0, 0, 1, 1, 1, 1], type=pa.int8()),
             "key": pa.array([10, 20, 10, 10, 99, 20], type=pa.int64()),
             "prio": pa.array(["1-URGENT", "5-LOW", "", "", "", ""]),
-            "cents": pa.array([0, 0, 150, 250, 999, 100], type=pa.int64()),
+            # `cents` carries integer 1/10000ths of the revenue unit
+            "cents": pa.array(
+                [0, 0, 15000, 25000, 99900, 10000], type=pa.int64()
+            ),
         }
     )
     out = {r["o_orderkey"]: r for r in _join_in_part(group).to_pylist()}
