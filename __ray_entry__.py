@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_window": p.q_turn_window,
         "bm25_scores": p.q_bm25_scores,
         "bm25_topk": p.q_bm25_topk,
+        "bm25_topk_merged": p.q_bm25_topk_merged,
         "boolean_and": p.q_boolean_and,
         "phrase_match": p.q_phrase_match,
         "doc_top_tfidf": p.q_doc_top_tfidf,

@@ -591,6 +591,11 @@ def _split_by_pid(tbl: pa.Table, P: int):
     # this, each of the ~cpu-count concurrent tasks spins up a
     # full-width Arrow thread pool and they thrash each other
     pa.set_cpu_count(1)
+    if "partition_id" not in tbl.column_names:
+        # zero-column block from a skipped upstream UDF (see
+        # _block_small_aggs) — scatter nothing everywhere
+        empty = _PARTIAL_SCHEMA.empty_table()
+        return tuple(empty for _ in range(P))
     tbl = tbl.combine_chunks()
     pid = tbl["partition_id"].to_numpy(zero_copy_only=False)
     order = np.argsort(pid, kind="stable")
@@ -931,6 +936,13 @@ def _block_small_aggs(block: pa.Table, nshard: int):
     import pandas as pd
 
     pa.set_cpu_count(1)
+    if "kind" not in block.column_names:
+        # Ray 2.49 propagates zero-column blocks from fully-filtered /
+        # fragment-pruned upstream stages through operator boundaries
+        # WITHOUT running the UDF (same hazard as dedup._ref_tables):
+        # a filtered input Dataset can land one here.  Treat as empty.
+        empty = _STATS_SCHEMA.empty_table()
+        block = empty
     conv = block.filter(pc.equal(block["kind"], 0)).select(
         ["conv_id", "n_turns", "min_turn", "max_turn"]
     )

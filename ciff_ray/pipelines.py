@@ -82,6 +82,68 @@ def ensure_index(sf_dir: str) -> str:
     return out
 
 
+def ensure_merged_index(sf_dir: str) -> str:
+    """Incremental-ingest demonstration index: build TWO independent
+    indexes over a byte-order split of the corpus, then fold them with
+    :func:`ciff_ray.merge.merge_indexes` (metadata-only rewrite, no
+    posting re-encode).
+
+    The split pivot is a multiple of TURNS_PER_CONV_FROM_DOCS so whole
+    conversations stay together, and because conv_id is zero-padded the
+    split halves are exactly the byte-sorted docID ranges — the merged
+    docIDs therefore equal the monolithic (and oracle) doc_id, letting
+    the merged index sit under the SAME bm25_topk hash gate.  The real
+    API takes arbitrary prebuilt roots (tests/test_merge.py); this
+    entry exists to drive the merge path through the driver's oracle."""
+    from ciff_ray.merge import merge_indexes
+    from ciff_ray.synth import TURNS_PER_CONV_FROM_DOCS
+
+    fp = _sf_fingerprint(sf_dir)
+    from ciff_ray.layout import cache_root
+
+    merged = os.path.join(cache_root(), "index", f"{fp}-merged")
+    if os.path.exists(IndexPaths(merged).manifest):
+        return merged
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    k = TURNS_PER_CONV_FROM_DOCS
+    pivot = max(k, (n_docs // 2) // k * k)
+    if pivot >= n_docs:
+        raise ValueError(f"corpus too small to split: {n_docs} docs")
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def _half(lo: int, hi: int):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.greater_equal(t["doc_id"], pa.scalar(lo, type=pa.int64())),
+                pc.less(t["doc_id"], pa.scalar(hi, type=pa.int64())),
+            )
+            return transcripts_from_documents(t.filter(m))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    roots = []
+    for i, (lo, hi) in enumerate([(0, pivot), (pivot, n_docs)]):
+        root = os.path.join(cache_root(), "index", f"{fp}-half{i}")
+        if not os.path.exists(IndexPaths(root).manifest):
+            build_index(
+                _half(lo, hi),
+                root,
+                BuildParams(num_partitions=16, sample_frac=1.0),
+                input_fingerprint=f"{fp}-half{i}",
+            )
+        roots.append(root)
+    merge_indexes(roots, merged)
+    return merged
+
+
 # ---------------------------------------------------------------------------
 # queries() bodies — each returns a Dataset / pa.Table
 
@@ -476,6 +538,18 @@ def q_bm25_topk(sf_dir: str) -> ray.data.Dataset:
     set (north_rule correctness gate) — the distributed serving path
     (QueryEngine.score_dataset actor pool)."""
     idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    return eng.score_dataset(
+        _query_set_ds().repartition(4), k=TOPK_K, concurrency=(1, 4)
+    ).select_columns(["query_id", "rank", "doc_id"])
+
+
+def q_bm25_topk_merged(sf_dir: str) -> ray.data.Dataset:
+    """Top-k through a MERGED index (two half-corpus builds folded by
+    merge_indexes) — must be rank-identical to the monolithic oracle:
+    the merge is metadata-only, BM25 stats are sums, and the byte-order
+    split keeps merged docIDs equal to documents.doc_id."""
+    idx = ensure_merged_index(sf_dir)
     eng = QueryEngine(idx)
     return eng.score_dataset(
         _query_set_ds().repartition(4), k=TOPK_K, concurrency=(1, 4)
@@ -1257,6 +1331,17 @@ FROM r GROUP BY role""",
 {_bm25_scored_cte().lstrip()}
 SELECT query_id, doc_id, round(score, 6) AS score_r FROM scored""",
         "bm25_topk": f"""{T},
+{_bm25_scored_cte().lstrip()}
+SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {TOPK_K}""",
+        # the merged (incremental-ingest) index must be rank-identical
+        # to the exact same monolithic oracle — the merge correctness
+        # gate at the driver level
+        "bm25_topk_merged": f"""{T},
 {_bm25_scored_cte().lstrip()}
 SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   SELECT query_id, doc_id,
