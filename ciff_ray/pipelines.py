@@ -544,6 +544,61 @@ def q_bm25_topk(sf_dir: str) -> ray.data.Dataset:
     ).select_columns(["query_id", "rank", "doc_id"])
 
 
+def q_bm25_topk_sharded(sf_dir: str) -> pa.Table:
+    """Top-k through the scatter-gather serving path: the corpus is
+    split into three byte-order doc shards, each built independently,
+    queried by one actor per shard under collection-wide stats
+    (sharded.build_global_stats), and gathered — must be rank-identical
+    to the monolithic oracle."""
+    from ciff_ray.layout import cache_root
+    from ciff_ray.sharded import ShardedServingPool
+    from ciff_ray.synth import TURNS_PER_CONV_FROM_DOCS
+
+    import pyarrow.parquet as pq
+
+    fp = _sf_fingerprint(sf_dir)
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    k = TURNS_PER_CONV_FROM_DOCS
+    cuts = [0, (n_docs // 3) // k * k, (2 * n_docs // 3) // k * k, n_docs]
+    if not (0 < cuts[1] < cuts[2] < n_docs):
+        raise ValueError(f"corpus too small to shard: {n_docs} docs")
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    shard_dirs = []
+    for i in range(3):
+        lo, hi = cuts[i], cuts[i + 1]
+        root = os.path.join(cache_root(), "index", f"{fp}-shard{i}")
+        if not os.path.exists(IndexPaths(root).manifest):
+
+            def f(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
+                m = pc.and_(
+                    pc.greater_equal(t["doc_id"], pa.scalar(lo, type=pa.int64())),
+                    pc.less(t["doc_id"], pa.scalar(hi, type=pa.int64())),
+                )
+                return transcripts_from_documents(t.filter(m))
+
+            build_index(
+                docs.map_batches(f, batch_format="pyarrow"),
+                root,
+                BuildParams(num_partitions=16, sample_frac=1.0),
+                input_fingerprint=f"{fp}-shard{i}",
+            )
+        shard_dirs.append(root)
+
+    pool = ShardedServingPool(
+        shard_dirs, os.path.join(cache_root(), "index", f"{fp}-gstats")
+    )
+    try:
+        t = pool.topk_table(QUERY_SET, k=TOPK_K, mode="bmw")
+    finally:
+        pool.shutdown()
+    return t.select(["query_id", "rank", "doc_id"])
+
+
 def q_bm25_topk_merged(sf_dir: str) -> ray.data.Dataset:
     """Top-k through a MERGED index (two half-corpus builds folded by
     merge_indexes) — must be rank-identical to the monolithic oracle:
@@ -1331,6 +1386,16 @@ FROM r GROUP BY role""",
 {_bm25_scored_cte().lstrip()}
 SELECT query_id, doc_id, round(score, 6) AS score_r FROM scored""",
         "bm25_topk": f"""{T},
+{_bm25_scored_cte().lstrip()}
+SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {TOPK_K}""",
+        # the scatter-gather sharded serving path must be rank-identical
+        # to the exact same monolithic oracle
+        "bm25_topk_sharded": f"""{T},
 {_bm25_scored_cte().lstrip()}
 SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   SELECT query_id, doc_id,

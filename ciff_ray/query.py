@@ -190,10 +190,50 @@ class DoclengthStore:
         return out
 
 
-class LocalScorer:
-    """In-process scorer; also the body of the map_batches actor pool."""
+class GlobalStats:
+    """Collection-wide statistics for scoring a doc-sharded corpus: a
+    shard scorer given one of these computes idf/avgdl from the WHOLE
+    collection (num_docs/avgdl summed over shards, per-term df/cf
+    merged into ``stats_dir`` by sharded.build_global_stats), so
+    per-document BM25 scores are bit-identical to a monolithic index.
+    ``stats_dir`` rows carry max_score bounds already rescaled to the
+    global avgdl; the scorer rescales its own segment block maxima
+    via ``bound_scale_for``."""
 
-    def __init__(self, index_dir: str, params: BM25Params | None = None):
+    __slots__ = ("num_docs", "avgdl", "total_terms", "stats_dir")
+
+    def __init__(self, num_docs: int, avgdl: float, total_terms: int, stats_dir: str):
+        self.num_docs = num_docs
+        self.avgdl = avgdl
+        self.total_terms = total_terms
+        self.stats_dir = stats_dir
+
+    def bound_scale_for(self, shard_avgdl: float) -> float:
+        """Safe rescale factor for a shard's stored pruning bounds: the
+        BM25 tf-side contribution is increasing in avgdl and its ratio
+        under an avgdl change is strictly below avgdl_new/avgdl_old
+        (see ciff_ray.merge module docstring for the proof)."""
+        return (
+            self.avgdl / shard_avgdl
+            if shard_avgdl > 0 and self.avgdl > shard_avgdl
+            else 1.0
+        )
+
+
+class LocalScorer:
+    """In-process scorer; also the body of the map_batches actor pool.
+
+    With ``global_stats`` the scorer serves ONE SHARD of a doc-sharded
+    corpus: idf/avgdl/num_docs come from the collection-wide stats, the
+    doclength store stays shard-local, and stored pruning bounds are
+    rescaled to the global avgdl at read time."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        params: BM25Params | None = None,
+        global_stats: GlobalStats | None = None,
+    ):
         self.paths = IndexPaths(index_dir)
         self.manifest = Manifest.read(self.paths.manifest)
         self.params = params or BM25Params(self.manifest.k1, self.manifest.b)
@@ -203,15 +243,25 @@ class LocalScorer:
         self._bounds_valid = (
             self.params.k1 == self.manifest.k1 and self.params.b == self.manifest.b
         )
-        self.N = self.manifest.num_docs
-        self.avgdl = self.manifest.average_doclength
+        if global_stats is not None:
+            self.N = global_stats.num_docs
+            self.avgdl = global_stats.avgdl
+            self._bound_scale = global_stats.bound_scale_for(
+                self.manifest.average_doclength
+            )
+            stats_src = global_stats.stats_dir
+        else:
+            self.N = self.manifest.num_docs
+            self.avgdl = self.manifest.average_doclength
+            self._bound_scale = 1.0
+            stats_src = self.paths.term_stats
 
         # Vocabulary state stays ARROW: term-sorted columns + binary
         # search (searchsorted/J3 mapping), so actor init cost is one
         # columnar read + sort and per-query memory is O(touched terms)
         # — no full-vocab Python dicts (at 10^9+-term vocab those were
         # the query path's scale-killer).
-        stats = pq.read_table(self.paths.term_stats)
+        stats = pq.read_table(stats_src)
         stats = stats.take(pc.sort_indices(stats["term"].combine_chunks()))
         self._st_terms = _SortedStrColumn(stats["term"])
         self._st_df = stats["df"].to_numpy(zero_copy_only=False)
@@ -229,7 +279,9 @@ class LocalScorer:
         self._sl_pid = tdict["partition_id"].to_numpy(zero_copy_only=False)
         self._slice_memo: dict[str, list[tuple[int, int]]] = {}
 
-        self._dl = DoclengthStore(self.paths.docmap_dir, self.N)
+        # doclengths are SHARD-local even under global stats: the dense
+        # 0..num_docs-1 check is against this index's own docmap
+        self._dl = DoclengthStore(self.paths.docmap_dir, self.manifest.num_docs)
         self._segments: dict[int, tuple[pa.Table, _SortedStrColumn, np.ndarray, np.ndarray]] = {}
         self._doc_titles: pa.Table | None = None
         # decoded-postings cache: hot (stopword-scale) lists decode once
@@ -566,6 +618,11 @@ class LocalScorer:
             if bld.size == 0:
                 continue
             bmax = np.asarray(row["block_max_score"].as_py(), dtype=np.float64)
+            if self._bound_scale > 1.0:
+                # shard scorer under global avgdl: stored bounds were
+                # computed with the (smaller) shard avgdl — rescale by
+                # the safe ratio, rounded up (GlobalStats.bound_scale_for)
+                bmax = np.nextafter(bmax * self._bound_scale, np.inf)
             lo = np.empty(bld.size, dtype=np.int64)
             lo[0] = row["first_doc"].as_py()
             lo[1:] = bld[:-1] + 1

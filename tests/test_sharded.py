@@ -1,0 +1,103 @@
+"""Scatter-gather serving over doc shards must be rank- AND
+score-identical to a monolithic index: global stats make per-doc BM25
+bit-identical, per-shard top-k gathering is lossless, and the
+avgdl-rescaled pruning bounds keep MaxScore/BMW exact on each shard."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ciff_ray.build import BuildParams, build_index
+from ciff_ray.sharded import ShardedEngine, ShardedServingPool
+from ciff_ray.query import QueryEngine
+
+QUERIES = [
+    "the",
+    "time people",
+    "the of and to in",
+    "zzzznotaterm",
+    "state good very make",
+    "go go go came",
+    "year",
+]
+
+PARAMS = dict(num_partitions=4, heavy_df_frac=0.05, num_salts=3, sample_frac=1.0)
+
+
+@pytest.fixture(scope="module")
+def sharded_and_mono(tmp_path_factory, ray_session):
+    """Three shards split by conv byte order, so shard docID + base ==
+    monolithic docID (build assigns docIDs by byte-sorted conv rank)."""
+    import pyarrow.compute as pc
+
+    from ciff_ray.synth import generate_transcripts
+
+    tbl = generate_transcripts(n_convs=90, max_turns=6, seed=41, mean_tokens=28)
+    convs = sorted(set(tbl["conv_id"].to_pylist()))
+    base = tmp_path_factory.mktemp("shards")
+    shard_dirs = []
+    for i, grp in enumerate([convs[0:25], convs[25:60], convs[60:90]]):
+        part = tbl.filter(pc.is_in(tbl["conv_id"], value_set=pa.array(grp)))
+        out = str(base / f"shard{i}")
+        build_index(ray.data.from_arrow(part).repartition(3), out, BuildParams(**PARAMS))
+        shard_dirs.append(out)
+    mono = str(base / "mono")
+    build_index(ray.data.from_arrow(tbl).repartition(4), mono, BuildParams(**PARAMS))
+    return shard_dirs, str(base / "gstats"), mono
+
+
+def test_sharded_topk_identical_to_monolithic(sharded_and_mono):
+    shard_dirs, stats_root, mono = sharded_and_mono
+    eng = ShardedEngine(shard_dirs, stats_root)
+    ref = QueryEngine(mono)
+    for q in QUERIES:
+        for k in (1, 5, 20):
+            d_s, s_s = eng.topk(q, k=k)
+            d_m, s_m = ref.topk(q, k=k)
+            assert d_s.tolist() == d_m.tolist(), (q, k)
+            assert s_s.tolist() == s_m.tolist(), (q, k)  # bit-identical f64
+
+
+def test_sharded_pruned_modes_exact(sharded_and_mono):
+    """Rescaled shard bounds must keep pruned modes score-identical."""
+    shard_dirs, stats_root, _ = sharded_and_mono
+    eng = ShardedEngine(shard_dirs, stats_root)
+    for q in QUERIES:
+        d1, s1 = eng.topk(q, k=10, mode="exact")
+        d2, s2 = eng.topk(q, k=10, mode="maxscore")
+        d3, s3 = eng.topk(q, k=10, mode="bmw")
+        assert d1.tolist() == d2.tolist() == d3.tolist(), q
+        assert s1.tolist() == s2.tolist() == s3.tolist(), q
+
+
+def test_global_stats_idempotent(sharded_and_mono):
+    from ciff_ray.sharded import build_global_stats
+
+    shard_dirs, stats_root, mono = sharded_and_mono
+    g1 = build_global_stats(shard_dirs, stats_root)
+    g2 = build_global_stats(shard_dirs, stats_root)  # cache hit
+    assert (g1.num_docs, g1.avgdl) == (g2.num_docs, g2.avgdl)
+    from ciff_ray.layout import IndexPaths, Manifest
+
+    mm = Manifest.read(IndexPaths(mono).manifest)
+    assert g1.num_docs == mm.num_docs
+    assert g1.avgdl == mm.average_doclength  # exact f64 (integer sums)
+
+
+def test_serving_pool_fanout(sharded_and_mono):
+    shard_dirs, stats_root, mono = sharded_and_mono
+    pool = ShardedServingPool(shard_dirs, stats_root)
+    try:
+        t = pool.topk_table(QUERIES, k=5, mode="bmw")
+        ref = QueryEngine(mono)
+        for qid, q in enumerate(QUERIES):
+            sub = t.filter(pa.compute.equal(t["query_id"], qid))
+            d, s = ref.topk(q, k=5)
+            assert sub["doc_id"].to_pylist() == d.tolist(), q
+            assert sub["score"].to_pylist() == s.tolist(), q
+            assert sub["rank"].to_pylist() == list(range(1, d.size + 1))
+    finally:
+        pool.shutdown()
