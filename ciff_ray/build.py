@@ -448,125 +448,165 @@ def make_partition_writer(
         terms = terms_rows.take(pa.array(run_starts_row))
         salts_slice = salts_rows[run_starts_row]
 
-        df = ends - starts
-        cf = np.add.reduceat(tfs, starts, dtype=np.int64)
-        max_tf = np.maximum.reduceat(tfs, starts)
-        first_doc = doc_ids[starts]
-
-        enc = _slice_encode(doc_ids, tfs, starts, ends)
-        doc_bytes, tf_bytes = enc["doc_bytes"], enc["tf_bytes"]
-        doc_codec, tf_codec = enc["doc_codec"], enc["tf_codec"]
-
-        # block-max metadata: idf-independent partial contribution; the
-        # doclengths ride inline with the postings (no global broadcast).
-        # Bumped one float32 ulp UP so the stored bound can never round
-        # below the float64 score the query path computes.
-        dl = dls.astype(np.float64)
-        contrib64 = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / avgdl))
-        contrib = np.nextafter(
-            contrib64.astype(np.float32), np.float32(np.inf)
+        marker = _pack_segment(
+            paths, pid, terms, salts_rows[run_starts_row], doc_ids, tfs,
+            dls, starts, ends, avgdl, k1, b, bs, fingerprint, t0,
         )
-        nblocks = (df + bs - 1) // bs
-        tot_blocks = int(nblocks.sum())
-        slice_of_block = np.repeat(np.arange(S), nblocks)
-        blk_in_slice = np.arange(tot_blocks) - np.repeat(
-            np.concatenate([[0], np.cumsum(nblocks)[:-1]]), nblocks
-        )
-        bstart = starts[slice_of_block] + blk_in_slice * bs
-        bend = np.minimum(bstart + bs, ends[slice_of_block])
-        block_last = doc_ids[bend - 1]
-        block_max = np.maximum.reduceat(contrib, bstart) if tot_blocks else contrib[:0]
-        blk_offsets = np.concatenate([[0], np.cumsum(nblocks)]).astype(np.int64)
-        slice_max = (
-            np.maximum.reduceat(block_max, blk_offsets[:-1])
-            if tot_blocks
-            else np.empty(0, np.float32)
-        )
-
-        # per-block byte offsets into doc_bytes/tf_bytes (block-skipping
-        # decode for the WAND path); -1 for gamma slices
-        sob = slice_of_block
-        rel = bstart - starts[sob]
-        C = np.concatenate([[0], np.cumsum(enc["gap_nb"])]).astype(np.int64)
-        Ct = np.concatenate([[0], np.cumsum(enc["tf_nb"])]).astype(np.int64)
-        gb, tb = enc["gap_bounds"], enc["tf_bounds"]
-        blk_doc_off = np.where(
-            rel > 0, C[gb[sob] + np.maximum(rel - 1, 0)] - C[gb[sob]], 0
-        ).astype(np.int64)
-        blk_tf_off = (Ct[tb[sob] + rel] - Ct[tb[sob]]).astype(np.int64)
-        blk_doc_off[doc_codec[sob] == CODEC_GAMMA] = -1
-        blk_tf_off[tf_codec[sob] == CODEC_GAMMA] = -1
-
-        seg = pa.table(
-            {
-                "term": terms,
-                "salt": pa.array(salts_slice.astype(np.int32)),
-                "df": pa.array(df, type=pa.int64()),
-                "cf": pa.array(cf, type=pa.int64()),
-                "first_doc": pa.array(first_doc, type=pa.int64()),
-                "doc_codec": pa.array(doc_codec, type=pa.int8()),
-                "tf_codec": pa.array(tf_codec, type=pa.int8()),
-                "doc_bytes": pa.array(doc_bytes, type=pa.large_binary()),
-                "tf_bytes": pa.array(tf_bytes, type=pa.large_binary()),
-                "max_tf": pa.array(max_tf.astype(np.int32)),
-                "block_last_doc": pa.LargeListArray.from_arrays(
-                    blk_offsets, pa.array(block_last, type=pa.int64())
-                ),
-                "block_max_score": pa.LargeListArray.from_arrays(
-                    blk_offsets, pa.array(block_max, type=pa.float32())
-                ),
-                "block_doc_off": pa.LargeListArray.from_arrays(
-                    blk_offsets, pa.array(blk_doc_off, type=pa.int64())
-                ),
-                "block_tf_off": pa.LargeListArray.from_arrays(
-                    blk_offsets, pa.array(blk_tf_off, type=pa.int64())
-                ),
-            },
-            schema=SEGMENT_SCHEMA,
-        )
-        atomic_write_parquet(seg, paths.segment(pid))
-
-        tdict = pa.table(
-            {
-                "term": seg["term"],
-                "salt": seg["salt"],
-                "partition_id": pa.array(
-                    np.full(S, pid, dtype=np.int32), type=pa.int32()
-                ),
-                "df": seg["df"],
-                "cf": seg["cf"],
-                "max_score": pa.array(slice_max.astype(np.float32)),
-            },
-            schema=TERM_DICT_SCHEMA,
-        )
-        atomic_write_parquet(tdict, paths.term_dict_part(pid))
-
-        nbytes = sum(len(x) for x in doc_bytes) + sum(len(x) for x in tf_bytes)
-        secs = time.monotonic() - t0
-        marker = {
-            "partition_id": pid,
-            "fingerprint": fingerprint,
-            "n_slices": S,
-            "n_postings": n,
-            "bytes": nbytes,
-            "seconds": secs,
-        }
-        tmp = done_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(marker, f)
-        os.replace(tmp, done_path)
         return pa.table(
             {
                 "partition_id": pa.array([pid], type=pa.int32()),
-                "n_slices": pa.array([S], type=pa.int64()),
-                "n_postings": pa.array([n], type=pa.int64()),
-                "bytes": pa.array([nbytes], type=pa.int64()),
-                "seconds": pa.array([secs], type=pa.float64()),
+                "n_slices": pa.array([marker["n_slices"]], type=pa.int64()),
+                "n_postings": pa.array([marker["n_postings"]], type=pa.int64()),
+                "bytes": pa.array([marker["bytes"]], type=pa.int64()),
+                "seconds": pa.array([marker["seconds"]], type=pa.float64()),
                 "status": pa.array(["written"], type=pa.string()),
             }
         )
 
     return write_partition
+
+
+def _pack_segment(
+    paths: IndexPaths,
+    pid: int,
+    terms,
+    salts_slice: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    bs: int,
+    fingerprint: str,
+    t0: float | None = None,
+) -> dict:
+    """Encode + write one partition's segment and term-dict part from
+    per-slice sorted posting arrays, plus its done-marker.  Shared by
+    the build's partition writer and lifecycle.compact_index (which
+    re-packs surviving postings after tombstone removal).
+
+    Inputs: ``terms`` is an Arrow string array of S slice terms,
+    ``salts_slice`` the parallel salts, ``starts/ends`` the [start,
+    end) bounds of each slice inside the flat ``doc_ids/tfs/dls``
+    (docIDs strictly ascending within a slice)."""
+    if t0 is None:
+        t0 = time.monotonic()
+    S = starts.size
+    n = int(doc_ids.size)
+    done_path = paths.segment_done(pid)
+
+    df = ends - starts
+    cf = np.add.reduceat(tfs, starts, dtype=np.int64) if S else np.empty(0, np.int64)
+    max_tf = np.maximum.reduceat(tfs, starts) if S else np.empty(0, np.int64)
+    first_doc = doc_ids[starts] if S else np.empty(0, np.int64)
+
+    enc = _slice_encode(doc_ids, tfs, starts, ends)
+    doc_bytes, tf_bytes = enc["doc_bytes"], enc["tf_bytes"]
+    doc_codec, tf_codec = enc["doc_codec"], enc["tf_codec"]
+
+    # block-max metadata: idf-independent partial contribution; the
+    # doclengths ride inline with the postings (no global broadcast).
+    # Bumped one float32 ulp UP so the stored bound can never round
+    # below the float64 score the query path computes.
+    dl = dls.astype(np.float64)
+    contrib64 = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / avgdl))
+    contrib = np.nextafter(
+        contrib64.astype(np.float32), np.float32(np.inf)
+    )
+    nblocks = (df + bs - 1) // bs
+    tot_blocks = int(nblocks.sum())
+    slice_of_block = np.repeat(np.arange(S), nblocks)
+    blk_in_slice = np.arange(tot_blocks) - np.repeat(
+        np.concatenate([[0], np.cumsum(nblocks)[:-1]]), nblocks
+    )
+    bstart = starts[slice_of_block] + blk_in_slice * bs
+    bend = np.minimum(bstart + bs, ends[slice_of_block])
+    block_last = doc_ids[bend - 1]
+    block_max = np.maximum.reduceat(contrib, bstart) if tot_blocks else contrib[:0]
+    blk_offsets = np.concatenate([[0], np.cumsum(nblocks)]).astype(np.int64)
+    slice_max = (
+        np.maximum.reduceat(block_max, blk_offsets[:-1])
+        if tot_blocks
+        else np.empty(0, np.float32)
+    )
+
+    # per-block byte offsets into doc_bytes/tf_bytes (block-skipping
+    # decode for the WAND path); -1 for gamma slices
+    sob = slice_of_block
+    rel = bstart - starts[sob]
+    C = np.concatenate([[0], np.cumsum(enc["gap_nb"])]).astype(np.int64)
+    Ct = np.concatenate([[0], np.cumsum(enc["tf_nb"])]).astype(np.int64)
+    gb, tb = enc["gap_bounds"], enc["tf_bounds"]
+    blk_doc_off = np.where(
+        rel > 0, C[gb[sob] + np.maximum(rel - 1, 0)] - C[gb[sob]], 0
+    ).astype(np.int64)
+    blk_tf_off = (Ct[tb[sob] + rel] - Ct[tb[sob]]).astype(np.int64)
+    blk_doc_off[doc_codec[sob] == CODEC_GAMMA] = -1
+    blk_tf_off[tf_codec[sob] == CODEC_GAMMA] = -1
+
+    seg = pa.table(
+        {
+            "term": terms,
+            "salt": pa.array(salts_slice.astype(np.int32)),
+            "df": pa.array(df, type=pa.int64()),
+            "cf": pa.array(cf, type=pa.int64()),
+            "first_doc": pa.array(first_doc, type=pa.int64()),
+            "doc_codec": pa.array(doc_codec, type=pa.int8()),
+            "tf_codec": pa.array(tf_codec, type=pa.int8()),
+            "doc_bytes": pa.array(doc_bytes, type=pa.large_binary()),
+            "tf_bytes": pa.array(tf_bytes, type=pa.large_binary()),
+            "max_tf": pa.array(max_tf.astype(np.int32)),
+            "block_last_doc": pa.LargeListArray.from_arrays(
+                blk_offsets, pa.array(block_last, type=pa.int64())
+            ),
+            "block_max_score": pa.LargeListArray.from_arrays(
+                blk_offsets, pa.array(block_max, type=pa.float32())
+            ),
+            "block_doc_off": pa.LargeListArray.from_arrays(
+                blk_offsets, pa.array(blk_doc_off, type=pa.int64())
+            ),
+            "block_tf_off": pa.LargeListArray.from_arrays(
+                blk_offsets, pa.array(blk_tf_off, type=pa.int64())
+            ),
+        },
+        schema=SEGMENT_SCHEMA,
+    )
+    atomic_write_parquet(seg, paths.segment(pid))
+
+    tdict = pa.table(
+        {
+            "term": seg["term"],
+            "salt": seg["salt"],
+            "partition_id": pa.array(
+                np.full(S, pid, dtype=np.int32), type=pa.int32()
+            ),
+            "df": seg["df"],
+            "cf": seg["cf"],
+            "max_score": pa.array(slice_max.astype(np.float32)),
+        },
+        schema=TERM_DICT_SCHEMA,
+    )
+    atomic_write_parquet(tdict, paths.term_dict_part(pid))
+
+    nbytes = sum(len(x) for x in doc_bytes) + sum(len(x) for x in tf_bytes)
+    secs = time.monotonic() - t0
+    marker = {
+        "partition_id": pid,
+        "fingerprint": fingerprint,
+        "n_slices": S,
+        "n_postings": n,
+        "bytes": nbytes,
+        "seconds": secs,
+    }
+    tmp = done_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(marker, f)
+    os.replace(tmp, done_path)
+    return marker
+
 
 
 # ---------------------------------------------------------------------------

@@ -55,6 +55,10 @@ class IndexPaths:
     def docmap_dir(self) -> str:
         return os.path.join(self.root, "docmap")
 
+    @property
+    def tombstones(self) -> str:
+        return os.path.join(self.root, "tombstones.parquet")
+
     def segment(self, pid: int) -> str:
         return os.path.join(self.segments_dir, f"part-{pid:05d}.parquet")
 

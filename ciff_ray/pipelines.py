@@ -599,6 +599,45 @@ def q_bm25_topk_sharded(sf_dir: str) -> pa.Table:
     return t.select(["query_id", "rank", "doc_id"])
 
 
+def q_bm25_topk_compacted(sf_dir: str) -> pa.Table:
+    """Top-k through the delete + compact lifecycle: build an index,
+    tombstone every 5th conversation, compact (exact recomputed stats,
+    dense docID remap), then serve — must match the oracle computed
+    over the surviving, rank-remapped corpus."""
+    from ciff_ray.layout import cache_root
+    from ciff_ray.lifecycle import compact_index, delete_docs
+    from ciff_ray.query import QueryEngine as QE
+    from ciff_ray.synth import TURNS_PER_CONV_FROM_DOCS
+
+    import pyarrow.parquet as pq
+
+    fp = _sf_fingerprint(sf_dir)
+    compacted = os.path.join(cache_root(), "index", f"{fp}-compacted")
+    if not os.path.exists(IndexPaths(compacted).manifest):
+        # a private build (NOT the shared ensure_index cache — deletes
+        # mutate the index dir)
+        idx = os.path.join(cache_root(), "index", f"{fp}-lifecycle")
+        if not os.path.exists(IndexPaths(idx).manifest):
+            build_index(
+                transcripts_dataset(sf_dir),
+                idx,
+                BuildParams(num_partitions=16, sample_frac=1.0),
+                input_fingerprint=f"{fp}-lifecycle",
+            )
+        n_docs = pq.ParquetFile(
+            os.path.join(sf_dir, "documents.parquet")
+        ).metadata.num_rows
+        k = TURNS_PER_CONV_FROM_DOCS
+        d = np.arange(n_docs, dtype=np.int64)
+        dead = d[(d // k) % 5 == 3]  # whole conversations
+        delete_docs(idx, dead)
+        compact_index(idx, compacted)
+    eng = QE(compacted)
+    return eng.score_dataset(
+        _query_set_ds().repartition(4), k=TOPK_K, concurrency=(1, 4)
+    ).select_columns(["query_id", "rank", "doc_id"])
+
+
 def q_bm25_topk_merged(sf_dir: str) -> ray.data.Dataset:
     """Top-k through a MERGED index (two half-corpus builds folded by
     merge_indexes) — must be rank-identical to the monolithic oracle:
@@ -1165,9 +1204,10 @@ def _phrase_query_values() -> str:
     return ", ".join(values)
 
 
-def _bm25_scored_cte() -> str:
-    """CTEs computing exact BM25 over the derived transcripts; the
-    formula mirrors ciff_ray.oracle (k1=0.9 b=0.4, floored ln idf)."""
+def _bm25_scored_cte(src: str = "transcripts") -> str:
+    """CTEs computing exact BM25 over the derived transcripts (or any
+    CTE named ``src`` with doc_id/text columns); the formula mirrors
+    ciff_ray.oracle (k1=0.9 b=0.4, floored ln idf)."""
     values = []
     for qid, q in enumerate(QUERY_SET):
         for t in sorted(set(tokenize(q))):
@@ -1176,7 +1216,7 @@ def _bm25_scored_cte() -> str:
     return f"""
 tok AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
-  FROM transcripts
+  FROM {src}
 ),
 tf AS (
   SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
@@ -1186,9 +1226,9 @@ dl AS (
   SELECT doc_id, count(*) AS dl FROM tok WHERE term <> '' GROUP BY doc_id
 ),
 stats AS (
-  SELECT (SELECT count(*) FROM transcripts) AS n_docs,
+  SELECT (SELECT count(*) FROM {src}) AS n_docs,
          (SELECT count(*) FROM tok WHERE term <> '') * 1.0
-           / (SELECT count(*) FROM transcripts) AS avgdl
+           / (SELECT count(*) FROM {src}) AS avgdl
 ),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 q(query_id, term) AS (VALUES {vals}),
@@ -1209,6 +1249,8 @@ scored AS (
 
 
 def oracle_sqls() -> dict[str, str]:
+    from ciff_ray.synth import TURNS_PER_CONV_FROM_DOCS as _TPC
+
     T = f"WITH {SQL_TRANSCRIPTS_CTE.strip()}"
     return {
         "tokenize_tf": f"""{T},
@@ -1387,6 +1429,21 @@ FROM r GROUP BY role""",
 SELECT query_id, doc_id, round(score, 6) AS score_r FROM scored""",
         "bm25_topk": f"""{T},
 {_bm25_scored_cte().lstrip()}
+SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {TOPK_K}""",
+        # the delete+compact lifecycle: BM25 over the surviving corpus
+        # with docIDs remapped to dense ranks (row_number over the old
+        # doc_id order == the compaction remap)
+        "bm25_topk_compacted": f"""{T},
+surv AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS doc_id, text
+  FROM transcripts WHERE (doc_id // {_TPC}) % 5 <> 3
+),
+{_bm25_scored_cte(src="surv").lstrip()}
 SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id

@@ -282,6 +282,21 @@ class LocalScorer:
         # doclengths are SHARD-local even under global stats: the dense
         # 0..num_docs-1 check is against this index's own docmap
         self._dl = DoclengthStore(self.paths.docmap_dir, self.manifest.num_docs)
+
+        # tombstoned docIDs (lifecycle.delete_docs): filtered out of
+        # every decoded posting list, so no mode can return them.
+        # Collection statistics (df/avgdl/N) deliberately stay at their
+        # index-time values until lifecycle.compact_index rewrites the
+        # segments — the standard deferred-delete semantics (bounds
+        # stay valid: removing docs only lowers true scores).
+        if os.path.exists(self.paths.tombstones):
+            self._dead = np.sort(
+                pq.read_table(self.paths.tombstones)["doc_id"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        else:
+            self._dead = np.empty(0, dtype=np.int64)
         self._segments: dict[int, tuple[pa.Table, _SortedStrColumn, np.ndarray, np.ndarray]] = {}
         self._doc_titles: pa.Table | None = None
         # decoded-postings cache: hot (stopword-scale) lists decode once
@@ -398,6 +413,16 @@ class LocalScorer:
             tfs = np.concatenate([t for _, t in parts])
             if (docs[1:] <= docs[:-1]).any():
                 raise AssertionError(f"salted slices of {term!r} out of docID order")
+        if self._dead.size:
+            # postings() is the single doc source for every scoring
+            # mode (score_all / maxscore candidates / bmw), so masking
+            # tombstones here suppresses deleted docs everywhere
+            pos = np.searchsorted(self._dead, docs)
+            hit = (pos < self._dead.size) & (
+                self._dead[np.minimum(pos, self._dead.size - 1)] == docs
+            )
+            if hit.any():
+                docs, tfs = docs[~hit], tfs[~hit]
         if self._plist_cache_postings + docs.size <= self._plist_cache_cap:
             self._plist_cache[term] = (docs, tfs)
             self._plist_cache_postings += docs.size
