@@ -112,7 +112,108 @@ def q_source_mixture(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# ---------------------------------------------------------------------------
+# token-budget sequence packing (concat-then-chunk)
+
+PACK_BUDGET = 512  # tokens per training sequence (context window)
+PACK_RANGE_BITS = 20  # docID ranges for the distributed prefix sum
+
+
+def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    """Concat-then-chunk context-window packing — the step that turns a
+    document stream into fixed-budget training sequences: concatenate
+    all token streams in docID order, cut every PACK_BUDGET tokens,
+    assign each document the bin where its FIRST token lands
+    (bin = exclusive-prefix-token-count // budget).
+
+    Distributed prefix sum with no row shuffle of the corpus text:
+    (1) one tokenize pass -> narrow (doc_id, ntok) rows;
+    (2) per-docID-range token sums (tiny: one row per 2^20 docs) are
+        prefix-summed on the driver and broadcast;
+    (3) groupby(range_id) co-locates only the 16-byte/doc narrow rows;
+        each group sorts by docID, cumsums, adds its range offset.
+    At 10^12 docs the range table is ~1M rows — driver-safe."""
+    from ciff_ray.extras.textstats import _per_row_nonempty_counts
+    from ciff_ray.tokenizer import tokenize_column
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ntok = _per_row_nonempty_counts(tokenize_column(batch["text"]), n)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, type=pa.int64()),
+                "ntok": pa.array(ntok, type=pa.int64()),
+                "range_id": pa.array(did >> PACK_RANGE_BITS, type=pa.int64()),
+            }
+        )
+
+    narrow = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(_tok, batch_format="pyarrow")
+        .materialize()  # consumed twice: range partials + the pack groupby
+    )
+
+    def _range_partials(t: pa.Table) -> pa.Table:
+        rid = t["range_id"].to_numpy(zero_copy_only=False)
+        ntok = t["ntok"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(rid, return_inverse=True)
+        return pa.table(
+            {
+                "range_id": pa.array(u, type=pa.int64()),
+                "tok_sum": pa.array(
+                    np.bincount(inv, weights=ntok).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    parts = narrow.map_batches(_range_partials, batch_format="pyarrow").take_all()
+    n_ranges = 1 + max((int(r["range_id"]) for r in parts), default=0)
+    sums = np.zeros(n_ranges, dtype=np.int64)
+    for r in parts:
+        sums[int(r["range_id"])] += int(r["tok_sum"])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
+    offsets_ref = ray.put(offsets)
+
+    def _assign(group: pa.Table, *, oref=offsets_ref) -> pa.Table:
+        offs = ray.get(oref)
+        did = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = group["ntok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(did)
+        did, ntok = did[order], ntok[order]
+        prev = np.concatenate([[0], np.cumsum(ntok)[:-1]]) + offs[
+            int(did[0] >> PACK_RANGE_BITS)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(did, type=pa.int64()),
+                "ntok": pa.array(ntok, type=pa.int64()),
+                "bin_id": pa.array(prev // PACK_BUDGET, type=pa.int64()),
+            }
+        )
+
+    return narrow.groupby("range_id").map_groups(_assign, batch_format="pyarrow")
+
+
 ORACLE_SQLS = {
+    "pack_sequences": f"""WITH r AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS ntok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, ntok,
+         COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM r
+)
+SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
+       CAST(prev // {PACK_BUDGET} AS BIGINT) AS bin_id
+FROM c""",
     "source_mixture": f"""SELECT source,
        CAST(25 * (1 + CAST(substr(source, 4) AS BIGINT) % 4) AS BIGINT)
          AS rate_pct,
@@ -125,4 +226,5 @@ FROM documents GROUP BY source""",
 
 QUERIES = {
     "source_mixture": q_source_mixture,
+    "pack_sequences": q_pack_sequences,
 }

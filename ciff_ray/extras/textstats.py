@@ -273,6 +273,46 @@ def q_doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# pii_scan — PII-pattern counting (emails / URLs / long digit runs),
+# the redaction-triage pass a training-data pipeline runs before
+# release.  Both sides are RE2 (pyarrow count_substring_regex and
+# DuckDB regexp_extract_all), counting non-overlapping left-to-right
+# matches, so the counts agree exactly.
+
+PII_PATTERNS = {
+    "n_email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_url": r"https?://[^\s]+",
+    "n_digitrun": r"[0-9]{6,}",
+}
+
+
+def _pii_batch(batch: pa.Table) -> pa.Table:
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    cols: dict = {"doc_id": batch["doc_id"]}
+    total = np.zeros(len(batch), dtype=np.int64)
+    for name, pat in PII_PATTERNS.items():
+        c = (
+            pc.count_substring_regex(text, pattern=pat)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        cols[name] = pa.array(c, type=pa.int64())
+        total += c
+    cols["has_pii"] = pa.array(total > 0, type=pa.bool_())
+    return pa.table(cols)
+
+
+def q_pii_scan(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_email, n_url, n_digitrun, has_pii) — stateless
+    vectorized RE2 counting, no shuffle."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _pii_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL
 
 
@@ -502,6 +542,14 @@ FROM feat"""
 
 ORACLE_SQLS = {
     "repetition_signals": _REP_SQL,
+    "pii_scan": f"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["n_email"]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["n_url"]}')) AS BIGINT) AS n_url,
+       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["n_digitrun"]}')) AS BIGINT) AS n_digitrun,
+       (len(regexp_extract_all(text, '{PII_PATTERNS["n_email"]}'))
+        + len(regexp_extract_all(text, '{PII_PATTERNS["n_url"]}'))
+        + len(regexp_extract_all(text, '{PII_PATTERNS["n_digitrun"]}'))) > 0 AS has_pii
+FROM documents""",
     "token_counts": f"""SELECT doc_id,
        {_sql_nonempty_split('text', '[^a-z0-9]+')} AS n_tokens,
        {_sql_nonempty_split('text', WS_PATTERN)} AS n_ws,
@@ -544,4 +592,5 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,  # rows-only
+    "pii_scan": q_pii_scan,
 }

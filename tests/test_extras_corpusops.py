@@ -118,3 +118,75 @@ def test_source_mixture_matches_direct_numpy(ray_session):
     # the row-level sample applies the same mask
     rows = sampling.sample_documents(SF).to_pandas()
     assert len(rows) == int(got["n_kept"].sum())
+
+
+def test_pack_sequences_matches_serial_cumsum(ray_session):
+    """Distributed range-prefix packing == a single-process exclusive
+    cumsum over docID order; bins are contiguous and budget-aligned."""
+    from ciff_ray.extras import sampling
+    from ciff_ray.extras.textstats import _per_row_nonempty_counts
+    from ciff_ray.tokenizer import tokenize_column
+
+    got = (
+        sampling.q_pack_sequences(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    order = np.argsort(np.array(t["doc_id"].to_pylist()))
+    ntok = _per_row_nonempty_counts(tokenize_column(t["text"]), len(t))[order]
+    prev = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+    exp_bin = prev // sampling.PACK_BUDGET
+    assert got["ntok"].to_numpy().tolist() == ntok.tolist()
+    assert got["bin_id"].to_numpy().tolist() == exp_bin.tolist()
+    # bins are monotone in docID and no bin exceeds budget by more than
+    # one straddling document
+    b = got["bin_id"].to_numpy()
+    assert (np.diff(b) >= 0).all()
+
+
+def test_pack_sequences_crosses_range_boundary(ray_session):
+    """Docs straddling the 2^20 range boundary get globally-correct
+    prefix sums (the driver-broadcast range offsets)."""
+    import ray.data
+    from ciff_ray.extras import sampling
+
+    # patch a tiny range so multiple ranges exist at test scale
+    old_bits = sampling.PACK_RANGE_BITS
+    sampling.PACK_RANGE_BITS = 5  # ranges of 32 docs
+    try:
+        got = (
+            sampling.q_pack_sequences(SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        prev = np.concatenate([[0], np.cumsum(got["ntok"].to_numpy())[:-1]])
+        assert (
+            got["bin_id"].to_numpy() == prev // sampling.PACK_BUDGET
+        ).all()
+    finally:
+        sampling.PACK_RANGE_BITS = old_bits
+
+
+def test_pii_scan_counts(ray_session, tmp_path):
+    from ciff_ray.extras.textstats import _pii_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "reach me at a.b@example.com or c@d.org via https://x.io/z",
+                    "call 5551234567 now; backup 123456",
+                    "clean text with short 123 numbers only",
+                ]
+            ),
+        }
+    )
+    out = {r["doc_id"]: r for r in _pii_batch(batch).to_pylist()}
+    assert out[0]["n_email"] == 2 and out[0]["n_url"] == 1
+    assert out[0]["has_pii"] is True
+    assert out[1]["n_digitrun"] == 2 and out[1]["n_email"] == 0
+    assert out[2]["has_pii"] is False
