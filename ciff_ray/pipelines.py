@@ -599,6 +599,61 @@ def q_bm25_topk_sharded(sf_dir: str) -> pa.Table:
     return t.select(["query_id", "rank", "doc_id"])
 
 
+SNIPPET_RADIUS = 30  # chars either side of the first query-term hit
+
+
+def q_bm25_snippets(sf_dir: str) -> pa.Table:
+    """Hit highlighting: for each top-k result, the ±30-char window
+    around the FIRST occurrence (lowercased substring position, min
+    over the query's terms) — the result-decoration step of a serving
+    stack.  The doc texts are fetched with an is_in-pruned read of only
+    the k×|Q| hit docs; the window extraction is a map_batches over
+    that small join (never the corpus)."""
+    from ciff_ray.oracle import tokenize as _tok
+
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    topk = eng.topk_table(QUERY_SET, k=TOPK_K, mode="bmw")
+    hit_ids = pa.array(
+        np.unique(topk["doc_id"].to_numpy(zero_copy_only=False)),
+        type=pa.int64(),
+    )
+    terms_of = {
+        qid: sorted(set(_tok(q)), key=lambda s: s.encode())
+        for qid, q in enumerate(QUERY_SET)
+    }
+
+    def _snip(batch: pa.Table, *, tof=terms_of) -> pa.Table:
+        qids = batch["query_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        snippets = []
+        for qid, text in zip(qids, texts):  # k x |Q| rows total — small side
+            low = text.lower()
+            p = min(
+                (low.find(t) + 1 for t in tof[qid] if low.find(t) >= 0),
+                default=1,
+            )
+            start = max(p - SNIPPET_RADIUS, 1)
+            snippets.append(text[start - 1 : start - 1 + 2 * SNIPPET_RADIUS + 1])
+        return batch.drop_columns(["text"]).append_column(
+            "snippet", pa.array(snippets, type=pa.string())
+        )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=hit_ids)),
+        batch_format="pyarrow",
+    )
+    texts = pa.concat_tables(ray.get(docs.to_arrow_refs())).combine_chunks()
+    joined = topk.select(["query_id", "rank", "doc_id"]).join(
+        texts, keys="doc_id", join_type="inner"
+    )
+    # the join result is k x |Q| rows (driver-small by construction);
+    # the window extraction runs right here
+    return _snip(joined).select(["query_id", "rank", "doc_id", "snippet"])
+
+
 def q_bm25_topk_compacted(sf_dir: str) -> pa.Table:
     """Top-k through the delete + compact lifecycle: build an index,
     tombstone every 5th conversation, compact (exact recomputed stats,
@@ -1435,6 +1490,33 @@ SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
                             ORDER BY score DESC, doc_id ASC) AS rnk
   FROM scored
 ) WHERE rnk <= {TOPK_K}""",
+        # result decoration: ±30-char window around the first (min over
+        # query terms) lowercased substring hit in each top-k doc
+        "bm25_snippets": f"""{T},
+{_bm25_scored_cte().lstrip()},
+topk AS (
+  SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {TOPK_K}
+),
+pos AS (
+  SELECT k.query_id, k.rank, k.doc_id,
+         min(CASE WHEN instr(lower(t.text), q.term) > 0
+                  THEN instr(lower(t.text), q.term) END) AS p,
+         any_value(t.text) AS text
+  FROM topk k
+  JOIN transcripts t USING (doc_id)
+  JOIN q ON q.query_id = k.query_id
+  GROUP BY k.query_id, k.rank, k.doc_id
+)
+SELECT query_id, rank, doc_id,
+       substr(text,
+              CAST(greatest(COALESCE(p, 1) - {SNIPPET_RADIUS}, 1) AS BIGINT),
+              {2 * SNIPPET_RADIUS + 1}) AS snippet
+FROM pos""",
         # the delete+compact lifecycle: BM25 over the surviving corpus
         # with docIDs remapped to dense ranks (row_number over the old
         # doc_id order == the compaction remap)

@@ -203,3 +203,32 @@ def test_doc_top_tfidf_vs_bruteforce(ray_session):
         assert np.allclose(
             sub["score_r"], [round(s, 6) for _, s in want], atol=1e-9
         )
+
+
+def test_bm25_snippets_window_semantics(ray_session):
+    """Every snippet is the ±30-char window around the earliest
+    query-term substring hit of its (lowercased) document text."""
+    from ciff_ray.oracle import tokenize
+    from ciff_ray.pipelines import (
+        QUERY_SET,
+        SNIPPET_RADIUS,
+        q_bm25_snippets,
+    )
+
+    got = q_bm25_snippets(SF).to_pandas()
+    assert (got.groupby("query_id")["rank"].count() <= 10).all()
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    text_of = dict(zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()))
+    for row in got.itertuples():
+        text = text_of[row.doc_id]
+        low = text.lower()
+        terms = sorted(set(tokenize(QUERY_SET[row.query_id])))
+        p = min(
+            (low.find(t) + 1 for t in terms if low.find(t) >= 0), default=1
+        )
+        start = max(p - SNIPPET_RADIUS, 1)
+        assert row.snippet == text[start - 1 : start - 1 + 2 * SNIPPET_RADIUS + 1]
+        # the window indeed contains a query term unless the doc only
+        # matched terms longer than the radius allows (can't happen:
+        # the hit starts inside the window by construction)
+        assert any(t in row.snippet.lower() for t in terms) or p == 1
