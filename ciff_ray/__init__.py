@@ -27,6 +27,9 @@ file / PISA binary collection, SURVEY.md §1.4):
 from ciff_ray.schemas import TRANSCRIPTS_SCHEMA, DOCMAP_SCHEMA, POSTINGS_SCHEMA
 from ciff_ray.build import IndexBuilder, build_index
 from ciff_ray.query import QueryEngine, BM25Params, ServingPool
+from ciff_ray.merge import ingest, merge_indexes
+from ciff_ray.lifecycle import compact_index, delete_docs
+from ciff_ray.sharded import ShardedEngine, ShardedServingPool
 from ciff_ray.oracle import OracleIndex
 
 __all__ = [
@@ -35,6 +38,12 @@ __all__ = [
     "POSTINGS_SCHEMA",
     "IndexBuilder",
     "build_index",
+    "merge_indexes",
+    "ingest",
+    "delete_docs",
+    "compact_index",
+    "ShardedEngine",
+    "ShardedServingPool",
     "QueryEngine",
     "ServingPool",
     "BM25Params",

@@ -230,6 +230,40 @@ def _offset_docmap(batch: pa.Table, *, doc_base: int) -> pa.Table:
     )
 
 
+def ingest(
+    base_dir: str,
+    new_ds,
+    out_dir: str,
+    delta_dir: str | None = None,
+    params=None,
+) -> Manifest:
+    """Incremental ingest: build a delta index over ``new_ds`` (a Ray
+    Dataset of transcript rows — e.g. one day's arrivals) with the
+    base's build parameters, then fold base + delta into ``out_dir``
+    via :func:`merge_indexes`.  The base corpus is never re-read."""
+    from ciff_ray.build import BuildParams, build_index
+
+    base = Manifest.read(IndexPaths(base_dir).manifest)
+    if params is None:
+        params = BuildParams(
+            num_partitions=base.num_partitions,
+            block_size=base.block_size,
+            k1=base.k1,
+            b=base.b,
+        )
+    if (
+        params.num_partitions != base.num_partitions
+        or params.k1 != base.k1
+        or params.b != base.b
+        or params.block_size != base.block_size
+    ):
+        raise ValueError("delta build params must match the base index")
+    if delta_dir is None:
+        delta_dir = os.path.join(out_dir + ".delta")
+    build_index(new_ds, delta_dir, params)
+    return merge_indexes([base_dir, delta_dir], out_dir)
+
+
 def merge_indexes(root_dirs: list[str], out_dir: str) -> Manifest:
     """Merge built indexes into ``out_dir``.  Resumable: completed
     partitions (and the docmap) are skipped via fingerprinted markers.

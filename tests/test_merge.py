@@ -174,3 +174,29 @@ def test_merge_rejects_param_mismatch(tmp_path, ray_session):
     build_index(ray.data.from_arrow(tbl), b, BuildParams(num_partitions=3))
     with pytest.raises(ValueError, match="num_partitions"):
         merge_indexes([a, b], str(tmp_path / "out"))
+
+
+def test_ingest_increment(tmp_path, ray_session):
+    """ingest = delta build + fold: queries over base+delta match a
+    monolithic build over the union (bit-identical scores by title)."""
+    from ciff_ray.merge import ingest
+    from ciff_ray.synth import generate_transcripts
+
+    tbl = generate_transcripts(n_convs=50, max_turns=5, seed=77, mean_tokens=25)
+    convs = sorted(set(tbl["conv_id"].to_pylist()))
+    base_part = _slice_convs(tbl, convs[:35])
+    new_part = _slice_convs(tbl, convs[35:])
+    base_dir = str(tmp_path / "base")
+    build_index(
+        ray.data.from_arrow(base_part).repartition(2), base_dir, BuildParams(**PARAMS)
+    )
+    out_dir = str(tmp_path / "merged")
+    m = ingest(base_dir, ray.data.from_arrow(new_part), out_dir)
+    assert m.num_docs == len(tbl)
+    mono_dir = str(tmp_path / "mono")
+    build_index(
+        ray.data.from_arrow(tbl).repartition(2), mono_dir, BuildParams(**PARAMS)
+    )
+    s_m, s_o = LocalScorer(out_dir), LocalScorer(mono_dir)
+    for q in ("time people", "the", "year"):
+        assert _title_scores(s_m, out_dir, q) == _title_scores(s_o, mono_dir, q)
