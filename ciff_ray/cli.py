@@ -96,6 +96,33 @@ def cmd_import_ciff(args) -> None:
     print(json.dumps({"num_docs": m.num_docs, "output": args.output}))
 
 
+def cmd_merge(args) -> None:
+    _ray_session()
+    from ciff_ray.merge import merge_indexes
+
+    m = merge_indexes(args.roots, args.output)
+    print(json.dumps({"num_docs": m.num_docs,
+                      "num_postings_lists": m.num_postings_lists,
+                      "output": args.output}))
+
+
+def cmd_delete(args) -> None:
+    from ciff_ray.lifecycle import delete_docs
+
+    n = delete_docs(args.index, [int(x) for x in args.doc_ids])
+    print(json.dumps({"total_tombstones": n}))
+
+
+def cmd_compact(args) -> None:
+    _ray_session()
+    from ciff_ray.lifecycle import compact_index
+
+    m = compact_index(args.index, args.output)
+    print(json.dumps({"num_docs": m.num_docs,
+                      "num_postings_lists": m.num_postings_lists,
+                      "output": args.output}))
+
+
 def cmd_export_ciff(args) -> None:
     from ciff_ray.interop.bridge import index_to_ciff
 
@@ -155,6 +182,21 @@ def main(argv=None) -> None:
     exp.add_argument("output")
     exp.add_argument("--description")
     exp.set_defaults(fn=cmd_export_ciff)
+
+    mg = sub.add_parser("merge", help="fold built indexes into one (incremental ingest)")
+    mg.add_argument("roots", nargs="+", help="source index dirs (>= 2)")
+    mg.add_argument("output")
+    mg.set_defaults(fn=cmd_merge)
+
+    dl = sub.add_parser("delete", help="tombstone docIDs in an index")
+    dl.add_argument("index")
+    dl.add_argument("doc_ids", nargs="+", help="docIDs to tombstone")
+    dl.set_defaults(fn=cmd_delete)
+
+    cp = sub.add_parser("compact", help="rewrite an index without its tombstoned docs")
+    cp.add_argument("index")
+    cp.add_argument("output")
+    cp.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     args.fn(args)

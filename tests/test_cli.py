@@ -48,3 +48,38 @@ def test_jsonl2ciff_cli(tmp_path, capsys):
 def test_unknown_command():
     with pytest.raises(SystemExit):
         main(["frobnicate"])
+
+
+def test_lifecycle_cli_chain(tmp_path, capsys, ray_session):
+    """build -> merge -> delete -> compact -> query, all via the CLI."""
+    import pyarrow.parquet as pq
+    from ciff_ray.synth import generate_transcripts
+
+    pq.write_table(
+        generate_transcripts(n_convs=20, max_turns=4, seed=5, mean_tokens=15),
+        str(tmp_path / "a.parquet"),
+    )
+    pq.write_table(
+        generate_transcripts(n_convs=20, max_turns=4, seed=6, mean_tokens=15),
+        str(tmp_path / "b.parquet"),
+    )
+    for n in ("a", "b"):
+        main(["build", str(tmp_path / f"{n}.parquet"),
+              str(tmp_path / f"idx_{n}"), "--partitions", "2"])
+    capsys.readouterr()
+    merged = str(tmp_path / "merged")
+    main(["merge", str(tmp_path / "idx_a"), str(tmp_path / "idx_b"), merged])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_total = out["num_docs"]
+    assert n_total > 0
+
+    main(["delete", merged, "0", "1", "2"])
+    assert json.loads(capsys.readouterr().out.strip())["total_tombstones"] == 3
+
+    compacted = str(tmp_path / "compacted")
+    main(["compact", merged, compacted])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["num_docs"] == n_total - 3
+
+    main(["query", compacted, "the time", "-k", "3"])
+    assert len(capsys.readouterr().out.strip().splitlines()) == 3
