@@ -45,6 +45,11 @@ from ciff_ray.layout import (
 )
 
 
+# compaction re-chunks same-term slices to at most ~this many postings
+# (plus one straddling source slice); keeps heavy terms sharded
+SLICE_CAP = 1 << 20
+
+
 def delete_docs(index_dir: str, doc_ids) -> int:
     """Tombstone documents by docID.  Cumulative and idempotent; takes
     effect on the next scorer construction.  Returns the total
@@ -101,11 +106,13 @@ def _compact_partition(
     bs: int,
     fingerprint: str,
     num_docs_old: int,
+    heavy_terms: list[str],
 ) -> dict:
     """Rewrite one partition without the tombstoned docs: decode each
     slice (vectorized within; one short Python iteration per slice),
-    drop dead postings, remap survivors to dense ranks, re-pack via the
-    shared build kernel.  Resumable via the out done-marker."""
+    drop dead postings, remap survivors to dense ranks, coalesce
+    non-heavy slice fragmentation, re-pack via the shared build
+    kernel.  Resumable via the out done-marker."""
     from ciff_ray.query import DoclengthStore
 
     pa.set_cpu_count(1)
@@ -193,10 +200,61 @@ def _compact_partition(
     # dense remap: new = old - (# dead below old)
     if dead.size and docs_flat.size:
         docs_flat = docs_flat - np.searchsorted(dead, docs_flat)
-    ends = np.cumsum(counts[alive]).astype(np.int64)
-    starts = (ends - counts[alive]).astype(np.int64)
-    terms = seg["term"].combine_chunks().filter(pa.array(alive))
-    salts = seg["salt"].to_numpy(zero_copy_only=False).astype(np.int64)[alive]
+
+    # slice DEFRAGMENTATION: repeated ingest merges leave one slice per
+    # root per term forever; coalesce adjacent same-term slices into
+    # chunks of ~SLICE_CAP postings (pure boundary arithmetic — the
+    # flat arrays already hold them back-to-back in docID order).
+    # ONLY non-heavy terms coalesce: an unsalted term routes every
+    # root's slice to the SAME partition (pid = crc(term) % P, salt 0
+    # before merge renumbering), so all its slices are local and the
+    # global salt invariant is preserved by keeping each chunk's first
+    # salt.  A salted (heavy) term's slices interleave ACROSS
+    # partitions by construction — coalescing them locally would
+    # reorder docID ranges — and they should stay sharded anyway (the
+    # skew bound salting exists for).
+    counts_alive = counts[alive]
+    terms_alive = seg["term"].combine_chunks().filter(pa.array(alive))
+    salts_alive = (
+        seg["salt"].to_numpy(zero_copy_only=False).astype(np.int64)[alive]
+    )
+    n_alive = counts_alive.size
+    if n_alive:
+        if heavy_terms:
+            is_heavy = pc.is_in(
+                terms_alive, value_set=pa.array(sorted(heavy_terms))
+            ).to_numpy(zero_copy_only=False)
+        else:
+            is_heavy = np.zeros(n_alive, dtype=bool)
+        same = np.zeros(n_alive, dtype=bool)
+        if n_alive > 1:
+            same[1:] = (
+                pc.equal(
+                    terms_alive.slice(1), terms_alive.slice(0, n_alive - 1)
+                ).to_numpy(zero_copy_only=False)
+                & ~is_heavy[1:]
+                & ~is_heavy[:-1]
+            )
+        gid = np.cumsum(~same) - 1
+        cs = np.cumsum(counts_alive) - counts_alive
+        gbase = cs[np.flatnonzero(~same)]
+        chunk = (cs - gbase[gid]) // SLICE_CAP
+        is_start = np.ones(n_alive, dtype=bool)
+        is_start[1:] = (gid[1:] != gid[:-1]) | (chunk[1:] != chunk[:-1])
+        sl_starts = np.flatnonzero(is_start)
+        new_counts = np.add.reduceat(counts_alive, sl_starts)
+        terms = terms_alive.take(pa.array(sl_starts))
+        # each chunk keeps its FIRST slice's salt: within a term the
+        # chunk firsts ascend with the original (globally ordered)
+        # salts, so the query's salt-order concat stays docID-ascending
+        salts = salts_alive[sl_starts]
+        ends = np.cumsum(new_counts).astype(np.int64)
+        starts = (ends - new_counts).astype(np.int64)
+    else:
+        terms = terms_alive
+        salts = np.empty(0, np.int64)
+        starts = np.empty(0, np.int64)
+        ends = np.empty(0, np.int64)
 
     marker = _pack_segment(
         out,
@@ -275,6 +333,7 @@ def compact_index(index_dir: str, out_dir: str) -> Manifest:
                 manifest.block_size,
                 fingerprint,
                 manifest.num_docs,
+                sorted(manifest.heavy_terms or {}),
             )
             for pid in range(manifest.num_partitions)
         ]

@@ -159,3 +159,58 @@ def test_compact_scattered_postings_parity(tmp_path_factory, ray_session, corpus
     compact_index(idx, compacted)
     rows = read_lineage(IndexPaths(compacted).lineage)[before:]
     assert rows and all(r["status"] == "skipped" for r in rows)
+
+
+def test_compact_defragments_merged_slices(tmp_path, ray_session, corpus):
+    """Zero-delete compaction of a 3-way merged index coalesces the
+    per-root slice fragmentation: every NON-HEAVY term collapses to one
+    slice; heavy (salted) terms keep their cross-partition shards; all
+    postings and scores are unchanged."""
+    import collections
+    import os
+
+    import pyarrow.parquet as pq2
+
+    from ciff_ray.merge import merge_indexes
+
+    convs = sorted(set(corpus["conv_id"].to_pylist()))
+    roots = []
+    for i, grp in enumerate([convs[:30], convs[30:55], convs[55:]]):
+        part = corpus.filter(pc.is_in(corpus["conv_id"], value_set=pa.array(grp)))
+        out = str(tmp_path / f"r{i}")
+        build_index(ray.data.from_arrow(part), out, BuildParams(**PARAMS))
+        roots.append(out)
+    merged = str(tmp_path / "merged")
+    merge_indexes(roots, merged)
+    compacted = str(tmp_path / "cidx")
+    compact_index(merged, compacted)  # no tombstones: pure defrag
+
+    def slices_per_term(d):
+        c = collections.Counter()
+        for f in sorted(os.listdir(IndexPaths(d).term_dict_dir)):
+            if f.endswith(".parquet"):
+                t = pq2.read_table(os.path.join(IndexPaths(d).term_dict_dir, f))
+                for term in t["term"].to_pylist():
+                    c[term] += 1
+        return c
+
+    heavy = set(Manifest.read(IndexPaths(merged).manifest).heavy_terms or {})
+    frag = slices_per_term(merged)
+    defrag = slices_per_term(compacted)
+    nonheavy_frag = {t: n for t, n in frag.items() if t not in heavy}
+    assert max(nonheavy_frag.values()) >= 3  # the merge really fragmented
+    for t, n in defrag.items():
+        if t not in heavy:
+            assert n == 1, t  # ...and compaction coalesced every one
+    # every scoring mode still agrees, and postings survive verbatim
+    s_m, s_c = LocalScorer(merged), LocalScorer(compacted)
+    sample = list(heavy)[:3] + ["time", "year", "people"]
+    for term in dict.fromkeys(sample):
+        dm, tm = s_m.postings(term)
+        dc, tc = s_c.postings(term)
+        assert np.array_equal(dm, dc) and np.array_equal(tm, tc), term
+    eng = QueryEngine(compacted)
+    for q in QUERIES:
+        d1, s1 = eng.topk(q, k=10, mode="exact")
+        d3, s3 = eng.topk(q, k=10, mode="bmw")
+        assert d1.tolist() == d3.tolist() and s1.tolist() == s3.tolist(), q
