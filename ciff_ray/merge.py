@@ -353,6 +353,26 @@ def merge_indexes(root_dirs: list[str], out_dir: str) -> Manifest:
             json.dump({"fingerprint": fingerprint}, f)
         os.replace(tmp, docmap_marker)
 
+    # tombstones PROPAGATE: a root's deferred deletes must not be
+    # resurrected by the fold — offset each root's tombstoned docIDs by
+    # its base and union them into the merged index's tombstone file
+    dead_parts = []
+    for i, r in enumerate(root_dirs):
+        tp = IndexPaths(r).tombstones
+        if os.path.exists(tp):
+            ids = (
+                pq.read_table(tp)["doc_id"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            dead_parts.append(ids + doc_bases[i])
+    if dead_parts:
+        dead = np.unique(np.concatenate(dead_parts))
+        atomic_write_parquet(
+            pa.table({"doc_id": pa.array(dead, type=pa.int64())}),
+            out.tombstones,
+        )
+
     # global term stats: same two-level distributed tree as the build,
     # over the merged term-dict parts
     num_lists = _write_term_stats(out)

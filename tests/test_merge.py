@@ -200,3 +200,36 @@ def test_ingest_increment(tmp_path, ray_session):
     s_m, s_o = LocalScorer(out_dir), LocalScorer(mono_dir)
     for q in ("time people", "the", "year"):
         assert _title_scores(s_m, out_dir, q) == _title_scores(s_o, mono_dir, q)
+
+
+def test_merge_propagates_tombstones(tmp_path, ray_session):
+    """Deferred deletes in a root must survive the fold: merged scorers
+    never return a doc tombstoned in its source index."""
+    from ciff_ray.lifecycle import delete_docs
+    from ciff_ray.synth import generate_transcripts
+
+    tbl = generate_transcripts(n_convs=40, max_turns=4, seed=91, mean_tokens=20)
+    convs = sorted(set(tbl["conv_id"].to_pylist()))
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(
+        ray.data.from_arrow(_slice_convs(tbl, convs[:20])), a_dir, BuildParams(**PARAMS)
+    )
+    build_index(
+        ray.data.from_arrow(_slice_convs(tbl, convs[20:])), b_dir, BuildParams(**PARAMS)
+    )
+    s_a = LocalScorer(a_dir)
+    d_a, _ = s_a.score_all("the")
+    kill_a = d_a[:3]
+    delete_docs(a_dir, kill_a)
+    s_b = LocalScorer(b_dir)
+    d_b, _ = s_b.score_all("the")
+    kill_b = d_b[:2]
+    delete_docs(b_dir, kill_b)
+    merged = str(tmp_path / "m")
+    merge_indexes([a_dir, b_dir], merged)
+    base_b = Manifest.read(IndexPaths(a_dir).manifest).num_docs
+    dead_global = set(kill_a.tolist()) | {d + base_b for d in kill_b.tolist()}
+    s_m = LocalScorer(merged)
+    for q in ("the", "time people"):
+        d, _ = s_m.score_all(q)
+        assert not (set(d.tolist()) & dead_global), q
