@@ -544,6 +544,28 @@ def q_bm25_topk(sf_dir: str) -> ray.data.Dataset:
     ).select_columns(["query_id", "rank", "doc_id"])
 
 
+def _assistant_doc_filter(docs: np.ndarray) -> np.ndarray:
+    """Vectorized metadata predicate: keep assistant turns only.  Role
+    derives from doc_id (synth.transcripts_from_documents: _ROLES[doc_id
+    % 4], 'assistant' == 1), so no side table is needed; a real
+    deployment would back this with a docmap metadata column or
+    bitmap."""
+    return docs % 4 == 1
+
+
+def q_bm25_topk_filtered(sf_dir: str) -> ray.data.Dataset:
+    """Metadata-filtered retrieval: top-k over ONLY assistant-role turns,
+    scored under collection-wide statistics (standard filtered-search
+    semantics — idf/avgdl stay global; the predicate masks decoded
+    posting lists inside the scorer, composing with tombstones, so
+    exact / MaxScore / BMW all honor it with bounds still valid)."""
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx, doc_filter=_assistant_doc_filter)
+    return eng.score_dataset(
+        _query_set_ds().repartition(4), k=TOPK_K, concurrency=(1, 4)
+    ).select_columns(["query_id", "rank", "doc_id"])
+
+
 def q_bm25_topk_sharded(sf_dir: str) -> pa.Table:
     """Top-k through the scatter-gather serving path: the corpus is
     split into three byte-order doc shards, each built independently,
@@ -1489,6 +1511,18 @@ SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, doc_id ASC) AS rnk
   FROM scored
+) WHERE rnk <= {TOPK_K}""",
+        # metadata-filtered retrieval: ranking restricted to assistant
+        # turns (doc_id % 4 = 1, the synth role derivation) under
+        # collection-wide stats — scores of surviving docs are the
+        # UNfiltered scores, so filter-then-rank is the exact oracle
+        "bm25_topk_filtered": f"""{T},
+{_bm25_scored_cte().lstrip()}
+SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored WHERE doc_id % 4 = 1
 ) WHERE rnk <= {TOPK_K}""",
         # result decoration: ±30-char window around the first (min over
         # query terms) lowercased substring hit in each top-k doc

@@ -226,14 +226,26 @@ class LocalScorer:
     With ``global_stats`` the scorer serves ONE SHARD of a doc-sharded
     corpus: idf/avgdl/num_docs come from the collection-wide stats, the
     doclength store stays shard-local, and stored pruning bounds are
-    rescaled to the global avgdl at read time."""
+    rescaled to the global avgdl at read time.
+
+    ``doc_filter`` is an optional vectorized predicate
+    ``(doc_ids: int64 array) -> bool mask`` applied to every decoded
+    posting list (metadata-filtered retrieval, e.g. role-scoped
+    search).  It composes with the tombstone mask inside postings() —
+    the single doc source for every scoring mode — so exact, MaxScore
+    and BMW all honor it.  Collection statistics (idf/avgdl/N) stay
+    collection-wide (standard filtered-search semantics), and stored
+    pruning bounds remain valid upper bounds because filtering only
+    REMOVES docs (the same argument as deferred tombstone deletes)."""
 
     def __init__(
         self,
         index_dir: str,
         params: BM25Params | None = None,
         global_stats: GlobalStats | None = None,
+        doc_filter=None,
     ):
+        self._doc_filter = doc_filter
         self.paths = IndexPaths(index_dir)
         self.manifest = Manifest.read(self.paths.manifest)
         self.params = params or BM25Params(self.manifest.k1, self.manifest.b)
@@ -423,6 +435,10 @@ class LocalScorer:
             )
             if hit.any():
                 docs, tfs = docs[~hit], tfs[~hit]
+        if self._doc_filter is not None and docs.size:
+            keep = self._doc_filter(docs)
+            if not keep.all():
+                docs, tfs = docs[keep], tfs[keep]
         if self._plist_cache_postings + docs.size <= self._plist_cache_cap:
             self._plist_cache[term] = (docs, tfs)
             self._plist_cache_postings += docs.size
@@ -793,8 +809,10 @@ class ScorerActor:
     """map_batches callable: batch of (query_id, query) -> ranked results.
     Index loaded once per actor (__init__), per-batch work vectorized."""
 
-    def __init__(self, index_dir: str, k: int = 10, mode: str = "exact"):
-        self.scorer = LocalScorer(index_dir)
+    def __init__(
+        self, index_dir: str, k: int = 10, mode: str = "exact", doc_filter=None
+    ):
+        self.scorer = LocalScorer(index_dir, doc_filter=doc_filter)
         self.k = k
         self.mode = mode
 
@@ -895,9 +913,15 @@ class ServingPool:
 class QueryEngine:
     """User-facing engine: single queries, batches, and Dataset scoring."""
 
-    def __init__(self, index_dir: str, params: BM25Params | None = None):
+    def __init__(
+        self,
+        index_dir: str,
+        params: BM25Params | None = None,
+        doc_filter=None,
+    ):
         self.index_dir = index_dir
-        self._local = LocalScorer(index_dir, params)
+        self._doc_filter = doc_filter
+        self._local = LocalScorer(index_dir, params, doc_filter=doc_filter)
 
     @property
     def manifest(self) -> Manifest:
@@ -931,7 +955,7 @@ class QueryEngine:
         """Distributed serving: actor pool, one LocalScorer per actor."""
         return queries_ds.map_batches(
             ScorerActor,
-            fn_constructor_args=(self.index_dir, k, mode),
+            fn_constructor_args=(self.index_dir, k, mode, self._doc_filter),
             batch_format="pyarrow",
             batch_size=256,
             concurrency=concurrency,

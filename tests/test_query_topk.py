@@ -164,3 +164,35 @@ def test_serving_pool_matches_local(ray_session, engine_and_oracle):
         assert got2.equals(got)
     finally:
         pool.close()
+
+
+def test_filtered_topk_matches_filtered_oracle(engine_and_oracle):
+    """Metadata-filtered retrieval (doc predicate pushed into the
+    scorer): results equal filter-then-rank over the oracle's
+    collection-stat scores, and every pruning mode honors the filter
+    with bit-identical scores."""
+    import numpy as np
+
+    eng, oracle = engine_and_oracle
+
+    def keep_odd(docs):
+        return docs % 2 == 1
+
+    feng = QueryEngine(eng.index_dir, doc_filter=keep_odd)
+    for q in QUERIES:
+        scores = oracle.bm25_scores(q)
+        exp = sorted(
+            ((d, s) for d, s in scores.items() if d % 2 == 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:10]
+        d1, s1 = feng.topk(q, k=10, mode="exact")
+        assert d1.tolist() == [d for d, _ in exp], q
+        assert s1.tolist() == [s for _, s in exp], q  # bit-identical f64
+        assert (np.asarray(d1) % 2 == 1).all()
+        for mode in ("maxscore", "bmw"):
+            dm, sm = feng.topk(q, k=10, mode=mode)
+            assert dm.tolist() == d1.tolist(), (q, mode)
+            assert sm.tolist() == s1.tolist(), (q, mode)
+    # the unfiltered engine is untouched (separate scorer state)
+    du, _ = eng.topk("the", k=10)
+    assert (np.asarray(du) % 2 == 0).any()

@@ -41,6 +41,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])  # optional: restrict to these query names
     if not ray.is_initialized():
         ray.init(
             address="local", num_cpus=8, include_dashboard=False,
@@ -63,6 +64,8 @@ def main() -> int:
     sqls = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         sql = sqls.get(name)
         try:
             got = to_pandas(fn(sf_dir))
