@@ -313,6 +313,172 @@ def q_pii_scan(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# collocations: corpus-level PMI over adjacent token bigrams
+#
+# PMI(a,b) = ln(P(ab)/(P(a)P(b))) with P(ab) = cnt_ab / total_bigrams and
+# P(a) = cnt_a / total_tokens.  The Ray side and the SQL oracle compute
+# ln(cnt_ab/B) - ln(cnt_a/T) - ln(cnt_b/T) in that exact operation order
+# so the float64 results agree bit-for-bit before the 6-dp round.
+
+MIN_COLLOC_COUNT = 5  # bigram types below this are noise, dropped early
+COLLOC_TOP_N = 500  # deterministic cut: (cnt desc, term_a, term_b) asc
+
+
+def _bigram_partials(batch: pa.Table) -> pa.Table:
+    """One batch -> partial adjacent-bigram counts (term_a, term_b,
+    cnt).  In-batch pre-aggregation (Table.group_by) so the downstream
+    shuffle sees one row per distinct bigram per batch, not per token."""
+    toks = tokenize_column(batch["text"])
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "")
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    flat = flat.filter(keep)
+    par = parents[keep_np]
+    empty = pa.table(
+        {
+            "term_a": pa.array([], type=pa.string()),
+            "term_b": pa.array([], type=pa.string()),
+            "cnt": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(flat) < 2:
+        return empty
+    # adjacent within the same row (the regex split consumes separator
+    # runs whole, so filtered adjacency == textual adjacency)
+    ia = np.flatnonzero(par[1:] == par[:-1])
+    if ia.size == 0:
+        return empty
+    pairs = pa.table(
+        {
+            "term_a": flat.take(pa.array(ia)),
+            "term_b": flat.take(pa.array(ia + 1)),
+        }
+    )
+    g = pairs.group_by(["term_a", "term_b"]).aggregate([([], "count_all")])
+    return g.rename_columns(["term_a", "term_b", "cnt"]).set_column(
+        2, "cnt", pc.cast(g.column(2), pa.int64())
+    )
+
+
+def _unigram_partials(batch: pa.Table) -> pa.Table:
+    """One batch -> partial unigram counts (term, cnt)."""
+    toks = tokenize_column(batch["text"])
+    flat = pc.list_flatten(toks)
+    flat = flat.filter(pc.not_equal(flat, ""))
+    if len(flat) == 0:
+        return pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+    g = pa.table({"term": flat}).group_by(["term"]).aggregate([([], "count_all")])
+    return g.rename_columns(["term", "cnt"]).set_column(
+        1, "cnt", pc.cast(g.column(1), pa.int64())
+    )
+
+
+def q_collocations(sf_dir: str) -> pa.Table:
+    """Top-N collocations by corpus count with exact PMI: (term_a,
+    term_b, rank, cnt, pmi_r).
+
+    Shape at scale: two pre-aggregated map_batches passes feed two
+    groupby-sum exchanges whose outputs are BIGRAM-TYPE- and
+    VOCAB-sized (not corpus-sized); the driver then touches only the
+    deterministic top-N candidate table (<= COLLOC_TOP_N rows) and the
+    unigram rows of the <= 2N terms it references — both provably
+    small sides, fetched via a broadcast membership filter rather than
+    a shuffle join."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bigrams = (
+        docs.map_batches(_bigram_partials, batch_format="pyarrow")
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()  # bigram-type-sized; reused for B and candidates
+    )
+    total_bigrams = bigrams.sum("cnt") or 0
+    cand = (
+        bigrams.filter(expr=f"cnt >= {MIN_COLLOC_COUNT}")
+        .sort(["cnt", "term_a", "term_b"], descending=[True, False, False])
+        .limit(COLLOC_TOP_N)
+        .take_all()
+    )
+    unigrams = (
+        docs.map_batches(_unigram_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()  # vocab-sized; reused for T and the term lookup
+    )
+    total_tokens = unigrams.sum("cnt") or 0
+    need = sorted({r["term_a"] for r in cand} | {r["term_b"] for r in cand})
+    need_arr = pa.array(need, type=pa.string())  # tiny, ships with the fn
+    uni_rows = unigrams.map_batches(
+        lambda b: b.filter(pc.is_in(b["term"], value_set=need_arr)),
+        batch_format="pyarrow",
+    ).take_all()
+    uc = {r["term"]: r["cnt"] for r in uni_rows}
+    ta = [r["term_a"] for r in cand]
+    tb = [r["term_b"] for r in cand]
+    c = np.array([r["cnt"] for r in cand], dtype=np.float64)
+    ca = np.array([uc[t] for t in ta], dtype=np.float64)
+    cb = np.array([uc[t] for t in tb], dtype=np.float64)
+    if c.size:
+        pmi = (
+            np.log(c / total_bigrams)
+            - np.log(ca / total_tokens)
+            - np.log(cb / total_tokens)
+        )
+    else:
+        pmi = np.empty(0, np.float64)
+    return pa.table(
+        {
+            "term_a": pa.array(ta, type=pa.string()),
+            "term_b": pa.array(tb, type=pa.string()),
+            "rank": pa.array(np.arange(1, c.size + 1), type=pa.int64()),
+            "cnt": pa.array(c.astype(np.int64), type=pa.int64()),
+            "pmi_r": pa.array(np.round(pmi, 6), type=pa.float64()),
+        }
+    )
+
+
+_COLLOC_SQL = f"""WITH tokl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM tokl
+),
+uni AS (SELECT term, count(*) AS c FROM tokpos GROUP BY term),
+big AS (
+  SELECT a.term AS ta, b.term AS tb, count(*) AS c
+  FROM tokpos a JOIN tokpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term
+),
+tot AS (
+  SELECT (SELECT sum(c) FROM uni) AS T, (SELECT sum(c) FROM big) AS B
+),
+cand AS (
+  SELECT ta, tb, c,
+         row_number() OVER (ORDER BY c DESC, ta ASC, tb ASC) AS rnk
+  FROM big WHERE c >= {MIN_COLLOC_COUNT}
+)
+SELECT cand.ta AS term_a, cand.tb AS term_b,
+       CAST(cand.rnk AS BIGINT) AS rank, CAST(cand.c AS BIGINT) AS cnt,
+       round(ln(cand.c * 1.0 / t.B) - ln(ua.c * 1.0 / t.T)
+             - ln(ub.c * 1.0 / t.T), 6) AS pmi_r
+FROM cand
+JOIN uni ua ON cand.ta = ua.term
+JOIN uni ub ON cand.tb = ub.term
+CROSS JOIN tot t
+WHERE cand.rnk <= {COLLOC_TOP_N}"""
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL
 
 
@@ -584,9 +750,11 @@ SELECT doc_id, n_tokens, n_chars,
          AS quality
 FROM feat""",
     "lang_id": _lang_sql(),
+    "collocations": _COLLOC_SQL,
 }
 
 QUERIES = {
+    "collocations": q_collocations,
     "token_counts": q_token_counts,
     "doc_quality": q_doc_quality,
     "repetition_signals": q_repetition_signals,

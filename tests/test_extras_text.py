@@ -91,3 +91,35 @@ def test_token_counts_pinned():
     assert out["n_tokens"].to_pylist() == [3, 0, 4]
     assert out["n_ws"].to_pylist() == [3, 0, 4]
     assert out["n_bpe"].to_pylist() == [3 + 1 + 2, 0, 4]
+
+
+def test_collocations_pinned(ray_session, tmp_path):
+    """PMI on a hand-countable corpus: 'red car' appears 6x, 'red' 7x,
+    'car' 6x, plus filler tokens; verify count, PMI value, rank order,
+    and that sub-threshold bigrams are dropped."""
+    import math
+
+    import pyarrow as pa
+
+    texts = ["red car"] * 6 + ["red", "blue sky"] + ["blue sky"] * 4
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = textstats.q_collocations(str(tmp_path))
+    rows = {
+        (r["term_a"], r["term_b"]): r for r in out.to_pylist()
+    }
+    # totals: tokens T = 6*2 + 1 + 5*2 = 23; bigrams B = 6 + 5 = 11
+    assert set(rows) == {("red", "car"), ("blue", "sky")}
+    rc = rows[("red", "car")]
+    assert rc["cnt"] == 6 and rc["rank"] == 1
+    exp = math.log(6 / 11) - math.log(7 / 23) - math.log(6 / 23)
+    assert rc["pmi_r"] == round(exp, 6)
+    bs = rows[("blue", "sky")]
+    assert bs["cnt"] == 5 and bs["rank"] == 2
+    exp2 = math.log(5 / 11) - math.log(5 / 23) - math.log(5 / 23)
+    assert bs["pmi_r"] == round(exp2, 6)
