@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and": p.q_boolean_and,
         "phrase_match": p.q_phrase_match,
         "doc_top_tfidf": p.q_doc_top_tfidf,
+        "more_like_this": p.q_more_like_this,
         "role_top_terms": p.q_role_top_terms,
         "doclength_quantiles": p.q_doclength_quantiles,
     }

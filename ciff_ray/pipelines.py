@@ -1034,6 +1034,92 @@ def q_doc_top_tfidf(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# more-like-this (document-as-query retrieval)
+
+MLT_SEEDS = (1, 23, 105, 222, 404)  # deterministic seeds, exist at every sf
+
+
+def q_more_like_this(sf_dir: str) -> pa.Table:
+    """Document-as-query retrieval: each seed doc's top-{TFIDF_TOP_K}
+    TF-IDF terms (the doc_top_tfidf kernel — identical score formula
+    and (score desc, term asc) tie rule) form an unweighted BM25 query;
+    the top-k result excludes the seed itself.
+
+    Scale shape: the seed read is a filter-pushed parquet scan
+    (|seeds| rows); scoring reuses the actor-pool serving path with
+    k+1 so dropping the (at most one) seed row still yields a true
+    top-k; the driver post-processes only |seeds| x (k+1) rows."""
+    import ray
+
+    idx = ensure_index(sf_dir)
+    paths = IndexPaths(idx)
+    m = Manifest.read(paths.manifest)
+    seed_rows = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+            filter=pc.field("doc_id").isin(
+                pa.array(MLT_SEEDS, type=pa.int64())
+            ),
+        )
+        .take_all()
+    )  # provably small: |MLT_SEEDS| rows
+    seed_tbl = pa.table(
+        {
+            "doc_id": pa.array(
+                [r["doc_id"] for r in seed_rows], type=pa.int64()
+            ),
+            "text": pa.array([r["text"] for r in seed_rows], type=pa.string()),
+        }
+    )
+    top = _TfidfTopTerms(paths.term_stats, m.num_docs)(seed_tbl)
+    terms_by_seed: dict[int, list[str]] = {}
+    for r in top.sort_by(
+        [("doc_id", "ascending"), ("rank", "ascending")]
+    ).to_pylist():
+        terms_by_seed.setdefault(r["doc_id"], []).append(r["term"])
+    qtbl = pa.table(
+        {
+            "query_id": pa.array(sorted(terms_by_seed), type=pa.int64()),
+            "query": pa.array(
+                [" ".join(terms_by_seed[s]) for s in sorted(terms_by_seed)],
+                type=pa.string(),
+            ),
+        }
+    )
+    eng = QueryEngine(idx)
+    res = (
+        eng.score_dataset(
+            ray.data.from_arrow(qtbl).repartition(2),
+            k=TOPK_K + 1,
+            concurrency=(1, 2),
+        )
+        .take_all()
+    )  # provably small: |seeds| x (k+1) rows
+    res.sort(key=lambda r: (r["query_id"], r["rank"]))
+    seeds_col, ranks, docs = [], [], []
+    counts: dict[int, int] = {}
+    for r in res:
+        s = r["query_id"]
+        if r["doc_id"] == s:
+            continue  # the seed itself
+        n = counts.get(s, 0)
+        if n >= TOPK_K:
+            continue
+        counts[s] = n + 1
+        seeds_col.append(s)
+        ranks.append(n + 1)
+        docs.append(r["doc_id"])
+    return pa.table(
+        {
+            "seed_doc_id": pa.array(seeds_col, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # per-group heavy-hitter terms (top-k terms per transcript role)
 
 ROLE_TOP_K = 10
@@ -1281,15 +1367,9 @@ def _phrase_query_values() -> str:
     return ", ".join(values)
 
 
-def _bm25_scored_cte(src: str = "transcripts") -> str:
-    """CTEs computing exact BM25 over the derived transcripts (or any
-    CTE named ``src`` with doc_id/text columns); the formula mirrors
-    ciff_ray.oracle (k1=0.9 b=0.4, floored ln idf)."""
-    values = []
-    for qid, q in enumerate(QUERY_SET):
-        for t in sorted(set(tokenize(q))):
-            values.append(f"({qid}, '{t}')")
-    vals = ", ".join(values)
+def _bm25_base_cte(src: str = "transcripts") -> str:
+    """Shared CTE block (tok/tf/dl/stats/df) over the derived
+    transcripts (or any CTE named ``src`` with doc_id/text columns)."""
     return f"""
 tok AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
@@ -1307,14 +1387,29 @@ stats AS (
          (SELECT count(*) FROM tok WHERE term <> '') * 1.0
            / (SELECT count(*) FROM {src}) AS avgdl
 ),
-df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"""
+
+
+# BM25 per-posting contribution, as a SQL fragment (mirrors
+# ciff_ray.oracle: k1=0.9 b=0.4, floored ln idf)
+_BM25_CONTRIB_SQL = f"""greatest(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5)), {EPS_IDF})
+           * tf.tf * ({K1_DEFAULT} + 1.0)
+           / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.dl / s.avgdl))"""
+
+
+def _bm25_scored_cte(src: str = "transcripts") -> str:
+    """CTEs computing exact BM25 for the fixed QUERY_SET over ``src``."""
+    values = []
+    for qid, q in enumerate(QUERY_SET):
+        for t in sorted(set(tokenize(q))):
+            values.append(f"({qid}, '{t}')")
+    vals = ", ".join(values)
+    return f"""{_bm25_base_cte(src)},
 q(query_id, term) AS (VALUES {vals}),
 scored AS (
   SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id AS doc_id,
          SUM(
-           greatest(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5)), {EPS_IDF})
-           * tf.tf * ({K1_DEFAULT} + 1.0)
-           / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.dl / s.avgdl))
+           {_BM25_CONTRIB_SQL}
          ) AS score
   FROM q
   JOIN tf USING (term)
@@ -1464,6 +1559,38 @@ rk AS (
 )
 SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, round(score, 6) AS score_r
 FROM rk WHERE rnk <= {TFIDF_TOP_K}""",
+        # document-as-query retrieval: expansion terms = the seed doc's
+        # top TF-IDF terms (same formula + tie rule as doc_top_tfidf),
+        # then plain BM25 over that term set, seed excluded
+        "more_like_this": f"""{T},{_bm25_base_cte()},
+exp AS (
+  SELECT tf.doc_id AS seed, tf.term,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln(s.n_docs * 1.0 / df.df) DESC, tf.term ASC
+         ) AS rnk
+  FROM tf JOIN df USING (term) CROSS JOIN stats s
+  WHERE tf.doc_id IN {MLT_SEEDS}
+),
+q AS (SELECT seed, term FROM exp WHERE rnk <= {TFIDF_TOP_K}),
+scored AS (
+  SELECT q.seed AS seed, tf.doc_id AS doc_id,
+         SUM(
+           {_BM25_CONTRIB_SQL}
+         ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.seed, tf.doc_id
+)
+SELECT seed AS seed_doc_id, CAST(rnk AS INT) AS rank, doc_id FROM (
+  SELECT seed, doc_id,
+         row_number() OVER (PARTITION BY seed
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored WHERE doc_id <> seed
+) WHERE rnk <= {TOPK_K}""",
         "role_top_terms": f"""{T},
 r AS (
   SELECT CASE doc_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'

@@ -232,3 +232,50 @@ def test_bm25_snippets_window_semantics(ray_session):
         # matched terms longer than the radius allows (can't happen:
         # the hit starts inside the window by construction)
         assert any(t in row.snippet.lower() for t in terms) or p == 1
+
+
+def test_more_like_this_vs_bruteforce(ray_session):
+    """more_like_this == brute-force: expansion terms are the seed's
+    top-TFIDF_TOP_K TF-IDF terms (score desc, term asc), results are
+    the BM25 ranking of that term set with the seed excluded."""
+    import math
+
+    from ciff_ray.oracle import OracleIndex
+    from ciff_ray.pipelines import (
+        MLT_SEEDS,
+        TFIDF_TOP_K,
+        TOPK_K,
+        q_more_like_this,
+    )
+    from ciff_ray.synth import transcripts_from_documents
+
+    got = q_more_like_this(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    tr = transcripts_from_documents(docs)
+    tr = tr.append_column("doc_id", docs["doc_id"])
+    oracle = OracleIndex.build(tr)
+    n = len(docs)
+    text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    for seed in MLT_SEEDS:
+        from ciff_ray.oracle import tokenize
+
+        toks = tokenize(text_of[seed])
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        scored = sorted(
+            ((term, c * math.log(n / oracle.df(term))) for term, c in tf.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:TFIDF_TOP_K]
+        q = " ".join(term for term, _ in scored)
+        exp = [
+            d
+            for d, _ in sorted(
+                oracle.bm25_scores(q).items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            if d != seed
+        ][:TOPK_K]
+        sub = got[got.seed_doc_id == seed].sort_values("rank")
+        assert sub.doc_id.tolist() == exp, seed
+        assert sub["rank"].tolist() == list(range(1, len(exp) + 1))
+        assert seed not in sub.doc_id.tolist()
