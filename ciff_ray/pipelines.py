@@ -1535,6 +1535,13 @@ FROM hit h JOIN qn USING (query_id) WHERE h.nhit = qn.nt""",
 q(query_id, pattern) AS (VALUES {_phrase_query_values()})
 SELECT CAST(q.query_id AS BIGINT) AS query_id, t.doc_id AS doc_id
 FROM q JOIN transcripts t ON regexp_matches(lower(t.text), q.pattern)""",
+        # the positional-index phrase path must produce the exact same
+        # match set as the text-regex semantics (ciff_ray.positions
+        # docstring: filtered-token adjacency == textual adjacency)
+        "phrase_match_positional": f"""{T},
+q(query_id, pattern) AS (VALUES {_phrase_query_values()})
+SELECT CAST(q.query_id AS BIGINT) AS query_id, t.doc_id AS doc_id
+FROM q JOIN transcripts t ON regexp_matches(lower(t.text), q.pattern)""",
         "doc_top_tfidf": f"""{T},
 tok AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term

@@ -1,0 +1,289 @@
+"""Positional postings: per-(term, doc) token-position lists, and the
+index-only phrase match they enable.
+
+The reference CIFF model is frequency-only — postings carry (docid, tf)
+and nothing else (/root/reference/proto/common-index-format-v1.proto:
+Posting) — so phrase queries against it must re-scan document text
+(pipelines.q_phrase_match does exactly that: AND candidates, then a
+vectorized regex over the candidate docs).  This module is the
+beyond-the-reference extension a full-text engine wants at scale:
+token positions are extracted ONCE at build time, and phrase queries
+become pure integer set-intersections over the store — no document
+text is read at query time.
+
+Store layout (cluster-visible, under :func:`ciff_ray.layout.cache_root`):
+
+    <root>/part=<p>/*.parquet     columns (term, doc_id, positions)
+
+with ``p = xxhash(term) % POS_PARTS``, written via
+``Dataset.write_parquet(partition_cols=["part"])`` so map tasks on any
+node land their files in the shared partition directories.  A phrase
+query reads ONLY the partitions of its query terms, with term and
+doc-id filters pushed into the parquet scan.
+
+Positions index the FILTERED token sequence (empty splits dropped),
+which equals textual adjacency because the tokenizer's regex split
+consumes separator runs whole — the same argument, and therefore the
+same semantics, as pipelines._phrase_regex.  The oracle for
+q_phrase_match_positional is the identical regex SQL used by
+q_phrase_match.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from ciff_ray.layout import cache_root
+from ciff_ray.tokenizer import token_ids
+
+POS_PARTS = 32
+
+
+# ---------------------------------------------------------------------------
+# build
+
+
+def _position_partials(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> one row per (term, doc) with the ascending
+    positions of that term in the doc's filtered token sequence.
+    Vectorized: one dictionary-encode + one lexsort per batch; the
+    partition hash is the per-VOCAB-entry stable_hash loop build.py
+    also uses (amortized by the dictionary encode; crc32 is
+    version-stable, which a persisted partition key requires —
+    unlike the run-scoped polars hash)."""
+    from ciff_ray.layout import stable_hash
+
+    empty = pa.table(
+        {
+            "part": pa.array([], type=pa.int32()),
+            "term": pa.array([], type=pa.string()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "positions": pa.array([], type=pa.list_(pa.int32())),
+        }
+    )
+    vocab, tidx, rows = token_ids(batch["text"])
+    n = tidx.size
+    if n == 0:
+        return empty
+    # position within each row's token run (rows are contiguous and
+    # non-decreasing because list_parent_indices flattens in order)
+    new_run = np.concatenate([[True], rows[1:] != rows[:-1]])
+    run_start = np.flatnonzero(new_run)
+    run_len = np.diff(np.concatenate([run_start, [n]]))
+    pos = (np.arange(n) - np.repeat(run_start, run_len)).astype(np.int32)
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[rows]
+    # one row per (term, doc); positions ascend within each group
+    # because lexsort is stable on the already-ascending pos
+    order = np.lexsort((pos, doc, tidx))
+    t_s, d_s, p_s = tidx[order], doc[order], pos[order]
+    boundary = np.concatenate(
+        [[True], (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])]
+    )
+    starts = np.flatnonzero(boundary)
+    offsets = np.concatenate([starts, [n]]).astype(np.int32)
+    positions = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(p_s, type=pa.int32())
+    )
+    terms = vocab.take(pa.array(t_s[starts]))
+    crc = np.array(
+        [stable_hash(t.encode()) for t in vocab.to_pylist()], dtype=np.int64
+    )
+    part = (crc[t_s[starts]] % POS_PARTS).astype(np.int32)
+    return pa.table(
+        {
+            "part": pa.array(part, type=pa.int32()),
+            "term": terms,
+            "doc_id": pa.array(d_s[starts], type=pa.int64()),
+            "positions": positions,
+        }
+    )
+
+
+def build_positions(docs: ray.data.Dataset, out_dir: str) -> str:
+    """Build the positional store from a (doc_id, text) Dataset.
+
+    Streaming end to end: partial extraction is a stateless
+    map_batches; the write itself is the only exchange (hive-style
+    partition_cols on the term-hash), so no driver materialization and
+    no sort — a phrase query re-sorts the handful of rows it reads."""
+    tmp = f"{out_dir}.tmp-{os.getpid()}"
+    docs.map_batches(_position_partials, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["part"]
+    )
+    with open(os.path.join(tmp, "_DONE"), "w", encoding="utf-8") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp, out_dir)  # atomic publish; loser of a race cleans up
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
+
+def positions_dir_for(sf_dir: str) -> str:
+    from ciff_ray.pipelines import _sf_fingerprint
+
+    return os.path.join(cache_root(), "positions", _sf_fingerprint(sf_dir))
+
+
+def ensure_positions(sf_dir: str) -> str:
+    out = positions_dir_for(sf_dir)
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        build_positions(docs, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# query
+
+
+def _term_part(term: str) -> int:
+    from ciff_ray.layout import stable_hash
+
+    return int(stable_hash(term.encode()) % POS_PARTS)
+
+
+class PositionStore:
+    """Reader over the positional store: (term, candidate docs) ->
+    sorted (doc << 32 | pos) keys.  Reads only the term's hash
+    partition with term/doc filters pushed into the scan; caches
+    nothing (callers are per-phrase, reads are candidate-sized)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def keys(self, term: str, cand: np.ndarray) -> np.ndarray:
+        part_dir = os.path.join(self.root, f"part={_term_part(term)}")
+        if not os.path.isdir(part_dir):
+            return np.empty(0, np.uint64)
+        t = pq.read_table(
+            part_dir,
+            columns=["term", "doc_id", "positions"],
+            filters=[
+                ("term", "=", term),
+                ("doc_id", "in", cand.tolist()),
+            ],
+        )
+        if t.num_rows == 0:
+            return np.empty(0, np.uint64)
+        col = t["positions"].combine_chunks()
+        flat = np.asarray(col.values).astype(np.uint64)
+        lens = np.diff(np.asarray(col.offsets)).astype(np.int64)
+        docs = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64), lens
+        )
+        keys = (docs << np.uint64(32)) | flat
+        keys.sort()
+        return keys
+
+    def phrase_docs(self, terms: list[str], cand: np.ndarray) -> np.ndarray:
+        """Docs (from `cand`) containing `terms` adjacently, via pure
+        position-set intersection: S₀ = keys(t₀); Sᵢ = (Sᵢ₋₁ + 1) ∩
+        keys(tᵢ); result docs = unique(high 32 bits of the survivors).
+        pos+1 cannot carry into the doc bits (pos < 2³¹)."""
+        if not terms:
+            return np.empty(0, np.int64)
+        s = self.keys(terms[0], cand)
+        for t in terms[1:]:
+            if s.size == 0:
+                break
+            nxt = self.keys(t, cand)
+            shifted = s + np.uint64(1)
+            pos_idx = np.searchsorted(nxt, shifted)
+            inb = pos_idx < nxt.size
+            hit = np.zeros(shifted.size, dtype=bool)
+            hit[inb] = nxt[pos_idx[inb]] == shifted[inb]
+            s = shifted[hit]
+        return np.unique((s >> np.uint64(32)).astype(np.int64))
+
+
+class _PhrasePositionalVerify:
+    """map_batches stage over (query_id, phrase) rows: AND candidates
+    come in via a broadcast spec ref; adjacency is verified against the
+    positional store only — no document text is touched."""
+
+    def __init__(self, store_root: str, spec_ref):
+        import ray
+
+        self.store = PositionStore(store_root)
+        self.spec = ray.get(spec_ref)  # {qid: (terms, sorted cand ids)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs = [], []
+        for qid in batch["query_id"].to_pylist():
+            terms, cand = self.spec[qid]
+            d = self.store.phrase_docs(terms, cand)
+            qids.append(np.full(d.size, qid, dtype=np.int64))
+            docs.append(d)
+        if not qids:
+            q: np.ndarray = np.empty(0, np.int64)
+            d2: np.ndarray = np.empty(0, np.int64)
+        else:
+            q, d2 = np.concatenate(qids), np.concatenate(docs)
+        return pa.table(
+            {
+                "query_id": pa.array(q, type=pa.int64()),
+                "doc_id": pa.array(d2, type=pa.int64()),
+            }
+        )
+
+
+def q_phrase_match_positional(sf_dir: str) -> ray.data.Dataset:
+    """Phrase search answered entirely from the index side: conjunctive
+    AND over the BM25 index bounds candidates (rarest-term df), then
+    the positional store proves adjacency — same oracle and result set
+    as q_phrase_match, zero document re-scan."""
+    import ray
+
+    from ciff_ray.pipelines import (
+        PHRASE_SET,
+        _BooleanAndActor,
+        ensure_index,
+    )
+    from ciff_ray.tokenizer import tokenize_column
+
+    idx = ensure_index(sf_dir)
+    store = ensure_positions(sf_dir)
+    and_actor = _BooleanAndActor(idx)
+    spec: dict[int, tuple[list[str], np.ndarray]] = {}
+    qids = []
+    for qid, phrase in enumerate(PHRASE_SET):
+        toks = pc.list_flatten(
+            tokenize_column(pa.array([phrase], type=pa.string()))
+        )
+        terms = [t for t in toks.to_pylist() if t]
+        cand = and_actor._conjunction(phrase)
+        if not terms or cand.size == 0:
+            continue
+        spec[qid] = (terms, cand)
+        qids.append(qid)
+    if not qids:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    spec_ref = ray.put(spec)
+    queries = ray.data.from_arrow(
+        pa.table({"query_id": pa.array(qids, type=pa.int64())})
+    ).repartition(min(4, len(qids)))
+    return queries.map_batches(
+        _PhrasePositionalVerify,
+        fn_constructor_args=(store, spec_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
