@@ -27,7 +27,10 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from ciff_ray import pipelines as p
-    from ciff_ray.positions import q_phrase_match_positional as _positional_phrase
+    from ciff_ray.positions import (
+        q_phrase_match_positional as _positional_phrase,
+    )
+    from ciff_ray.positions import q_proximity_pairs as _proximity
 
     entries: dict[str, Callable[[str], Any]] = {
         # inverted-index engine family (SURVEY.md §2; north_rule gate)
@@ -48,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and": p.q_boolean_and,
         "phrase_match": p.q_phrase_match,
         "phrase_match_positional": _positional_phrase,
+        "proximity_pairs": _proximity,
         "doc_top_tfidf": p.q_doc_top_tfidf,
         "more_like_this": p.q_more_like_this,
         "role_top_terms": p.q_role_top_terms,

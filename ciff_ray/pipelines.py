@@ -1357,6 +1357,21 @@ def _boolean_query_values() -> str:
     return ", ".join(values)
 
 
+def _proximity_pair_values() -> str:
+    """(query_id, term_a, term_b) VALUES rows for the proximity set."""
+    from ciff_ray.positions import PROX_PAIRS
+
+    return ", ".join(
+        f"({qid}, '{ta}', '{tb}')" for qid, (ta, tb) in enumerate(PROX_PAIRS)
+    )
+
+
+def _prox_window() -> int:
+    from ciff_ray.positions import PROX_WINDOW
+
+    return PROX_WINDOW
+
+
 def _phrase_query_values() -> str:
     """(query_id, adjacency-regex) VALUES rows for the phrase set."""
     values = []
@@ -1535,6 +1550,31 @@ FROM hit h JOIN qn USING (query_id) WHERE h.nhit = qn.nt""",
 q(query_id, pattern) AS (VALUES {_phrase_query_values()})
 SELECT CAST(q.query_id AS BIGINT) AS query_id, t.doc_id AS doc_id
 FROM q JOIN transcripts t ON regexp_matches(lower(t.text), q.pattern)""",
+        # windowed co-occurrence from the positional store: per-doc min
+        # token distance between the pair terms (any order), <= window.
+        # |a.pos - b.pos| is invariant to the 1-based SQL subscripts vs
+        # the store's 0-based positions.
+        "proximity_pairs": f"""{T},
+tokl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM transcripts
+),
+tokpos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM tokl
+),
+q(query_id, ta, tb) AS (VALUES {_proximity_pair_values()}),
+d AS (
+  SELECT q.query_id, a.doc_id, min(abs(a.pos - b.pos)) AS min_dist
+  FROM q
+  JOIN tokpos a ON a.term = q.ta
+  JOIN tokpos b ON b.term = q.tb AND b.doc_id = a.doc_id
+  GROUP BY q.query_id, a.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       CAST(min_dist AS BIGINT) AS min_dist
+FROM d WHERE min_dist <= {_prox_window()}""",
         # the positional-index phrase path must produce the exact same
         # match set as the text-regex semantics (ciff_ray.positions
         # docstring: filtered-token adjacency == textual adjacency)

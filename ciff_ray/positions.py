@@ -15,7 +15,8 @@ Store layout (cluster-visible, under :func:`ciff_ray.layout.cache_root`):
 
     <root>/part=<p>/*.parquet     columns (term, doc_id, positions)
 
-with ``p = xxhash(term) % POS_PARTS``, written via
+with ``p = stable_hash(term) % POS_PARTS`` (version-stable crc32 —
+a persisted partition key must outlive any one process), written via
 ``Dataset.write_parquet(partition_cols=["part"])`` so map tasks on any
 node land their files in the shared partition directories.  A phrase
 query reads ONLY the partitions of its query terms, with term and
@@ -284,6 +285,132 @@ def q_phrase_match_positional(sf_dir: str) -> ray.data.Dataset:
     return queries.map_batches(
         _PhrasePositionalVerify,
         fn_constructor_args=(store, spec_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
+# proximity search (two terms within a token window, any order)
+
+PROX_PAIRS = [
+    ("the", "key"),
+    ("merge", "join"),
+    ("sort", "table"),
+    ("batch", "window"),
+    ("zzznotaterm", "key"),  # no-hit probe
+]
+PROX_WINDOW = 8  # max token distance (inclusive)
+
+_POS_MASK = np.uint64(0xFFFFFFFF)
+
+
+def _min_dist_per_doc(
+    k1: np.ndarray, k2: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc minimum |pos1 - pos2| between two sorted (doc<<32|pos)
+    key sets.  For every k1 element only its two searchsorted
+    neighbors in k2 can be nearest (k2 ascends per doc), so the whole
+    computation is two gathers + a per-doc minimum reduction."""
+    if k1.size == 0 or k2.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    d1 = (k1 >> np.uint64(32)).astype(np.int64)
+    p1 = (k1 & _POS_MASK).astype(np.int64)
+    idx = np.searchsorted(k2, k1)
+    best = np.full(k1.size, np.iinfo(np.int64).max, dtype=np.int64)
+    for j in (idx - 1, idx):
+        jc = np.clip(j, 0, k2.size - 1)
+        valid = (j >= 0) & (j < k2.size)
+        kj = k2[jc]
+        same_doc = ((kj >> np.uint64(32)).astype(np.int64) == d1) & valid
+        dist = np.abs(p1 - (kj & _POS_MASK).astype(np.int64))
+        np.minimum(best, np.where(same_doc, dist, best.max()), out=best)
+    hit = best < np.iinfo(np.int64).max
+    if not hit.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    docs, inv = np.unique(d1[hit], return_inverse=True)
+    mins = np.full(docs.size, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(mins, inv, best[hit])
+    return docs, mins
+
+
+class _ProximityVerify:
+    """map_batches stage over (query_id,) rows: per pair, the per-doc
+    min token distance from the positional store, windowed."""
+
+    def __init__(self, store_root: str, spec_ref, window: int):
+        import ray
+
+        self.store = PositionStore(store_root)
+        self.spec = ray.get(spec_ref)  # {qid: (term_a, term_b, cand)}
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, dists = [], [], []
+        for qid in batch["query_id"].to_pylist():
+            ta, tb, cand = self.spec[qid]
+            d, m = _min_dist_per_doc(
+                self.store.keys(ta, cand), self.store.keys(tb, cand)
+            )
+            keep = m <= self.window
+            d, m = d[keep], m[keep]
+            qids.append(np.full(d.size, qid, dtype=np.int64))
+            docs.append(d)
+            dists.append(m)
+        if not qids:
+            q: np.ndarray = np.empty(0, np.int64)
+            dd: np.ndarray = np.empty(0, np.int64)
+            mm: np.ndarray = np.empty(0, np.int64)
+        else:
+            q = np.concatenate(qids)
+            dd = np.concatenate(docs)
+            mm = np.concatenate(dists)
+        return pa.table(
+            {
+                "query_id": pa.array(q, type=pa.int64()),
+                "doc_id": pa.array(dd, type=pa.int64()),
+                "min_dist": pa.array(mm, type=pa.int64()),
+            }
+        )
+
+
+def q_proximity_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Windowed co-occurrence: docs where both pair terms appear within
+    PROX_WINDOW tokens (any order), with the per-doc min distance —
+    answered from the positional store alone (AND candidates bound the
+    reads; no document text)."""
+    import ray
+
+    from ciff_ray.pipelines import _BooleanAndActor, ensure_index
+
+    idx = ensure_index(sf_dir)
+    store = ensure_positions(sf_dir)
+    and_actor = _BooleanAndActor(idx)
+    spec: dict[int, tuple[str, str, np.ndarray]] = {}
+    qids = []
+    for qid, (ta, tb) in enumerate(PROX_PAIRS):
+        cand = and_actor._conjunction(f"{ta} {tb}")
+        if cand.size == 0:
+            continue
+        spec[qid] = (ta, tb, cand)
+        qids.append(qid)
+    if not qids:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "min_dist": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    spec_ref = ray.put(spec)
+    queries = ray.data.from_arrow(
+        pa.table({"query_id": pa.array(qids, type=pa.int64())})
+    ).repartition(min(4, len(qids)))
+    return queries.map_batches(
+        _ProximityVerify,
+        fn_constructor_args=(store, spec_ref, PROX_WINDOW),
         batch_format="pyarrow",
         concurrency=(1, 4),
     )

@@ -85,3 +85,57 @@ def test_positional_matches_regex_e2e(ray_session):
         .sort_values(["query_id", "doc_id"], ignore_index=True)
     )
     assert a.equals(b)
+
+
+def test_min_dist_kernel():
+    from ciff_ray.positions import _min_dist_per_doc
+
+    def keys(pairs):  # (doc, pos) -> sorted uint64 keys
+        return np.sort(
+            np.array(
+                [(d << 32) | p for d, p in pairs], dtype=np.uint64
+            )
+        )
+
+    k1 = keys([(1, 5), (1, 20), (2, 0), (4, 7)])
+    k2 = keys([(1, 8), (1, 19), (3, 2), (4, 7)])
+    docs, mins = _min_dist_per_doc(k1, k2)
+    assert docs.tolist() == [1, 4]
+    assert mins.tolist() == [1, 0]  # doc1: |20-19|=1; doc4: same pos
+    # empty sides
+    d, m = _min_dist_per_doc(k1, np.empty(0, np.uint64))
+    assert d.size == 0 and m.size == 0
+
+
+def test_proximity_matches_bruteforce(ray_session):
+    from ciff_ray.oracle import tokenize
+    from ciff_ray.positions import (
+        PROX_PAIRS,
+        PROX_WINDOW,
+        q_proximity_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_proximity_pairs(sf)
+        .to_pandas()
+        .sort_values(["query_id", "doc_id"], ignore_index=True)
+    )
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    exp_rows = []
+    for qid, (ta, tb) in enumerate(PROX_PAIRS):
+        for d, text in zip(
+            docs["doc_id"].to_pylist(), docs["text"].to_pylist()
+        ):
+            toks = tokenize(text)
+            pa_pos = [i for i, t in enumerate(toks) if t == ta]
+            pb_pos = [i for i, t in enumerate(toks) if t == tb]
+            if not pa_pos or not pb_pos:
+                continue
+            m = min(abs(i - j) for i in pa_pos for j in pb_pos)
+            if m <= PROX_WINDOW:
+                exp_rows.append((qid, d, m))
+    assert (
+        list(map(tuple, got[["query_id", "doc_id", "min_dist"]].values))
+        == exp_rows
+    )
