@@ -253,6 +253,37 @@ def run_serve_bench(sf_dir: str, num_cpus: int, n_queries: int = 4096) -> dict:
     }
 
 
+def _host_probe(n_procs: int) -> dict:
+    """Host-health context (tools/overcommit_probe.py): the same code
+    measured 7.3 s and 31-39 s for the identical sf0.1 build on two
+    instances of this sandbox — effective_cores attributes such gaps
+    to hypervisor overcommit, not the engine.  Cheap (<2 s), runs in a
+    fresh process so Ray worker state can't skew it."""
+    try:
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "tools",
+                    "overcommit_probe.py",
+                ),
+                str(n_procs),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=60,
+            check=True,
+        ).stdout
+        p = json.loads(out.strip().splitlines()[-1])
+        return {
+            "host_effective_cores": p["effective_cores"],
+            "host_parallel_slowdown": p["slowdown_factor"],
+        }
+    except Exception:  # noqa: BLE001 — context only, never fail the bench
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -330,12 +361,14 @@ def main() -> None:
                         str(hi_cpus): res[hi_cpus]["queries"]["build_sec"],
                     },
                     "sf": _sf_label(sf_dir),
+                    **_host_probe(hi_cpus),
                 }
             )
         )
         return
 
     r = run_bench(sf_dir, num_cpus)
+    r.update(_host_probe(num_cpus))
     print(
         json.dumps(
             {

@@ -96,10 +96,14 @@ def test_ngram_df_cap_kills_quadratic_skew():
             "part": pa.array(np.zeros(2 * n, dtype=np.int32)),
         }
     )
-    t0 = time.perf_counter()
-    out = dedup._pairs_in_part(group)
-    dt = time.perf_counter() - t0
-    assert dt < 1.0
+    # best-of-3 under a loose cap: a skew-bomb regression is orders of
+    # magnitude slower, while a loaded box only doubles the constant
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = dedup._pairs_in_part(group)
+        dt = min(dt, time.perf_counter() - t0)
+    assert dt < 2.0
     a = np.array(out["a"].to_pylist())
     b = np.array(out["b"].to_pylist())
     i = np.array(out["i"].to_pylist())
