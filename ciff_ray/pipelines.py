@@ -1120,6 +1120,98 @@ def q_more_like_this(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# pseudo-relevance feedback (Rocchio-style query expansion)
+
+FEEDBACK_DOCS = 10  # feedback pool = top-k of the original query
+FEEDBACK_TERMS = 5  # expansion terms added per query
+FEEDBACK_DF_FRAC = 10  # candidates must have df * FRAC <= N (no stopwords)
+
+
+def q_bm25_feedback(sf_dir: str) -> ray.data.Dataset:
+    """Query expansion by pseudo-relevance feedback: the original
+    query's top-{FEEDBACK_DOCS} docs vote terms (summed tf, an INTEGER
+    rule so the ranking is engine/SQL deterministic), stopword-scale
+    terms are excluded by a df cap, the top-{FEEDBACK_TERMS} join the
+    query, and the expanded term set is re-ranked.
+
+    Scale shape: feedback pools are k docs per query — the driver
+    touches |Q| x k ids, reads the pooled docs via one filter-pushed
+    parquet scan, and the expanded queries go back through the same
+    actor-pool serving path as bm25_topk."""
+    import ray
+
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    scorer = eng._local
+    pools: dict[int, np.ndarray] = {}
+    for qid, q in enumerate(QUERY_SET):
+        d, _ = scorer.topk(q, k=FEEDBACK_DOCS, mode="maxscore")
+        pools[qid] = d
+    union = sorted({int(d) for ds in pools.values() for d in ds})
+    if union:
+        pooled = (
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"],
+                filter=pc.field("doc_id").isin(
+                    pa.array(union, type=pa.int64())
+                ),
+            ).take_all()
+        )  # provably small: <= |Q| x FEEDBACK_DOCS rows
+    else:
+        pooled = []
+    tf_tbl = term_frequencies(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    [r["doc_id"] for r in pooled], type=pa.int64()
+                ),
+                "text": pa.array(
+                    [r["text"] for r in pooled], type=pa.string()
+                ),
+            }
+        )
+    )
+    tf_by_doc: dict[int, list[tuple[str, int]]] = {}
+    for r in tf_tbl.to_pylist():
+        tf_by_doc.setdefault(r["doc_id"], []).append((r["term"], r["tf"]))
+    n_docs = scorer.N
+    df_memo: dict[str, int] = {}
+
+    def _df(t: str) -> int:
+        if t not in df_memo:
+            st = scorer._term_stat(t)
+            df_memo[t] = st[0] if st is not None else 0
+        return df_memo[t]
+
+    qids, texts = [], []
+    for qid, q in enumerate(QUERY_SET):
+        votes: dict[str, int] = {}
+        for d in pools[qid]:
+            for term, tf in tf_by_doc.get(int(d), []):
+                if _df(term) * FEEDBACK_DF_FRAC <= n_docs:
+                    votes[term] = votes.get(term, 0) + tf
+        fb = [
+            t
+            for t, _ in sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :FEEDBACK_TERMS
+            ]
+        ]
+        expanded = sorted(set(tokenize(q)) | set(fb))
+        qids.append(qid)
+        texts.append(" ".join(expanded))
+    qtbl = pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "query": pa.array(texts, type=pa.string()),
+        }
+    )
+    return eng.score_dataset(
+        ray.data.from_arrow(qtbl).repartition(4), k=TOPK_K, concurrency=(1, 4)
+    ).select_columns(["query_id", "rank", "doc_id"])
+
+
+# ---------------------------------------------------------------------------
 # per-group heavy-hitter terms (top-k terms per transcript role)
 
 ROLE_TOP_K = 10
@@ -1685,6 +1777,57 @@ SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, doc_id ASC) AS rnk
   FROM scored
+) WHERE rnk <= {TOPK_K}""",
+        # pseudo-relevance feedback: integer vote rule (summed tf over
+        # the original top-k pool, df-capped), UNION = exact set union
+        # with the original terms, then plain BM25 over the expansion
+        "bm25_feedback": f"""{T},
+{_bm25_scored_cte().lstrip()},
+topk AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {FEEDBACK_DOCS}
+),
+fb AS (
+  SELECT k.query_id, tf.term, SUM(tf.tf) AS votes
+  FROM topk k
+  JOIN tf ON tf.doc_id = k.doc_id
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats st
+  WHERE df.df * {FEEDBACK_DF_FRAC} <= st.n_docs
+  GROUP BY k.query_id, tf.term
+),
+fbrk AS (
+  SELECT query_id, term,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, term ASC) AS rnk
+  FROM fb
+),
+q2 AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, term FROM q
+  UNION
+  SELECT query_id, term FROM fbrk WHERE rnk <= {FEEDBACK_TERMS}
+),
+scored2 AS (
+  SELECT q2.query_id, tf.doc_id AS doc_id,
+         SUM(
+           {_BM25_CONTRIB_SQL}
+         ) AS score
+  FROM q2
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q2.query_id, tf.doc_id
+)
+SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored2
 ) WHERE rnk <= {TOPK_K}""",
         # metadata-filtered retrieval: ranking restricted to assistant
         # turns (doc_id % 4 = 1, the synth role derivation) under

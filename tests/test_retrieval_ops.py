@@ -279,3 +279,56 @@ def test_more_like_this_vs_bruteforce(ray_session):
         assert sub.doc_id.tolist() == exp, seed
         assert sub["rank"].tolist() == list(range(1, len(exp) + 1))
         assert seed not in sub.doc_id.tolist()
+
+
+def test_bm25_feedback_vs_bruteforce(ray_session):
+    """Pseudo-relevance feedback == brute force: integer tf votes over
+    the original top-k pool, df-capped, top-5 joined to the query,
+    re-ranked.  Also asserts the expansion actually changes rankings
+    (the entry must not be vacuously identical to bm25_topk)."""
+    from ciff_ray.oracle import OracleIndex, tokenize
+    from ciff_ray.pipelines import (
+        FEEDBACK_DF_FRAC,
+        FEEDBACK_DOCS,
+        FEEDBACK_TERMS,
+        QUERY_SET,
+        TOPK_K,
+        q_bm25_feedback,
+        q_bm25_topk,
+    )
+    from ciff_ray.synth import transcripts_from_documents
+
+    got = (
+        q_bm25_feedback(SF)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    oracle = OracleIndex.build(transcripts_from_documents(docs))
+    text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    n = len(docs)
+    for qid, q in enumerate(QUERY_SET):
+        pool = [d for d, _ in oracle.bm25_topk(q, k=FEEDBACK_DOCS)]
+        votes: dict[str, int] = {}
+        for d in pool:
+            for t in tokenize(text_of[d]):
+                if oracle.df(t) * FEEDBACK_DF_FRAC <= n:
+                    votes[t] = votes.get(t, 0) + 1
+        fb = [
+            t
+            for t, _ in sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :FEEDBACK_TERMS
+            ]
+        ]
+        expanded = " ".join(sorted(set(tokenize(q)) | set(fb)))
+        exp = [d for d, _ in oracle.bm25_topk(expanded, k=TOPK_K)]
+        sub = got[got.query_id == qid]
+        assert sub.doc_id.tolist() == exp, (qid, q)
+    plain = (
+        q_bm25_topk(SF)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert not got[["query_id", "rank", "doc_id"]].equals(
+        plain[["query_id", "rank", "doc_id"]]
+    )
