@@ -30,6 +30,7 @@ from ciff_ray.query import QueryEngine, BM25Params, ServingPool
 from ciff_ray.merge import ingest, merge_indexes
 from ciff_ray.lifecycle import compact_index, delete_docs
 from ciff_ray.sharded import ShardedEngine, ShardedServingPool
+from ciff_ray.positions import PositionStore, build_positions
 from ciff_ray.oracle import OracleIndex
 
 __all__ = [
@@ -44,6 +45,8 @@ __all__ = [
     "compact_index",
     "ShardedEngine",
     "ShardedServingPool",
+    "PositionStore",
+    "build_positions",
     "QueryEngine",
     "ServingPool",
     "BM25Params",
