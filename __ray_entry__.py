@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_compacted": p.q_bm25_topk_compacted,
         "bm25_topk_filtered": p.q_bm25_topk_filtered,
         "bm25_feedback": p.q_bm25_feedback,
+        "bm25_boosted": p.q_bm25_boosted,
         "bm25_snippets": p.q_bm25_snippets,
         "boolean_and": p.q_boolean_and,
         "phrase_match": p.q_phrase_match,

@@ -123,6 +123,45 @@ def cmd_compact(args) -> None:
                       "output": args.output}))
 
 
+def cmd_build_positions(args) -> None:
+    _ray_session()
+    import ray.data
+
+    from ciff_ray.positions import build_positions
+
+    docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    out = build_positions(docs, args.output)
+    print(json.dumps({"output": out}))
+
+
+def cmd_phrase(args) -> None:
+    from ciff_ray.positions import PositionStore
+    from ciff_ray.query import LocalScorer
+    from ciff_ray.tokenizer import tokenize_column
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    toks = pc.list_flatten(
+        tokenize_column(pa.array([args.phrase], type=pa.string()))
+    )
+    terms = [t for t in toks.to_pylist() if t]
+    scorer = LocalScorer(args.index)
+    cand = None
+    for t in sorted(set(terms)):
+        docs, _ = scorer.postings(t)
+        if cand is None or docs.size < cand.size:
+            cand = docs  # rarest list bounds the position reads
+        if docs.size == 0:
+            cand = docs
+            break
+    if cand is None or cand.size == 0:
+        return
+    hits = PositionStore(args.positions).phrase_docs(terms, cand)
+    for d, title in zip(hits, scorer.collection_docids(hits)):
+        print(f"{d}\t{title}")
+
+
 def cmd_export_ciff(args) -> None:
     from ciff_ray.interop.bridge import index_to_ciff
 
@@ -192,6 +231,22 @@ def main(argv=None) -> None:
     dl.add_argument("index")
     dl.add_argument("doc_ids", nargs="+", help="docIDs to tombstone")
     dl.set_defaults(fn=cmd_delete)
+
+    bp = sub.add_parser(
+        "build-positions",
+        help="build the positional store from transcripts parquet",
+    )
+    bp.add_argument("input")
+    bp.add_argument("output")
+    bp.set_defaults(fn=cmd_build_positions)
+
+    ph = sub.add_parser(
+        "phrase", help="index-only phrase match (needs a positional store)"
+    )
+    ph.add_argument("index")
+    ph.add_argument("positions")
+    ph.add_argument("phrase")
+    ph.set_defaults(fn=cmd_phrase)
 
     cp = sub.add_parser("compact", help="rewrite an index without its tombstoned docs")
     cp.add_argument("index")

@@ -1120,6 +1120,65 @@ def q_more_like_this(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# weighted (boosted) queries
+
+BOOST_FACTOR = 3.0  # deterministic rule: last raw-query token is boosted
+
+
+def _boosts_for(query: str) -> dict[str, float]:
+    toks = tokenize(query)
+    return {toks[-1]: BOOST_FACTOR} if toks else {}
+
+
+class _BoostedScorer:
+    """map_batches actor: per-query term boosts folded into the idf
+    weight before the contribution product (LocalScorer.score_all), so
+    the float op order matches the SQL oracle exactly.  Boosted queries
+    always take the exhaustive path (stored pruning bounds don't cover
+    boosts > 1)."""
+
+    def __init__(self, index_dir: str, k: int):
+        from ciff_ray.query import LocalScorer
+
+        self.scorer = LocalScorer(index_dir)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs = [], [], []
+        for qid, q in zip(
+            batch["query_id"].to_pylist(), batch["query"].to_pylist()
+        ):
+            d, _ = self.scorer.topk(q, self.k, boosts=_boosts_for(q))
+            qids.extend([qid] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            docs.extend(d.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+            }
+        )
+
+
+def q_bm25_boosted(sf_dir: str) -> ray.data.Dataset:
+    """Weighted-term retrieval: each fixed query re-ranked with its
+    last token's idf boosted x{BOOST_FACTOR} — the fielded/boosted-query
+    capability of the engine, through the actor-pool serving path."""
+    idx = ensure_index(sf_dir)
+    return (
+        _query_set_ds()
+        .repartition(4)
+        .map_batches(
+            _BoostedScorer,
+            fn_constructor_args=(idx, TOPK_K),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # pseudo-relevance feedback (Rocchio-style query expansion)
 
 FEEDBACK_DOCS = 10  # feedback pool = top-k of the original query
@@ -1449,6 +1508,18 @@ def _boolean_query_values() -> str:
     return ", ".join(values)
 
 
+def _boosted_query_values() -> str:
+    """(query_id, term, weight) VALUES rows: the last raw-query token's
+    term carries BOOST_FACTOR, every other term 1.0 — the exact
+    _boosts_for rule."""
+    values = []
+    for qid, q in enumerate(QUERY_SET):
+        boosts = _boosts_for(q)
+        for t in sorted(set(tokenize(q))):
+            values.append(f"({qid}, '{t}', {boosts.get(t, 1.0)})")
+    return ", ".join(values)
+
+
 def _proximity_pair_values() -> str:
     """(query_id, term_a, term_b) VALUES rows for the proximity set."""
     from ciff_ray.positions import PROX_PAIRS
@@ -1772,6 +1843,32 @@ FROM r GROUP BY role""",
 SELECT query_id, doc_id, round(score, 6) AS score_r FROM scored""",
         "bm25_topk": f"""{T},
 {_bm25_scored_cte().lstrip()}
+SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {TOPK_K}""",
+        # weighted queries: boost folded into the idf factor first,
+        # then the same contribution product — float-op-order-identical
+        # to LocalScorer.score_all with boosts
+        "bm25_boosted": f"""{T},{_bm25_base_cte()},
+q(query_id, term, w) AS (VALUES {_boosted_query_values()}),
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id AS doc_id,
+         SUM(
+           (greatest(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5)), {EPS_IDF})
+            * q.w)
+           * tf.tf * ({K1_DEFAULT} + 1.0)
+           / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
 SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id

@@ -457,9 +457,14 @@ class LocalScorer:
         k1, b = self.params.k1, self.params.b
         return w * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / self.avgdl))
 
-    def score_all(self, query: str) -> tuple[np.ndarray, np.ndarray]:
+    def score_all(
+        self, query: str, boosts: dict[str, float] | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, scores) over all docs matching >= 1 query term;
-        summation order = byte-sorted terms, matching the oracle."""
+        summation order = byte-sorted terms, matching the oracle.
+        ``boosts`` multiplies a term's idf weight (fielded / weighted
+        queries); the boost folds into w BEFORE the contribution product
+        so the float op order stays oracle-identical."""
         terms = sorted(set(tokenize(query)), key=lambda s: s.encode())
         doc_parts, contrib_parts = [], []
         for t in terms:
@@ -469,6 +474,8 @@ class LocalScorer:
             if docs.size == 0:
                 continue
             w = self.idf(t)
+            if boosts is not None:
+                w = w * boosts.get(t, 1.0)
             dl = self._dl[docs]
             doc_parts.append(docs)
             contrib_parts.append(self._contrib(tfs, dl, w))
@@ -506,7 +513,19 @@ class LocalScorer:
         order = np.lexsort((doc_ids, -scores))[:k]
         return doc_ids[order], scores[order]
 
-    def topk(self, query: str, k: int = 10, mode: str = "exact"):
+    def topk(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "exact",
+        boosts: dict[str, float] | None = None,
+    ):
+        if boosts:
+            # stored pruning bounds don't account for per-term boosts
+            # (> 1 would make them invalid lower-than-true bounds), so
+            # weighted queries always take the exhaustive path
+            u, scores = self.score_all(query, boosts)
+            return self._rank(u, scores, k)
         if mode == "maxscore" and self._bounds_valid:
             r = self._topk_maxscore(query, k)
             if r is not None:
@@ -927,8 +946,14 @@ class QueryEngine:
     def manifest(self) -> Manifest:
         return self._local.manifest
 
-    def topk(self, query: str, k: int = 10, mode: str = "exact"):
-        return self._local.topk(query, k, mode=mode)
+    def topk(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "exact",
+        boosts: dict[str, float] | None = None,
+    ):
+        return self._local.topk(query, k, mode=mode, boosts=boosts)
 
     def collection_docids(self, doc_ids: np.ndarray) -> list[str]:
         """Map internal doc IDs back to collection docids (J4)."""

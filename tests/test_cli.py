@@ -83,3 +83,47 @@ def test_lifecycle_cli_chain(tmp_path, capsys, ray_session):
 
     main(["query", compacted, "the time", "-k", "3"])
     assert len(capsys.readouterr().out.strip().splitlines()) == 3
+
+
+def test_positions_cli_chain(tmp_path, capsys, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["tool call failed", "call the tool", "tool call ok"]
+    src = str(tmp_path / "transcripts.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array(["conv-0"] * 3, type=pa.string()),
+                "turn_idx": pa.array([0, 1, 2], type=pa.int32()),
+                "role": pa.array(["user"] * 3, type=pa.string()),
+                "text": pa.array(texts, type=pa.string()),
+                "tool": pa.array([""] * 3, type=pa.string()),
+                "ts": pa.array([0, 1, 2], type=pa.timestamp("us")),
+            }
+        ),
+        src,
+    )
+    # the positional store reads (doc_id, text); docids are the dense
+    # (conv_id, turn_idx) rank, which here equals turn_idx
+    docsrc = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        ),
+        docsrc,
+    )
+    idx = str(tmp_path / "idx")
+    main(["build", src, idx, "--partitions", "2"])
+    capsys.readouterr()
+    pos = str(tmp_path / "pos")
+    main(["build-positions", docsrc, pos])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["output"] == pos
+
+    main(["phrase", idx, pos, "tool call"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert [int(l.split("\t")[0]) for l in lines] == [0, 2]

@@ -196,3 +196,49 @@ def test_filtered_topk_matches_filtered_oracle(engine_and_oracle):
     # the unfiltered engine is untouched (separate scorer state)
     du, _ = eng.topk("the", k=10)
     assert (np.asarray(du) % 2 == 0).any()
+
+
+def test_boosted_topk_matches_weighted_oracle(engine_and_oracle):
+    """Per-term boosts fold into the idf weight; results must equal a
+    brute-force weighted BM25, and boosting must actually reorder at
+    least one query (not a vacuous feature)."""
+    import math
+
+    from ciff_ray.oracle import (
+        B_DEFAULT,
+        EPS_IDF,
+        K1_DEFAULT,
+        tokenize,
+    )
+
+    engine, oracle = engine_and_oracle
+    changed = False
+    for q in QUERIES:
+        toks = tokenize(q)
+        boosts = {toks[-1]: 3.0} if toks else {}
+        terms = sorted(set(toks), key=lambda s: s.encode())
+        scores: dict[int, float] = {}
+        for t in terms:
+            plist = oracle.postings.get(t)
+            if not plist:
+                continue
+            df = len(plist)
+            w = max(
+                math.log((oracle.num_docs - df + 0.5) / (df + 0.5)), EPS_IDF
+            ) * boosts.get(t, 1.0)
+            for doc_id, tf in plist:
+                dl = oracle.doclengths[doc_id]
+                norm = tf + K1_DEFAULT * (
+                    1.0 - B_DEFAULT + B_DEFAULT * dl / oracle.avg_doclength
+                )
+                scores[doc_id] = scores.get(doc_id, 0.0) + (
+                    w * tf * (K1_DEFAULT + 1.0) / norm
+                )
+        exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        d, s = engine.topk(q, k=10, boosts=boosts)
+        assert d.tolist() == [x for x, _ in exp], q
+        assert s.tolist() == [x for _, x in exp], q  # bit-identical f64
+        plain, _ = engine.topk(q, k=10)
+        if plain.tolist() != d.tolist():
+            changed = True
+    assert changed
