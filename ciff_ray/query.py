@@ -316,6 +316,15 @@ class LocalScorer:
         self._plist_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._plist_cache_postings = 0
         self._plist_cache_cap = 64_000_000
+        # dense-contribution cache: a term's BM25 contribution vector is
+        # QUERY-INDEPENDENT (idf, tf, dl only), so stopword-scale terms
+        # cache their length-N float64 vector once and dense scoring
+        # becomes one vector add per term — bitwise identical to the
+        # bincount it replaces (docs are unique per list, so bincount
+        # emits exactly this vector).  Bounded by bytes, never evicts.
+        self._dense_cache: dict[str, np.ndarray] = {}
+        self._dense_cache_bytes = 0
+        self._dense_cache_cap = 256_000_000
 
     # -- index access ----------------------------------------------------
 
@@ -465,11 +474,29 @@ class LocalScorer:
         ``boosts`` multiplies a term's idf weight (fielded / weighted
         queries); the boost folds into w BEFORE the contribution product
         so the float op order stays oracle-identical."""
-        terms = sorted(set(tokenize(query)), key=lambda s: s.encode())
+        terms = [
+            t
+            for t in sorted(set(tokenize(query)), key=lambda s: s.encode())
+            if self._term_stat(t) is not None
+        ]
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        total_df = sum(self._term_stat(t)[0] for t in terms)
+        if boosts is None and total_df > self.N // 4:
+            # dense accumulation (stopword-heavy queries): one vector
+            # add per term from the query-independent dense-contribution
+            # cache.  Bitwise identical to both the bincount it replaces
+            # and the sparse path below (per doc, contributions sum in
+            # ascending-term order in all three), so path choice never
+            # changes a score.  Not taken for boosted queries — their w
+            # differs from the cached vectors.
+            acc = np.zeros(self.N, dtype=np.float64)
+            for t in terms:
+                acc += self._dense_contrib(t)
+            u = np.flatnonzero(acc)  # all contributions are > 0
+            return u, acc[u]
         doc_parts, contrib_parts = [], []
         for t in terms:
-            if self._term_stat(t) is None:
-                continue
             docs, tfs = self.postings(t)
             if docs.size == 0:
                 continue
@@ -481,23 +508,30 @@ class LocalScorer:
             contrib_parts.append(self._contrib(tfs, dl, w))
         if not doc_parts:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        total = sum(d.size for d in doc_parts)
-        if total > self.N // 4:
-            # dense accumulation: one length-N bincount per term beats the
-            # sort in np.unique once matches are a sizable fraction of the
-            # collection (stopword-heavy queries).  fp summation order per
-            # doc is still ascending-term, identical to the sparse path
-            # and the oracle.
-            acc = np.zeros(self.N, dtype=np.float64)
-            for docs, contrib in zip(doc_parts, contrib_parts):
-                acc += np.bincount(docs, weights=contrib, minlength=self.N)
-            u = np.flatnonzero(acc)  # all contributions are > 0
-            return u, acc[u]
         all_docs = np.concatenate(doc_parts)
         all_contrib = np.concatenate(contrib_parts)
         u, inv = np.unique(all_docs, return_inverse=True)
         scores = np.bincount(inv, weights=all_contrib)
         return u, scores
+
+    def _dense_contrib(self, term: str) -> np.ndarray:
+        """The term's length-N BM25 contribution vector (0 where the
+        term is absent) — cached: idf/tf/dl are query-independent, so
+        stopword-scale terms pay decode + contribution exactly once per
+        scorer.  `c[docs] = contrib` emits the same vector as
+        `np.bincount(docs, weights=contrib, minlength=N)` because
+        posting docIDs are unique."""
+        c = self._dense_cache.get(term)
+        if c is not None:
+            return c
+        docs, tfs = self.postings(term)
+        c = np.zeros(self.N, dtype=np.float64)
+        if docs.size:
+            c[docs] = self._contrib(tfs, self._dl[docs], self.idf(term))
+        if self._dense_cache_bytes + c.nbytes <= self._dense_cache_cap:
+            self._dense_cache[term] = c
+            self._dense_cache_bytes += c.nbytes
+        return c
 
     @staticmethod
     def _rank(doc_ids: np.ndarray, scores: np.ndarray, k: int):
