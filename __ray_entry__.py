@@ -27,6 +27,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from ciff_ray import pipelines as p
+    from ciff_ray.hybrid import q_hybrid_rrf as _hybrid_rrf
     from ciff_ray.positions import (
         q_phrase_match_positional as _positional_phrase,
     )
@@ -55,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match_positional": _positional_phrase,
         "proximity_pairs": _proximity,
         "doc_top_tfidf": p.q_doc_top_tfidf,
+        "hybrid_rrf": _hybrid_rrf,
         "more_like_this": p.q_more_like_this,
         "role_top_terms": p.q_role_top_terms,
         "doclength_quantiles": p.q_doclength_quantiles,
@@ -72,6 +74,9 @@ def oracle_sql() -> dict[str, str]:
     from ciff_ray import pipelines as p
 
     sqls = dict(p.oracle_sqls())
+    from ciff_ray.hybrid import hybrid_oracle_sql
+
+    sqls["hybrid_rrf"] = hybrid_oracle_sql()
     try:
         from ciff_ray import extras
 
