@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_pairs": _proximity,
         "doc_top_tfidf": p.q_doc_top_tfidf,
         "hybrid_rrf": _hybrid_rrf,
+        "conv_topk": p.q_conv_topk,
+        "term_suggest": p.q_term_suggest,
         "more_like_this": p.q_more_like_this,
         "role_top_terms": p.q_role_top_terms,
         "doclength_quantiles": p.q_doclength_quantiles,

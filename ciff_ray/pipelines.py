@@ -1495,6 +1495,162 @@ def q_doclength_quantiles(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# conversation-level retrieval (max-passage aggregation)
+
+CONV_TOPK_K = 10
+_CONV_KEY_MUL = np.int64(1) << np.int64(40)
+
+
+def _conv_max_partials(batch: pa.Table) -> pa.Table:
+    """(query_id, doc_id, score_r) turn scores -> per-batch partial max
+    per (query_id, conv): one composite-key unique + maximum.at.  The
+    shuffle then moves at most (queries x convs-in-batch) rows instead
+    of every turn score."""
+    from ciff_ray.synth import TURNS_PER_CONV_FROM_DOCS
+
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "conv": pa.array([], type=pa.int64()),
+                "ms": pa.array([], type=pa.float64()),
+            }
+        )
+    q = batch["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = batch["score_r"].to_numpy(zero_copy_only=False)
+    conv = d // TURNS_PER_CONV_FROM_DOCS
+    key = q * _CONV_KEY_MUL + conv
+    ks, inv = np.unique(key, return_inverse=True)
+    mx = np.full(ks.size, -np.inf)
+    np.maximum.at(mx, inv, s)
+    return pa.table(
+        {
+            "query_id": pa.array(ks // _CONV_KEY_MUL, type=pa.int64()),
+            "conv": pa.array(ks % _CONV_KEY_MUL, type=pa.int64()),
+            "ms": pa.array(mx, type=pa.float64()),
+        }
+    )
+
+
+def _conv_rank_group(group: pa.Table) -> pa.Table:
+    """One query's (conv, ms) rows -> top-k (rank, conv_id, score_r)
+    by (ms desc, conv asc)."""
+    conv = group["conv"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ms = group["ms"].to_numpy(zero_copy_only=False)
+    qid = group["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((conv, -ms))[:CONV_TOPK_K]
+    return pa.table(
+        {
+            "query_id": pa.array(qid[order], type=pa.int64()),
+            "rank": pa.array(
+                np.arange(1, order.size + 1, dtype=np.int64), type=pa.int64()
+            ),
+            "conv_id": pa.array(
+                [f"conv-{c:07d}" for c in conv[order]], type=pa.string()
+            ),
+            "score_r": pa.array(ms[order], type=pa.float64()),
+        }
+    )
+
+
+def q_conv_topk(sf_dir: str) -> ray.data.Dataset:
+    """Conversation-level retrieval (max-passage rule): turns are
+    scored by the BM25 actor pool, each conversation takes its best
+    turn's score, top-{CONV_TOPK_K} conversations per query by
+    (score desc, conv_id asc).  Shape: streaming per-batch partial max
+    -> one small (query, conv) groupby -> per-query rank."""
+    from ray.data.aggregate import Max
+
+    idx = ensure_index(sf_dir)
+    scored = (
+        _query_set_ds()
+        .repartition(4)
+        .map_batches(
+            _ScoreAllActor,
+            fn_constructor_args=(idx,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    )
+    return (
+        scored.map_batches(_conv_max_partials, batch_format="pyarrow")
+        .groupby(["query_id", "conv"])
+        .aggregate(Max("ms", alias_name="ms"))
+        .groupby("query_id")
+        .map_groups(_conv_rank_group, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# term-prefix suggestions (query autocomplete over the term dictionary)
+
+SUGGEST_PREFIXES = ("th", "wo", "s", "ma", "c", "zzz")
+SUGGEST_K = 5
+
+
+def _suggest_partials(batch: pa.Table) -> pa.Table:
+    """One term-stats batch -> per-prefix partial top-{SUGGEST_K}
+    (prefix_id, term, df) rows: only k rows per (prefix, batch) move."""
+    terms = batch["term"].combine_chunks()
+    dfs = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    out_p, out_t, out_d = [], [], []
+    for pid, prefix in enumerate(SUGGEST_PREFIXES):
+        mask = pc.starts_with(terms, prefix).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(mask)
+        if idx.size == 0:
+            continue
+        sub_terms = np.array(terms.take(pa.array(idx)).to_pylist(), dtype=object)
+        sub_df = dfs[idx]
+        order = np.lexsort((sub_terms, -sub_df))[:SUGGEST_K]
+        out_p.extend([pid] * order.size)
+        out_t.extend(sub_terms[order].tolist())
+        out_d.extend(sub_df[order].tolist())
+    return pa.table(
+        {
+            "prefix_id": pa.array(out_p, type=pa.int64()),
+            "term": pa.array(out_t, type=pa.string()),
+            "df": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def _suggest_rank_group(group: pa.Table) -> pa.Table:
+    """One prefix's partials -> final top-{SUGGEST_K} by
+    (df desc, term asc)."""
+    terms = np.array(group["term"].to_pylist(), dtype=object)
+    dfs = group["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pid = group["prefix_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((terms, -dfs))[:SUGGEST_K]
+    return pa.table(
+        {
+            "prefix_id": pa.array(pid[order], type=pa.int64()),
+            "rank": pa.array(
+                np.arange(1, order.size + 1, dtype=np.int64), type=pa.int64()
+            ),
+            "term": pa.array(terms[order].tolist(), type=pa.string()),
+            "df": pa.array(dfs[order], type=pa.int64()),
+        }
+    )
+
+
+def q_term_suggest(sf_dir: str) -> ray.data.Dataset:
+    """Prefix autocomplete over the index's term dictionary: for each
+    fixed prefix the top-{SUGGEST_K} vocabulary terms by (df desc,
+    term asc).  Reads the sharded term-stats parquet as a Dataset
+    (term + df columns only); per-batch partial top-k bounds the
+    exchange at k rows per (prefix, batch) at any vocabulary size."""
+    idx = ensure_index(sf_dir)
+    paths = IndexPaths(idx)
+    stats = ray.data.read_parquet(paths.term_stats, columns=["term", "df"])
+    return (
+        stats.map_batches(_suggest_partials, batch_format="pyarrow")
+        .groupby("prefix_id")
+        .map_groups(_suggest_rank_group, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL generators
 
 
@@ -1533,6 +1689,13 @@ def _prox_window() -> int:
     from ciff_ray.positions import PROX_WINDOW
 
     return PROX_WINDOW
+
+
+def _suggest_prefix_values() -> str:
+    """(prefix_id, prefix) VALUES rows for the autocomplete set."""
+    return ", ".join(
+        f"({pid}, '{p}')" for pid, p in enumerate(SUGGEST_PREFIXES)
+    )
 
 
 def _phrase_query_values() -> str:
@@ -1849,6 +2012,36 @@ SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
                             ORDER BY score DESC, doc_id ASC) AS rnk
   FROM scored
 ) WHERE rnk <= {TOPK_K}""",
+        # max-passage conversation retrieval: per-turn 6dp-rounded BM25
+        # (the same rounding _ScoreAllActor emits), max per
+        # conversation, (score desc, conv asc) rank — conv ASC numeric
+        # equals conv_id ASC string under the zero-padded format
+        "conv_topk": f"""{T},
+{_bm25_scored_cte().lstrip()},
+conv AS (
+  SELECT query_id, doc_id // {_TPC} AS conv, max(round(score, 6)) AS ms
+  FROM scored GROUP BY 1, 2
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank,
+       'conv-' || lpad(CAST(conv AS VARCHAR), 7, '0') AS conv_id,
+       ms AS score_r
+FROM (
+  SELECT query_id, conv, ms,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ms DESC, conv ASC) AS rnk
+  FROM conv
+) WHERE rnk <= {CONV_TOPK_K}""",
+        "term_suggest": f"""{T},{_bm25_base_cte()},
+q(prefix_id, prefix) AS (VALUES {_suggest_prefix_values()}),
+hit AS (
+  SELECT q.prefix_id, d.term, d.df,
+         row_number() OVER (PARTITION BY q.prefix_id
+                            ORDER BY d.df DESC, d.term ASC) AS rnk
+  FROM q JOIN df d ON starts_with(d.term, q.prefix)
+)
+SELECT CAST(prefix_id AS BIGINT) AS prefix_id, CAST(rnk AS BIGINT) AS rank,
+       term, CAST(df AS BIGINT) AS df
+FROM hit WHERE rnk <= {SUGGEST_K}""",
         # weighted queries: boost folded into the idf factor first,
         # then the same contribution product — float-op-order-identical
         # to LocalScorer.score_all with boosts
