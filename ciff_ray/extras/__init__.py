@@ -18,6 +18,7 @@ from __future__ import annotations
 from ciff_ray.extras import (
     dedup,
     eventjoin,
+    fuzzy,
     graph,
     multimodal,
     relational,
@@ -35,6 +36,7 @@ QUERIES = {
     **simsearch.QUERIES,
     **multimodal.QUERIES,
     **sampling.QUERIES,
+    **fuzzy.QUERIES,
 }
 
 ORACLE_SQLS = {
@@ -46,4 +48,5 @@ ORACLE_SQLS = {
     **simsearch.ORACLE_SQLS,
     **multimodal.ORACLE_SQLS,
     **sampling.ORACLE_SQLS,
+    **fuzzy.ORACLE_SQLS,
 }
