@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": p.q_bm25_topk_filtered,
         "bm25_feedback": p.q_bm25_feedback,
         "bm25_boosted": p.q_bm25_boosted,
+        "bm25_fuzzy": p.q_bm25_fuzzy,
         "bm25_snippets": p.q_bm25_snippets,
         "boolean_and": p.q_boolean_and,
         "phrase_match": p.q_phrase_match,

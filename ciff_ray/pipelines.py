@@ -1179,6 +1179,115 @@ def q_bm25_boosted(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# fuzzy-corrected retrieval (spell correction -> BM25)
+
+# misspellings within lev<=2 of the documents vocabulary, plus one
+# hopeless token that no correction can reach (dropped by the rule)
+FUZZY_QUERY_SET = [
+    "tabel vectr",
+    "filtr customer",
+    "windw merg",
+    "the qury",
+    "zzzzzzzzzz scan",
+    "sprak stream",
+]
+
+
+class _FuzzyCorrectScorer:
+    """(query_id, query) -> corrected top-k: every raw token maps to
+    the vocabulary term with minimal (levenshtein, -df, term) among
+    candidates at distance <= MAX_EDITS (an in-vocab token self-corrects
+    at d=0); tokens beyond distance 2 of every vocab term are dropped.
+    Vocab loads once per actor from the sharded term-stats parquet; the
+    distance kernel is the fuzzy module's across-pairs DP."""
+
+    def __init__(self, index_dir: str, k: int):
+        import pyarrow.parquet as pq
+
+        from ciff_ray.layout import IndexPaths
+        from ciff_ray.query import LocalScorer
+
+        tbl = pq.read_table(
+            IndexPaths(index_dir).term_stats, columns=["term", "df"]
+        )
+        self.vocab = np.array(tbl["term"].to_pylist(), dtype=object)
+        self.vdf = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.vlen = np.array([len(t) for t in self.vocab], dtype=np.int64)
+        self.scorer = LocalScorer(index_dir)
+        self.k = k
+
+    def _correct(self, token: str) -> str | None:
+        from ciff_ray.extras.fuzzy import MAX_EDITS, _lev_le
+
+        near = np.flatnonzero(np.abs(self.vlen - len(token)) <= MAX_EDITS)
+        if near.size == 0:
+            return None
+        cand = self.vocab[near]
+        for d in range(MAX_EDITS + 1):
+            ok = _lev_le(cand.tolist(), [token] * cand.size, d)
+            if ok.any():
+                hits = near[ok]
+                order = np.lexsort(
+                    (self.vocab[hits], -self.vdf[hits])
+                )
+                return str(self.vocab[hits[order[0]]])
+        return None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_r, out_d = [], [], []
+        for qid, q in zip(
+            batch["query_id"].to_pylist(), batch["query"].to_pylist()
+        ):
+            terms = {
+                c for t in tokenize(q) if (c := self._correct(t)) is not None
+            }
+            corrected = " ".join(sorted(terms))
+            docs, _scores = self.scorer.topk(corrected, k=self.k)
+            for rank, doc in enumerate(docs.tolist(), 1):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(int(doc))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+
+def _fuzzy_query_set_ds() -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(
+                    np.arange(len(FUZZY_QUERY_SET), dtype=np.int64)
+                ),
+                "query": pa.array(FUZZY_QUERY_SET),
+            }
+        )
+    )
+
+
+def q_bm25_fuzzy(sf_dir: str) -> ray.data.Dataset:
+    """Spell-corrected retrieval: the fuzzy query set corrected against
+    the index vocabulary (minimal (lev, -df, term) rule, lev <= 2,
+    uncorrectable tokens dropped), then plain BM25 top-k through the
+    actor-pool serving path."""
+    idx = ensure_index(sf_dir)
+    return (
+        _fuzzy_query_set_ds()
+        .repartition(3)
+        .map_batches(
+            _FuzzyCorrectScorer,
+            fn_constructor_args=(idx, TOPK_K),
+            batch_format="pyarrow",
+            concurrency=(1, 3),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # pseudo-relevance feedback (Rocchio-style query expansion)
 
 FEEDBACK_DOCS = 10  # feedback pool = top-k of the original query
@@ -1691,6 +1800,15 @@ def _prox_window() -> int:
     return PROX_WINDOW
 
 
+def _fuzzy_raw_values() -> str:
+    """(query_id, raw-token) VALUES rows for the fuzzy query set."""
+    values = []
+    for qid, q in enumerate(FUZZY_QUERY_SET):
+        for t in sorted(set(tokenize(q))):
+            values.append(f"({qid}, '{t}')")
+    return ", ".join(values)
+
+
 def _suggest_prefix_values() -> str:
     """(prefix_id, prefix) VALUES rows for the autocomplete set."""
     return ", ".join(
@@ -2042,6 +2160,43 @@ hit AS (
 SELECT CAST(prefix_id AS BIGINT) AS prefix_id, CAST(rnk AS BIGINT) AS rank,
        term, CAST(df AS BIGINT) AS df
 FROM hit WHERE rnk <= {SUGGEST_K}""",
+        # spell-corrected retrieval: each raw token corrects to the
+        # vocab term with minimal (levenshtein, -df, term) at dist<=2
+        # (an in-vocab token self-corrects at dist 0), uncorrectable
+        # tokens drop, then plain BM25 over the DISTINCT corrected set
+        "bm25_fuzzy": f"""{T},{_bm25_base_cte()},
+rawq(query_id, tok) AS (VALUES {_fuzzy_raw_values()}),
+cand AS (
+  SELECT rq.query_id, rq.tok, d.term,
+         levenshtein(rq.tok, d.term) AS dist, d.df
+  FROM rawq rq JOIN df d ON levenshtein(rq.tok, d.term) <= 2
+),
+corr AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, tok, term,
+           row_number() OVER (PARTITION BY query_id, tok
+                              ORDER BY dist ASC, df DESC, term ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+fscored AS (
+  SELECT CAST(c.query_id AS BIGINT) AS query_id, tf.doc_id AS doc_id,
+         SUM(
+           {_BM25_CONTRIB_SQL}
+         ) AS score
+  FROM corr c
+  JOIN tf ON tf.term = c.term
+  JOIN df ON df.term = c.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY c.query_id, tf.doc_id
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM fscored
+) WHERE rnk <= {TOPK_K}""",
         # weighted queries: boost folded into the idf factor first,
         # then the same contribution product — float-op-order-identical
         # to LocalScorer.score_all with boosts
