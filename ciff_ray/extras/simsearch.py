@@ -549,6 +549,107 @@ def q_embedding_centroids(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# ---------------------------------------------------------------------------
+# MMR diversification (greedy re-rank of a kNN candidate pool)
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 20
+
+
+def _mmr_select(
+    ids: np.ndarray, rel: np.ndarray, E: np.ndarray, k: int, lam: float
+) -> np.ndarray:
+    """Greedy Maximal Marginal Relevance over one candidate pool:
+    repeatedly pick argmax lam*rel - (1-lam)*max_sim_to_selected, ties
+    by ascending id.  Pool-sized (candidates x candidates) kernel —
+    pools are k-bounded, never corpus-bounded."""
+    n = ids.size
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    norms = np.linalg.norm(E, axis=1)
+    norms[norms == 0] = 1.0
+    En = E / norms[:, None]
+    sims = np.round(En @ En.T, 9)
+    chosen: list[int] = []
+    max_sim: np.ndarray | None = None  # None = no penalty yet (1st pick);
+    # afterwards the TRUE max (cosines can be negative, so no 0 floor)
+    picked = np.zeros(n, dtype=bool)
+    for _ in range(min(k, n)):
+        pen = max_sim if max_sim is not None else np.zeros(n)
+        score = np.round(lam * rel - (1.0 - lam) * pen, 9)
+        score_masked = np.where(picked, -np.inf, score)
+        best = np.flatnonzero(score_masked == score_masked.max())
+        sel = best[np.argmin(ids[best])]
+        chosen.append(sel)
+        picked[sel] = True
+        col = sims[:, sel]
+        max_sim = col.copy() if max_sim is None else np.maximum(max_sim, col)
+    return np.asarray(chosen, dtype=np.int64)
+
+
+def q_mmr_diversify(sf_dir: str) -> pa.Table:
+    """Diversified top-{TOP_K} (query_id, rank, vec_id): the exact
+    cosine top-{MMR_POOL} pool per query (knn_brute machinery), re-
+    ranked by greedy MMR (lambda={MMR_LAMBDA}) so near-duplicate
+    results are demoted.  Rows-only by design (greedy-iterative —
+    not SQL-expressible); pinned to a pure-Python oracle in
+    tests/test_extras_sim.py.
+
+    Shape: pool generation is the distributed GEMM path; the MMR
+    kernel then touches only queries x pool rows + one pushed-down
+    parquet read of pool vectors (both k-bounded, corpus-independent)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qref = ray.put(_query_matrix(path))
+    parts = (
+        ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(
+            _BatchTopK,
+            fn_constructor_args=(qref, MMR_POOL),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .take_all()
+    )
+    # global per-query pool with sims (small: queries x MMR_POOL)
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for r in parts:
+        by_q.setdefault(r["query_id"], []).append((r["sim"], r["vec_id"]))
+    pool_ids = sorted(
+        {
+            v
+            for cands in by_q.values()
+            for _, v in sorted(cands, key=lambda t: (-t[0], t[1]))[:MMR_POOL]
+        }
+    )
+    ptbl = pq.read_table(
+        path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", pool_ids)],
+    )
+    pids = ptbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    porder = np.argsort(pids)
+    pids = pids[porder]
+    PE = _embedding_matrix(ptbl["embedding"])[porder]
+    out_q, out_r, out_v = [], [], []
+    for qid in sorted(by_q):
+        cands = sorted(by_q[qid], key=lambda t: (-t[0], t[1]))[:MMR_POOL]
+        ids = np.array([v for _, v in cands], dtype=np.int64)
+        rel = np.array([s for s, _ in cands], dtype=np.float64)
+        rows = np.searchsorted(pids, ids)
+        sel = _mmr_select(ids, rel, PE[rows], TOP_K, MMR_LAMBDA)
+        for rank, i in enumerate(sel, 1):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_v.append(int(ids[i]))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+        }
+    )
+
+
 ORACLE_SQLS = {
     "knn_filtered": f"""WITH q AS (
   SELECT vec_id AS query_id, label, CAST(embedding AS DOUBLE[]) AS qe
@@ -604,4 +705,6 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "ann_ivf": q_ann_ivf,  # rows-only (approximate by design)
     "kmeans": q_kmeans,  # rows-only (iterative; numpy oracle in tests)
+    # rows-only (greedy-iterative; pure-Python oracle in tests)
+    "mmr_diversify": q_mmr_diversify,
 }

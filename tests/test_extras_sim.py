@@ -377,3 +377,57 @@ def test_order_lineitem_join_oracle_exact(ray_session):
     assert len(got) == len(exp)
     assert (got["revenue_r"].to_numpy() == exp["revenue_r"].to_numpy()).all()
     assert (got["n_items"].to_numpy() == exp["n_items"].to_numpy()).all()
+
+
+def test_mmr_diversify_matches_pure_python(ray_session):
+    """Greedy-MMR re-rank pinned to an independent pure-Python oracle
+    recomputed from the raw embeddings (pool generation included)."""
+    import pyarrow.parquet as pq
+
+    from ciff_ray.extras.dedup import _embedding_matrix
+    from ciff_ray.extras.simsearch import (
+        MMR_LAMBDA,
+        MMR_POOL,
+        N_QUERIES,
+        TOP_K,
+        q_mmr_diversify,
+    )
+
+    got = q_mmr_diversify(SF).to_pandas()
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    E = _embedding_matrix(tbl["embedding"])
+    order = np.argsort(ids)
+    ids, E = ids[order], E[order]
+    norms = np.linalg.norm(E, axis=1)
+    norms[norms == 0] = 1.0
+    En = E / norms[:, None]
+
+    for qid in range(N_QUERIES):
+        qrow = int(np.searchsorted(ids, qid))
+        sims = np.round(En @ En[qrow], 9)
+        cand = [(float(-s), int(v)) for s, v in zip(sims, ids) if v != qid]
+        cand.sort()
+        pool = cand[:MMR_POOL]
+        pool_ids = [v for _, v in pool]
+        rel = {v: -s for s, v in pool}
+        chosen: list[int] = []
+        while len(chosen) < TOP_K and len(chosen) < len(pool_ids):
+            best, best_score = None, None
+            for v in pool_ids:
+                if v in chosen:
+                    continue
+                vrow = int(np.searchsorted(ids, v))
+                ms = 0.0
+                if chosen:
+                    ms = max(
+                        float(np.round(En[vrow] @ En[int(np.searchsorted(ids, c))], 9))
+                        for c in chosen
+                    )
+                sc = round(MMR_LAMBDA * rel[v] - (1 - MMR_LAMBDA) * ms, 9)
+                if best_score is None or sc > best_score or (sc == best_score and v < best):
+                    best, best_score = v, sc
+            chosen.append(best)
+        mine = got[got.query_id == qid].sort_values("rank")["vec_id"].tolist()
+        assert mine == chosen, (qid, mine, chosen)
