@@ -20,6 +20,7 @@ from ciff_ray.extras import (
     eventjoin,
     fuzzy,
     graph,
+    pagerank,
     multimodal,
     relational,
     sampling,
@@ -37,6 +38,7 @@ QUERIES = {
     **multimodal.QUERIES,
     **sampling.QUERIES,
     **fuzzy.QUERIES,
+    **pagerank.QUERIES,
 }
 
 ORACLE_SQLS = {

@@ -1179,6 +1179,78 @@ def q_bm25_boosted(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# faceted retrieval (facet counts over the FULL match set per query)
+
+
+def _facet_partials(batch: pa.Table) -> pa.Table:
+    """(query_id, doc_id, score_r) match rows -> per-batch partial
+    facet counts (query_id, role_idx, n): the facet is the turn role,
+    derived from doc_id (synth rule _ROLES[doc_id % 4]) so no side
+    table ships; a real deployment reads a docmap metadata column."""
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "role_idx": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    q = batch["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = q * np.int64(4) + (d % 4)
+    ks, counts = np.unique(key, return_counts=True)
+    return pa.table(
+        {
+            "query_id": pa.array(ks // 4, type=pa.int64()),
+            "role_idx": pa.array(ks % 4, type=pa.int64()),
+            "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def _facet_final(group: pa.Table) -> pa.Table:
+    from ciff_ray.synth import _ROLES
+
+    q = group["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    r = group["role_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "query_id": pa.array(q, type=pa.int64()),
+            "role": pa.array([_ROLES[i] for i in r], type=pa.string()),
+            "n_hits": pa.array(n, type=pa.int64()),
+        }
+    )
+
+
+def q_bm25_facets(sf_dir: str) -> ray.data.Dataset:
+    """Faceted retrieval: per query, hit counts of the FULL BM25 match
+    set grouped by turn role — the facet panel next to search results.
+    Shape: the scorer actors stream match rows, per-batch partial
+    counts collapse them to (query x facet) rows, one tiny groupby
+    sums."""
+    from ray.data.aggregate import Sum
+
+    idx = ensure_index(sf_dir)
+    scored = (
+        _query_set_ds()
+        .repartition(4)
+        .map_batches(
+            _ScoreAllActor,
+            fn_constructor_args=(idx,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    )
+    return (
+        scored.map_batches(_facet_partials, batch_format="pyarrow")
+        .groupby(["query_id", "role_idx"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(_facet_final, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # fuzzy-corrected retrieval (spell correction -> BM25)
 
 # misspellings within lev<=2 of the documents vocabulary, plus one
@@ -2160,6 +2232,16 @@ hit AS (
 SELECT CAST(prefix_id AS BIGINT) AS prefix_id, CAST(rnk AS BIGINT) AS rank,
        term, CAST(df AS BIGINT) AS df
 FROM hit WHERE rnk <= {SUGGEST_K}""",
+        # facet panel: full match set (any query term -> score > 0,
+        # idf floored above 0) counted per role (synth rule
+        # _ROLES[doc_id % 4], same derivation as conv_stats)
+        "bm25_facets": f"""{T},
+{_bm25_scored_cte().lstrip()}
+SELECT query_id,
+       CASE doc_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+            WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM scored GROUP BY 1, 2""",
         # spell-corrected retrieval: each raw token corrects to the
         # vocab term with minimal (levenshtein, -df, term) at dist<=2
         # (an in-vocab token self-corrects at dist 0), uncorrectable

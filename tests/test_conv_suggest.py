@@ -91,3 +91,18 @@ def test_term_suggest_matches_oracle(ray_session):
     # the no-hit prefix yields nothing
     zzz = [i for i, p in enumerate(SUGGEST_PREFIXES) if p == "zzz"][0]
     assert (res["prefix_id"] == zzz).sum() == 0
+
+
+def test_bm25_facets_matches_oracle(ray_session):
+    from ciff_ray.pipelines import oracle_sqls, q_bm25_facets, q_bm25_scores
+
+    res = q_bm25_facets(SF).to_pandas()
+    ora = _oracle(SF, oracle_sqls()["bm25_facets"])
+    pd.testing.assert_frame_equal(
+        _canon(res), _canon(ora), check_dtype=False
+    )
+    # facet counts sum to the full match-set size per query
+    scores = q_bm25_scores(SF).to_pandas()
+    got = res.groupby("query_id")["n_hits"].sum().to_dict()
+    want = scores.groupby("query_id").size().to_dict()
+    assert got == want
