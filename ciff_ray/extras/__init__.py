@@ -20,11 +20,12 @@ from ciff_ray.extras import (
     eventjoin,
     fuzzy,
     graph,
-    pagerank,
     multimodal,
+    pagerank,
     relational,
     sampling,
     simsearch,
+    sketch,
     textstats,
 )
 
@@ -39,6 +40,7 @@ QUERIES = {
     **sampling.QUERIES,
     **fuzzy.QUERIES,
     **pagerank.QUERIES,
+    **sketch.QUERIES,
 }
 
 ORACLE_SQLS = {

@@ -1,0 +1,79 @@
+"""HyperLogLog distinct-count sketches: error bound vs exact DuckDB
+counts, register-merge associativity, and exact floor-log2 kernel."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+SF = "/root/testdata/sf0.01"
+
+_EXACT_SQL = {
+    "terms": """WITH tok AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents)
+SELECT count(DISTINCT term) FROM tok WHERE term <> ''""",
+    "postings": """WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents)
+SELECT count(DISTINCT (doc_id, term)) FROM tok WHERE term <> ''""",
+    "shingles": """WITH tokl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS t
+  FROM documents),
+tokpos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM tokl)
+SELECT count(DISTINCT a.term || ' ' || b.term || ' ' || c.term)
+FROM tokpos a
+JOIN tokpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+JOIN tokpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2""",
+}
+
+
+def test_floor_log2_exact():
+    from ciff_ray.extras.sketch import _floor_log2_u64
+
+    # values where float64 log2 rounds across the power-of-2 boundary
+    xs = np.array(
+        [1, 2, 3, (1 << 53) - 1, (1 << 63) - 1, 1 << 63, (1 << 64) - 1],
+        dtype=np.uint64,
+    )
+    got = _floor_log2_u64(xs)
+    want = np.array([x.bit_length() - 1 for x in xs.tolist()])
+    assert (got == want).all()
+
+
+def test_hll_error_bound_vs_exact(ray_session):
+    from ciff_ray.extras.sketch import q_approx_distinct
+
+    got = {
+        r["scope"]: r["n_est"]
+        for r in q_approx_distinct(SF).take_all()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    for scope, sql in _EXACT_SQL.items():
+        exact = con.execute(sql).fetchone()[0]
+        err = abs(got[scope] - exact) / max(exact, 1)
+        assert err < 0.05, (scope, got[scope], exact)
+
+
+def test_hll_merge_associative():
+    """max-merging per-half registers equals the single-pass sketch."""
+    from ciff_ray.extras.sketch import HLL_M, _hll_update, hll_estimate
+
+    rng = np.random.default_rng(11)
+    h = rng.integers(0, 2**64, size=20000, dtype=np.uint64)
+    full = np.zeros(HLL_M, dtype=np.uint8)
+    _hll_update(full, h)
+    a = np.zeros(HLL_M, dtype=np.uint8)
+    b = np.zeros(HLL_M, dtype=np.uint8)
+    _hll_update(a, h[:9999])
+    _hll_update(b, h[9999:])
+    assert (np.maximum(a, b) == full).all()
+    # sanity: estimate of ~20k uniques within 5%
+    est = hll_estimate(full)
+    assert abs(est - 20000) / 20000 < 0.05
