@@ -930,6 +930,138 @@ def q_dedup_embedding(
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup — new batch vs the existing corpus
+
+INCR_BATCH_MOD = 10  # "new batch" = docs with doc_id % 10 == 3
+INCR_BATCH_REM = 3
+
+
+class IncrDedupStage:
+    """corpus batches -> (new_doc_id, dup_of) rows: for every NEW doc
+    whose content key (the {KEY_PREFIX_CHARS}-char normalized-prefix
+    fingerprint, the same near-dup screen as dedup_by_key) already
+    exists in the corpus, the smallest matching corpus doc_id.
+
+    Shape (the ingest-time dedup every growing corpus runs): the NEW
+    batch is the small side — its 16-byte content keys broadcast once
+    (``ray.put`` in the driver, fetched per actor in ``__init__``) —
+    and the EXISTING corpus streams through map_batches; no shuffle.
+    At 10^12 corpus docs the corpus side stays a scan; only new-batch
+    keys (bounded by the ingest batch size) are resident."""
+
+    _EMPTY = pa.schema(
+        [("new_doc_id", pa.int64()), ("dup_of", pa.int64())]
+    ).empty_table()
+
+    def __init__(self, keys_ref):
+        # (sorted UNIQUE new-batch keys, run offsets, new doc_ids
+        # grouped by key) — duplicate new-batch contents share a key
+        # run, so a corpus hit fans out to every new doc with that key
+        self.keys, self.offsets, self.new_ids = ray.get(keys_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        corpus_mask = ids % INCR_BATCH_MOD != INCR_BATCH_REM
+        batch = batch.filter(pa.array(corpus_mask))
+        if len(batch) == 0 or self.keys.size == 0:
+            return self._EMPTY
+        k = _content_key(batch)
+        pos = np.searchsorted(self.keys, k)
+        pos_c = np.minimum(pos, max(self.keys.size - 1, 0))
+        hit = np.flatnonzero(self.keys[pos_c] == k)
+        if hit.size == 0:
+            return self._EMPTY
+        corpus_ids = ids[corpus_mask][hit]
+        runs = pos_c[hit]
+        starts = self.offsets[runs]
+        ends = self.offsets[runs + 1]
+        lens = ends - starts
+        new_rows = _ranges(starts, ends)
+        matched_new = self.new_ids[new_rows]
+        corpus_rep = np.repeat(corpus_ids, lens)
+        # per-batch partial min corpus id per new doc (the global min
+        # is one tiny groupby downstream)
+        order = np.lexsort((corpus_rep, matched_new))
+        mn, ci = matched_new[order], corpus_rep[order]
+        first = np.concatenate([[True], mn[1:] != mn[:-1]])
+        return pa.table(
+            {
+                "new_doc_id": pa.array(mn[first], type=pa.int64()),
+                "dup_of": pa.array(ci[first], type=pa.int64()),
+            }
+        )
+
+
+def _content_key(batch: pa.Table) -> np.ndarray:
+    """128-bit key of the {KEY_PREFIX_CHARS}-char normalized-text
+    prefix as 16 big-endian bytes viewed as void16 — lexicographically
+    sortable and exactly comparable (no lossy fold)."""
+    norm = pc.utf8_slice_codeunits(
+        _normalize(batch["text"]), 0, KEY_PREFIX_CHARS
+    )
+    k1 = _xxhash64(norm, seed=0x9E3779B97F4A7C15)
+    k2 = _xxhash64(norm, seed=0xC2B2AE3D27D4EB4F)
+    b = np.empty((k1.size, 2), dtype=">u8")
+    b[:, 0] = k1
+    b[:, 1] = k2
+    return b.reshape(-1).view(np.dtype((np.void, 16)))
+
+
+def q_dedup_incremental(sf_dir: str) -> ray.data.Dataset:
+    """Ingest-time dedup: every NEW-batch doc (doc_id % 10 == 3) whose
+    prefix fingerprint already exists in the corpus, with the smallest
+    matching corpus doc_id.  New-batch keys broadcast; corpus streams."""
+
+    def new_keys(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sub = t.filter(pa.array(ids % INCR_BATCH_MOD == INCR_BATCH_REM))
+        k = _content_key(sub)
+        return pa.table(
+            {
+                "k": pa.array(k.view(np.uint8).reshape(-1, 16).tolist(),
+                              type=pa.list_(pa.uint8(), 16)),
+                "doc_id": sub["doc_id"],
+            }
+        )
+
+    parts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(new_keys, batch_format="pyarrow")
+        .take_all()
+    )
+    if parts:
+        keys = np.array(
+            [bytes(r["k"]) for r in parts], dtype=np.dtype((np.void, 16))
+        )
+        ids = np.array([r["doc_id"] for r in parts], dtype=np.int64)
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        new_run = np.concatenate([[True], keys[1:] != keys[:-1]])
+        uniq = keys[new_run]
+        offsets = np.concatenate(
+            [np.flatnonzero(new_run), [keys.size]]
+        ).astype(np.int64)
+    else:
+        uniq = np.empty(0, dtype=np.dtype((np.void, 16)))
+        offsets = np.zeros(1, dtype=np.int64)
+        ids = np.empty(0, dtype=np.int64)
+    keys_ref = ray.put((uniq, offsets, ids))
+    from ray.data.aggregate import Min as _Min
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            IncrDedupStage,
+            fn_constructor_args=(keys_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .groupby("new_doc_id")
+        .aggregate(_Min("dup_of", alias_name="dup_of"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination — n-gram overlap against a held-out set
 
 DECON_BENCH_MOD = 20  # benchmark set = docs with doc_id % 20 == 0
@@ -1251,6 +1383,17 @@ SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM sh0 s JOIN bench b ON s.sh = b.sh
 WHERE s.doc_id % {DECON_BENCH_MOD} <> 0
 GROUP BY s.doc_id""",
+    "dedup_incremental": f"""WITH norm AS (
+  SELECT doc_id, substr({NORM_SQL}, 1, {KEY_PREFIX_CHARS}) AS nt
+  FROM documents
+),
+newb AS (SELECT doc_id, nt FROM norm
+         WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}),
+corp AS (SELECT doc_id, nt FROM norm
+         WHERE doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM})
+SELECT n.doc_id AS new_doc_id, min(c.doc_id) AS dup_of
+FROM newb n JOIN corp c ON n.nt = c.nt
+GROUP BY n.doc_id""",
     "dedup_embedding": f"""SELECT x.vec_id AS a, y.vec_id AS b,
        round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                                     CAST(y.embedding AS DOUBLE[])), 6) AS cos_r
@@ -1262,6 +1405,7 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_by_key": q_dedup_by_key,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,  # rows-only

@@ -293,3 +293,59 @@ def test_embedding_ann_recall_and_subquadratic(ray_session):
     assert s_big["k"] > s_small["k"]
     assert frac_big < frac_small  # scanned share shrinks with N
     assert frac_big < 0.75  # strictly below the exact sweep at N=2000
+
+
+def test_dedup_incremental_matches_oracle(ray_session):
+    """Ingest-time dedup (new batch vs corpus) vs the DuckDB oracle,
+    plus the fan-out edge: duplicate new-batch contents must BOTH be
+    reported (exercised via the stage kernel directly)."""
+    import duckdb
+    import pandas as pd
+
+    from ciff_ray.extras.dedup import ORACLE_SQLS, q_dedup_incremental
+
+    res = q_dedup_incremental(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    ora = con.execute(ORACLE_SQLS["dedup_incremental"]).df()
+    canon = lambda df: df[sorted(df.columns)].sort_values(
+        by=sorted(df.columns), ignore_index=True
+    )
+    pd.testing.assert_frame_equal(canon(res), canon(ora), check_dtype=False)
+
+
+def test_incr_stage_duplicate_new_keys(ray_session):
+    """Two new docs with identical keys must both match a corpus hit,
+    and per-batch partial mins must reduce globally."""
+    import pyarrow as pa
+    import ray
+
+    from ciff_ray.extras.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_REM,
+        IncrDedupStage,
+        _content_key,
+    )
+
+    text = "identical content here for the incremental dedup test"
+    new_ids = np.array(
+        [INCR_BATCH_REM, INCR_BATCH_MOD + INCR_BATCH_REM], dtype=np.int64
+    )
+    kt = pa.table({"doc_id": pa.array(new_ids), "text": pa.array([text, text])})
+    keys = _content_key(kt)
+    uniq = keys[:1]
+    offsets = np.array([0, 2], dtype=np.int64)
+    ref = ray.put((uniq, offsets, new_ids))
+    stage = IncrDedupStage(ref)
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([4, 6], type=pa.int64()),
+            "text": pa.array([text, text]),
+        }
+    )
+    out = stage(corpus).to_pandas()
+    # both new docs matched; per-batch min corpus id is 4
+    assert sorted(out["new_doc_id"].tolist()) == new_ids.tolist()
+    assert set(out["dup_of"]) == {4}
