@@ -88,6 +88,10 @@ class BuildParams:
     num_salts: int = 8
     sample_frac: float = 0.1
     description: str = ""
+    # term analyzer applied after tokenization ("" = none; "porter" =
+    # ciff_ray.analysis Porter stemmer).  Recorded in the manifest so
+    # the query side analyzes identically.
+    analyzer: str = ""
     # CPU slots each partition-writer task reserves.  The writers are
     # memory-bandwidth-bound (stream decode + k-way merge + re-encode);
     # >1 slot caps how many run concurrently per node so they don't
@@ -203,7 +207,8 @@ def _binary_values(arr) -> np.ndarray:
 
 
 def invert_partial(
-    batch: pa.Table, *, heavy_ref, num_partitions: int, salt_range: int
+    batch: pa.Table, *, heavy_ref, num_partitions: int, salt_range: int,
+    analyzer: str = ""
 ) -> pa.Table:
     """(doc_id, text) batch -> per-batch PARTIAL POSTING LISTS
     (partition_id, term, salt, doc_ids:list, tfs:list) — the combiner.
@@ -226,7 +231,7 @@ def invert_partial(
     heavy_set: dict[str, int] = ray.get(heavy_ref) if heavy_ref is not None else {}
     salt_range = max(1, salt_range)
     nrows = len(batch)
-    term_dict, idx, flat_rows = token_ids(batch["text"])
+    term_dict, idx, flat_rows = token_ids(batch["text"], analyzer)
     if len(term_dict) == 0:
         return _PARTIAL_SCHEMA.empty_table()
     uniq = term_dict.to_pylist()
@@ -836,7 +841,7 @@ _STATS_SCHEMA = pa.schema(
 )
 
 
-def stats_partials(batch: pa.Table) -> pa.Table:
+def stats_partials(batch: pa.Table, *, analyzer: str = "") -> pa.Table:
     """ONE narrow pass — one tokenize of the input — computing every
     small-aggregate input of the build (SURVEY.md §7 "cheap barrier"):
 
@@ -871,7 +876,7 @@ def stats_partials(batch: pa.Table) -> pa.Table:
         )
     ]
     nrows = len(batch)
-    term_dict, t_idx_all, flat_rows = token_ids(batch["text"])
+    term_dict, t_idx_all, flat_rows = token_ids(batch["text"], analyzer)
     # doclength per turn = token count (Σ tf; empty turns stay 0)
     dl = np.bincount(flat_rows, minlength=nrows).astype(np.int32)
     parts.append(
@@ -1067,7 +1072,11 @@ def build_index(
     # per-turn docmap partials, and the exact total token count.  The
     # driver fetches only the small conv/heavy rows (per-block remote
     # pre-filter); the fat docmap partials stay in the object store. ---
-    stats_ds = ds.map_batches(stats_partials, batch_format="pyarrow").materialize()
+    stats_ds = ds.map_batches(
+        stats_partials,
+        fn_kwargs={"analyzer": params.analyzer},
+        batch_format="pyarrow",
+    ).materialize()
     stat_blocks = stats_ds.to_arrow_refs()
     _mark("pass_a_stats")
     # conv-partial combine runs distributed over disjoint hash shards;
@@ -1168,6 +1177,7 @@ def build_index(
             "heavy_ref": heavy_ref,
             "num_partitions": params.num_partitions,
             "salt_range": salt_range,
+            "analyzer": params.analyzer,
         },
         batch_format="pyarrow",
     )
@@ -1206,6 +1216,7 @@ def build_index(
         block_size=params.block_size,
         input_fingerprint=input_fingerprint,
         heavy_terms=heavy,
+        analyzer=params.analyzer,
     )
     manifest.write(paths.manifest)
     return manifest
@@ -1242,6 +1253,13 @@ class IndexBuilder:
 
     def bm25(self, k1: float, b: float) -> "IndexBuilder":
         self._params.k1, self._params.b = k1, b
+        return self
+
+    def analyzer(self, name: str) -> "IndexBuilder":
+        from ciff_ray.analysis import get_analyzer
+
+        get_analyzer(name)  # fail fast on unknown names
+        self._params.analyzer = name
         return self
 
     def salting(self, heavy_df_frac: float, num_salts: int) -> "IndexBuilder":

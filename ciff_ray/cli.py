@@ -36,6 +36,8 @@ def cmd_build(args) -> None:
     )
     if args.description:
         b.description(args.description)
+    if args.analyzer:
+        b.analyzer(args.analyzer)
     manifest = b.convert()
     print(json.dumps({"num_docs": manifest.num_docs,
                       "num_postings_lists": manifest.num_postings_lists,
@@ -178,6 +180,8 @@ def main(argv=None) -> None:
     b.add_argument("input")
     b.add_argument("output")
     b.add_argument("--partitions", type=int, default=32)
+    b.add_argument("--analyzer", default="",
+                   help="term analyzer, e.g. porter (default: none)")
     b.add_argument("--k1", type=float, default=0.9)
     b.add_argument("--b", type=float, default=0.4)
     b.add_argument("--description", default="")

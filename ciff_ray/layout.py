@@ -91,6 +91,9 @@ class Manifest:
     block_size: int = 128
     input_fingerprint: str = ""
     heavy_terms: dict = field(default_factory=dict)  # term -> num_salts
+    # term analyzer name ("" = none); query terms are analyzed with the
+    # SAME function so build and serve can never disagree
+    analyzer: str = ""
 
     def write(self, path: str) -> None:
         tmp = path + ".tmp"

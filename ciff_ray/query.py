@@ -248,6 +248,13 @@ class LocalScorer:
         self._doc_filter = doc_filter
         self.paths = IndexPaths(index_dir)
         self.manifest = Manifest.read(self.paths.manifest)
+        from ciff_ray.analysis import get_analyzer
+
+        # the index's term analyzer (manifest-recorded): query tokens
+        # are analyzed with the SAME function the build used, exactly
+        # once (Porter is not idempotent — stored terms are looked up
+        # verbatim, never re-stemmed)
+        self._analyze = get_analyzer(getattr(self.manifest, "analyzer", ""))
         self.params = params or BM25Params(self.manifest.k1, self.manifest.b)
         # pruning bounds (block_max/max_score) were computed with the
         # build-time (k1, b); with different query params they are not
@@ -327,6 +334,14 @@ class LocalScorer:
         self._dense_cache_cap = 256_000_000
 
     # -- index access ----------------------------------------------------
+
+    def _query_terms(self, query: str) -> list[str]:
+        """Distinct analyzed query terms in byte order — the single
+        tokenize path every scoring mode shares."""
+        toks = tokenize(query)
+        if self._analyze is not None:
+            toks = [self._analyze(t) for t in toks]
+        return sorted(set(toks), key=lambda s: s.encode())
 
     def _term_stat(self, term: str) -> tuple[int, int, float] | None:
         """(df, cf, max_score) via binary search over the term-sorted
@@ -476,7 +491,7 @@ class LocalScorer:
         so the float op order stays oracle-identical."""
         terms = [
             t
-            for t in sorted(set(tokenize(query)), key=lambda s: s.encode())
+            for t in self._query_terms(query)
             if self._term_stat(t) is not None
         ]
         if not terms:
@@ -648,7 +663,7 @@ class LocalScorer:
         """Exact top-k with MaxScore pruning; returns None to fall back."""
         terms = [
             t
-            for t in sorted(set(tokenize(query)), key=lambda s: s.encode())
+            for t in self._query_terms(query)
             if self._term_stat(t) is not None
         ]
         if len(terms) < 2:
@@ -740,7 +755,7 @@ class LocalScorer:
         None to fall back when pruning cannot win."""
         terms = [
             t
-            for t in sorted(set(tokenize(query)), key=lambda s: s.encode())
+            for t in self._query_terms(query)
             if self._term_stat(t) is not None
         ]
         if len(terms) < 2:

@@ -75,12 +75,17 @@ def term_frequencies(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
     )
 
 
-def token_ids(text) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+def token_ids(text, analyzer: str = "") -> tuple[pa.Array, np.ndarray, np.ndarray]:
     """(term dictionary, per-token term index, per-token row index) for a
     text column.  (A byte-level ASCII fast path was measured here and
     REVERTED: its 2-D gather of fixed-width token keys looked fine
     single-stream but collapsed under full-node concurrency — RE2 split
-    + Arrow dictionary hashing stream caches far better.)"""
+    + Arrow dictionary hashing stream caches far better.)
+
+    ``analyzer`` (e.g. "porter", see ciff_ray.analysis) is applied to
+    the DICTIONARY — once per unique term of the batch, vocabulary-
+    scale — and variants collapsing to one stem merge via an index
+    remap; token count (doclength) is unaffected."""
     toks = tokenize_column(text)
     n = len(toks)
     flat_terms, flat_rows = flatten_tokens(toks, np.arange(n, dtype=np.int64))
@@ -91,11 +96,14 @@ def token_ids(text) -> tuple[pa.Array, np.ndarray, np.ndarray]:
             np.empty(0, np.int64),
         )
     dict_arr = pc.dictionary_encode(flat_terms)
-    return (
-        dict_arr.dictionary,
-        dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64),
-        flat_rows.astype(np.int64),
-    )
+    idx = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = dict_arr.dictionary
+    if analyzer:
+        from ciff_ray.analysis import analyze_dictionary
+
+        dictionary, remap = analyze_dictionary(dictionary, analyzer)
+        idx = remap[idx]
+    return (dictionary, idx, flat_rows.astype(np.int64))
 
 
 def doc_lengths(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
