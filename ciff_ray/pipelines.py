@@ -69,14 +69,18 @@ def index_dir_for(sf_dir: str) -> str:
     return os.path.join(cache_root(), "index", _sf_fingerprint(sf_dir))
 
 
-def ensure_index(sf_dir: str) -> str:
+def ensure_index(sf_dir: str, analyzer: str = "") -> str:
     out = index_dir_for(sf_dir)
+    if analyzer:
+        out = f"{out}-{analyzer}"
     paths = IndexPaths(out)
     if not os.path.exists(paths.manifest):
         build_index(
             transcripts_dataset(sf_dir),
             out,
-            BuildParams(num_partitions=16, sample_frac=1.0),
+            BuildParams(
+                num_partitions=16, sample_frac=1.0, analyzer=analyzer
+            ),
             input_fingerprint=_sf_fingerprint(sf_dir),
         )
     return out
@@ -538,6 +542,19 @@ def q_bm25_topk(sf_dir: str) -> ray.data.Dataset:
     set (north_rule correctness gate) — the distributed serving path
     (QueryEngine.score_dataset actor pool)."""
     idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    return eng.score_dataset(
+        _query_set_ds().repartition(4), k=TOPK_K, concurrency=(1, 4)
+    ).select_columns(["query_id", "rank", "doc_id"])
+
+
+def q_bm25_topk_stemmed(sf_dir: str) -> ray.data.Dataset:
+    """Top-k over a Porter-STEMMED index (the analyzer hook end to
+    end): morphological query variants land on merged stems.  Rows-only
+    by design — SQL cannot stem — correctness is pinned by
+    tests/test_analyzer_index.py (postings vs an independent
+    reconstruction) and the invariant tests below it."""
+    idx = ensure_index(sf_dir, analyzer="porter")
     eng = QueryEngine(idx)
     return eng.score_dataset(
         _query_set_ds().repartition(4), k=TOPK_K, concurrency=(1, 4)
