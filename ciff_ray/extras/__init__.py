@@ -53,4 +53,6 @@ ORACLE_SQLS = {
     **multimodal.ORACLE_SQLS,
     **sampling.ORACLE_SQLS,
     **fuzzy.ORACLE_SQLS,
+    **pagerank.ORACLE_SQLS,
+    **sketch.ORACLE_SQLS,
 }

@@ -168,5 +168,196 @@ def q_approx_distinct(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-QUERIES = {"approx_distinct": q_approx_distinct}  # rows-only (approximate)
-ORACLE_SQLS: dict[str, str] = {}
+# ---------------------------------------------------------------------------
+# certified-exact top-K frequent terms (Misra-Gries screen + verify)
+#
+# The streaming-top-K shape (cf. "Top-K Frequent Term Queries on
+# Streaming Data", ICDE 2019): pass 1 builds a MERGEABLE Misra-Gries
+# summary (per-batch exact counts pruned to MG_CAP with the subtract
+# rule; every prune adds its subtracted value to an explicit error
+# budget B, so for every term true-B <= est <= true and any term
+# OUTSIDE the summary has true <= B).  Pass 2 exactly counts the <=
+# MG_CAP candidates (broadcast set, one streaming is_in pass).  If the
+# K-th exact candidate count >= B the top-K is PROVABLY exact (any
+# non-candidate is <= B); otherwise the query falls back to the full
+# exact aggregation — the result is exact either way, which is what
+# lets it carry a plain SQL oracle.
+
+MG_CAP = 64
+TOPK_TERMS = 10
+
+
+def _mg_prune(
+    terms: np.ndarray, counts: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Prune a summary to <= cap counters via the Misra-Gries subtract
+    rule; returns (terms, counts, subtracted)."""
+    if terms.size <= cap:
+        return terms, counts, 0
+    kth = np.partition(counts, counts.size - cap - 1)[counts.size - cap - 1]
+    kept = counts - kth
+    keep = kept > 0
+    return terms[keep], kept[keep], int(kth)
+
+
+def _mg_partials(batch: pa.Table) -> pa.Table:
+    """One documents batch -> its pruned MG summary rows (term, est);
+    the batch's token count and prune-subtracted value ride as two
+    sentinel rows (term '' and '\\x01' — neither can be a real token,
+    the tokenizer never emits empties or control chars)."""
+    from ciff_ray.tokenizer import token_ids
+
+    term_dict, idx, _rows = token_ids(batch["text"])
+    n_tok = int(idx.size)
+    if n_tok == 0:
+        terms = np.empty(0, dtype=object)
+        counts = np.empty(0, dtype=np.int64)
+        sub = 0
+    else:
+        counts = np.bincount(idx, minlength=len(term_dict)).astype(np.int64)
+        terms = np.array(term_dict.to_pylist(), dtype=object)
+        terms, counts, sub = _mg_prune(terms, counts, MG_CAP)
+    out_terms = np.concatenate([terms, ["", "\x01"]])
+    out_counts = np.concatenate([counts, [n_tok, sub]]).astype(np.int64)
+    return pa.table(
+        {
+            "term": pa.array(out_terms.tolist(), type=pa.string()),
+            "est": pa.array(out_counts, type=pa.int64()),
+        }
+    )
+
+
+class _ExactCountStage:
+    """Pass 2: exact per-batch counts of the broadcast candidate set."""
+
+    def __init__(self, cand_ref):
+        self.cands = ray.get(cand_ref)  # sorted numpy object array
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ciff_ray.tokenizer import token_ids
+
+        term_dict, idx, _rows = token_ids(batch["text"])
+        if len(term_dict) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "cf": pa.array([], type=pa.int64()),
+                }
+            )
+        counts = np.bincount(idx, minlength=len(term_dict)).astype(np.int64)
+        terms = np.array(term_dict.to_pylist(), dtype=object)
+        pos = np.searchsorted(self.cands, terms)
+        pos_c = np.minimum(pos, max(self.cands.size - 1, 0))
+        hit = (self.cands[pos_c] == terms) if self.cands.size else np.zeros(
+            terms.size, bool
+        )
+        return pa.table(
+            {
+                "term": pa.array(terms[hit].tolist(), type=pa.string()),
+                "cf": pa.array(counts[hit], type=pa.int64()),
+            }
+        )
+
+
+def q_top_terms(sf_dir: str) -> pa.Table:
+    """EXACT global top-{TOPK_TERMS} terms by collection frequency
+    (rank, term, cf), computed via the certified Misra-Gries screen —
+    and via the full exact aggregation only if the certificate ever
+    fails (it cannot on Zipf-shaped text with MG_CAP >> K)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    rows = docs.map_batches(
+        _mg_partials, batch_format="pyarrow"
+    ).take_all()
+    # driver merge: sum ests by term, accumulate the error budget
+    agg: dict[str, int] = {}
+    budget = 0
+    for r in rows:
+        t = r["term"]
+        if t == "":
+            continue
+        elif t == "\x01":
+            budget += int(r["est"])
+        else:
+            agg[t] = agg.get(t, 0) + int(r["est"])
+    terms = np.array(list(agg.keys()), dtype=object)
+    ests = np.array(list(agg.values()), dtype=np.int64)
+    terms, ests, sub = _mg_prune(terms, ests, MG_CAP)
+    budget += sub
+    order = np.argsort(terms)
+    cand_ref = ray.put(terms[order])
+    parts = docs.map_batches(
+        _ExactCountStage,
+        fn_constructor_args=(cand_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).take_all()
+    exact: dict[str, int] = {}
+    for r in parts:
+        exact[r["term"]] = exact.get(r["term"], 0) + int(r["cf"])
+    ranked = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = ranked[:TOPK_TERMS]
+    certified = len(top) == TOPK_TERMS and top[-1][1] >= budget
+    if not certified:
+        # exact fallback: full (term, cf) aggregation — same result
+        # contract, no screen
+        from ray.data.aggregate import Sum
+
+        full = (
+            docs.map_batches(_exact_tf_rows, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("cf", alias_name="cf"))
+            .take_all()
+        )
+        ranked = sorted(
+            ((r["term"], int(r["cf"])) for r in full),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        top = ranked[:TOPK_TERMS]
+    return pa.table(
+        {
+            "rank": pa.array(
+                np.arange(1, len(top) + 1, dtype=np.int64), type=pa.int64()
+            ),
+            "term": pa.array([t for t, _ in top], type=pa.string()),
+            "cf": pa.array([c for _, c in top], type=pa.int64()),
+        }
+    )
+
+
+def _exact_tf_rows(batch: pa.Table) -> pa.Table:
+    from ciff_ray.tokenizer import token_ids
+
+    term_dict, idx, _rows = token_ids(batch["text"])
+    if len(term_dict) == 0:
+        return pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "cf": pa.array([], type=pa.int64()),
+            }
+        )
+    counts = np.bincount(idx, minlength=len(term_dict)).astype(np.int64)
+    return pa.table(
+        {
+            "term": pa.array(term_dict, type=pa.string()),
+            "cf": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+TOP_TERMS_SQL = f"""SELECT CAST(rnk AS BIGINT) AS rank, term, cf FROM (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf,
+         row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rnk
+  FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+    FROM documents
+  ) WHERE term <> '' GROUP BY term
+) WHERE rnk <= {TOPK_TERMS}"""
+
+
+QUERIES = {
+    "approx_distinct": q_approx_distinct,  # rows-only (approximate)
+    "top_terms": q_top_terms,
+}
+ORACLE_SQLS: dict[str, str] = {"top_terms": TOP_TERMS_SQL}

@@ -77,3 +77,51 @@ def test_hll_merge_associative():
     # sanity: estimate of ~20k uniques within 5%
     est = hll_estimate(full)
     assert abs(est - 20000) / 20000 < 0.05
+
+
+def test_mg_prune_invariants():
+    """Subtract-rule prune: estimates only DECREASE (underestimate
+    invariant), survivors <= cap, subtracted value reported."""
+    from ciff_ray.extras.sketch import _mg_prune
+
+    terms = np.array([f"t{i}" for i in range(10)], dtype=object)
+    counts = np.arange(1, 11, dtype=np.int64)  # 1..10
+    t2, c2, sub = _mg_prune(terms, counts, 4)
+    assert t2.size <= 4
+    assert sub == 6  # the 5th-largest count
+    # survivors are the top-4 with 6 subtracted
+    assert dict(zip(t2.tolist(), c2.tolist())) == {
+        "t6": 1, "t7": 2, "t8": 3, "t9": 4
+    }
+    # no-op below cap
+    t3, c3, sub3 = _mg_prune(terms[:3], counts[:3], 4)
+    assert sub3 == 0 and t3.size == 3
+
+
+def test_top_terms_matches_exact(ray_session):
+    """Certified MG screen == brute-force exact top-K (and the
+    certificate holds on this corpus)."""
+    import duckdb
+
+    from ciff_ray.extras.sketch import TOP_TERMS_SQL, q_top_terms
+
+    got = q_top_terms("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = con.execute(TOP_TERMS_SQL).df()
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["cf"].tolist() == want["cf"].tolist()
+
+
+def test_top_terms_fallback_exactness(ray_session, monkeypatch):
+    """Force the certificate to fail (cap K at a huge budget) — the
+    fallback full aggregation must produce the identical result."""
+    import ciff_ray.extras.sketch as sk
+
+    normal = sk.q_top_terms("/root/testdata/sf0.001").to_pandas()
+    monkeypatch.setattr(sk, "MG_CAP", 1)  # budget explodes -> fallback
+    fell_back = sk.q_top_terms("/root/testdata/sf0.001").to_pandas()
+    assert normal.equals(fell_back)
