@@ -176,7 +176,7 @@ sp AS (
   SELECT query_id, doc_id, rnk FROM (
     SELECT query_id, doc_id,
            row_number() OVER (PARTITION BY query_id
-                              ORDER BY score DESC, doc_id ASC) AS rnk
+                              ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
     FROM scored
   ) WHERE rnk <= {POOL}
 ),

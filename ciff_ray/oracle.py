@@ -122,5 +122,8 @@ class OracleIndex:
         self, query: str, k: int = 10, k1: float = K1_DEFAULT, b: float = B_DEFAULT
     ) -> list[tuple[int, float]]:
         scores = self.bm25_scores(query, k1=k1, b=b)
-        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        # rank on 9-dp-rounded scores — the engine's _rank key
+        ranked = sorted(
+            scores.items(), key=lambda kv: (-round(kv[1], 9), kv[0])
+        )
         return ranked[:k]

@@ -2168,7 +2168,7 @@ scored AS (
 SELECT seed AS seed_doc_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   SELECT seed, doc_id,
          row_number() OVER (PARTITION BY seed
-                            ORDER BY score DESC, doc_id ASC) AS rnk
+                            ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
   FROM scored WHERE doc_id <> seed
 ) WHERE rnk <= {TOPK_K}""",
         "role_top_terms": f"""{T},
@@ -2216,7 +2216,7 @@ SELECT query_id, doc_id, round(score, 6) AS score_r FROM scored""",
 SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id ASC) AS rnk
+                            ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
   FROM scored
 ) WHERE rnk <= {TOPK_K}""",
         # max-passage conversation retrieval: per-turn 6dp-rounded BM25
@@ -2293,7 +2293,7 @@ fscored AS (
 SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id FROM (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id ASC) AS rnk
+                            ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
   FROM fscored
 ) WHERE rnk <= {TOPK_K}""",
         # weighted queries: boost folded into the idf factor first,
@@ -2319,7 +2319,7 @@ scored AS (
 SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id ASC) AS rnk
+                            ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
   FROM scored
 ) WHERE rnk <= {TOPK_K}""",
         # pseudo-relevance feedback: integer vote rule (summed tf over
@@ -2331,7 +2331,7 @@ topk AS (
   SELECT query_id, doc_id FROM (
     SELECT query_id, doc_id,
            row_number() OVER (PARTITION BY query_id
-                              ORDER BY score DESC, doc_id ASC) AS rnk
+                              ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
     FROM scored
   ) WHERE rnk <= {FEEDBACK_DOCS}
 ),
@@ -2370,7 +2370,7 @@ scored2 AS (
 SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id ASC) AS rnk
+                            ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
   FROM scored2
 ) WHERE rnk <= {TOPK_K}""",
         # metadata-filtered retrieval: ranking restricted to assistant
@@ -2382,7 +2382,7 @@ SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
 SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id ASC) AS rnk
+                            ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
   FROM scored WHERE doc_id % 4 = 1
 ) WHERE rnk <= {TOPK_K}""",
         # result decoration: ±30-char window around the first (min over
@@ -2393,7 +2393,7 @@ topk AS (
   SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
     SELECT query_id, doc_id,
            row_number() OVER (PARTITION BY query_id
-                              ORDER BY score DESC, doc_id ASC) AS rnk
+                              ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
     FROM scored
   ) WHERE rnk <= {TOPK_K}
 ),
@@ -2424,7 +2424,7 @@ surv AS (
 SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id ASC) AS rnk
+                            ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
   FROM scored
 ) WHERE rnk <= {TOPK_K}""",
         # the scatter-gather sharded serving path must be rank-identical
@@ -2434,7 +2434,7 @@ SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
 SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id ASC) AS rnk
+                            ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
   FROM scored
 ) WHERE rnk <= {TOPK_K}""",
         # the merged (incremental-ingest) index must be rank-identical
@@ -2445,7 +2445,7 @@ SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
 SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id ASC) AS rnk
+                            ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
   FROM scored
 ) WHERE rnk <= {TOPK_K}""",
     }

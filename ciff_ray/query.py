@@ -550,16 +550,24 @@ class LocalScorer:
 
     @staticmethod
     def _rank(doc_ids: np.ndarray, scores: np.ndarray, k: int):
+        """Final ranking key is the score ROUNDED to 9 dp (ties then by
+        doc_id asc).  Rationale: the DuckDB oracle's parallel SUM is
+        run-to-run nondeterministic at the ~1e-15 level, so ranking raw
+        floats makes near-ties flip between runs on the ORACLE side
+        (observed once in ~10 full crosscheck runs); 9-dp rounding on
+        BOTH sides collapses that jitter while leaving real orderings
+        (gaps >= 1e-9) untouched.  Raw scores are still returned."""
         if doc_ids.size == 0:
             return doc_ids, scores
+        r = np.round(scores, 9)
         if doc_ids.size > 4 * k > 0:
-            # cheap pre-cut before the exact (score desc, doc_id asc)
+            # cheap pre-cut before the exact (round9 desc, doc_id asc)
             # sort: keep every doc scoring >= the k-th best (ALL ties
             # included, so the doc_id tie-break stays correct)
-            kth = np.partition(scores, scores.size - k)[scores.size - k]
-            sel = scores >= kth
-            doc_ids, scores = doc_ids[sel], scores[sel]
-        order = np.lexsort((doc_ids, -scores))[:k]
+            kth = np.partition(r, r.size - k)[r.size - k]
+            sel = r >= kth
+            doc_ids, scores, r = doc_ids[sel], scores[sel], r[sel]
+        order = np.lexsort((doc_ids, -r))[:k]
         return doc_ids[order], scores[order]
 
     def topk(

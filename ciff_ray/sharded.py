@@ -143,7 +143,8 @@ def _gather_topk(
         or [np.empty(0, np.int64)]
     )
     scores = np.concatenate([s for _, s in parts] or [np.empty(0, np.float64)])
-    order = np.lexsort((docs, -scores))[:k]
+    # same 9-dp rank key as LocalScorer._rank (see its docstring)
+    order = np.lexsort((docs, -np.round(scores, 9)))[:k]
     return docs[order], scores[order]
 
 

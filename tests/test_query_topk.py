@@ -242,3 +242,25 @@ def test_boosted_topk_matches_weighted_oracle(engine_and_oracle):
         if plain.tolist() != d.tolist():
             changed = True
     assert changed
+
+
+def test_rank_ties_collapse_at_9dp():
+    """1-ulp score differences (the DuckDB parallel-SUM jitter scale)
+    must NOT affect rank order: _rank keys on round(score, 9) with
+    doc_id breaking the resulting ties, so both engines agree however
+    the oracle's sum happened to associate."""
+    import numpy as np
+
+    from ciff_ray.query import LocalScorer
+
+    scores = np.array([1.0 + 1e-15, 1.0, 0.5])
+    docs = np.array([7, 3, 1], dtype=np.int64)
+    d, s = LocalScorer._rank(docs, scores, 3)
+    assert d.tolist() == [3, 7, 1]  # 9-dp tie -> doc_id asc
+    # raw (unrounded) scores ride along in rank order
+    assert s[0] == 1.0 and s[1] == 1.0 + 1e-15
+    # genuine gaps (>= 1e-9) still rank by score
+    d2, _ = LocalScorer._rank(
+        np.array([9, 2], dtype=np.int64), np.array([1.0, 1.1]), 2
+    )
+    assert d2.tolist() == [2, 9]
