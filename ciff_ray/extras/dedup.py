@@ -930,6 +930,145 @@ def q_dedup_embedding(
 
 
 # ---------------------------------------------------------------------------
+# cross-document repeated-substring coverage (Lee et al. 2022 flavor)
+
+SUBSTR_L = 30  # window length over the NORMALIZED text, stride 1
+SUBSTR_PARTS = 32
+_ROLL_B = np.uint64(1099511628211)  # FNV prime, odd -> bijective mults
+
+
+def _window_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_id, text) batch -> (u64 window hash, parent row) for every
+    stride-1 SUBSTR_L-char window of the normalized text.  Vectorized
+    polynomial rolling hash: SUBSTR_L fused multiply-adds over the flat
+    byte buffer (mod-2^64 wraparound), windows crossing doc boundaries
+    masked out, then mixed through splitmix64 so the partition key
+    (low bits) is uniform.  Collisions only matter ACROSS distinct
+    window strings: at W windows the false-repeat probability is
+    ~W^2/2^64 (1e9 windows -> ~5e-2 expected collisions... at true web
+    scale swap in a 128-bit hash; the contract here pins the u64 one)."""
+    norm = _normalize(batch["text"])
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    # fresh kernel output has offset 0; the raw-buffer view relies on it
+    assert norm.offset == 0, "normalized column unexpectedly sliced"
+    buf = np.frombuffer(
+        norm.buffers()[2] or b"", dtype=np.uint8
+    ).astype(np.uint64)
+    offs = np.frombuffer(norm.buffers()[1], dtype=np.int32).astype(np.int64)
+    n_total = buf.size
+    if n_total < SUBSTR_L:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    n_win = n_total - SUBSTR_L + 1
+    h = np.zeros(n_win, dtype=np.uint64)
+    for j in range(SUBSTR_L):
+        h = h * _ROLL_B + buf[j : j + n_win]
+    # window start s belongs to doc d iff offs[d] <= s <= offs[d+1]-L
+    starts = np.arange(n_win, dtype=np.int64)
+    parent = np.searchsorted(offs, starts, side="right") - 1
+    valid = starts + SUBSTR_L <= offs[parent + 1]
+    from ciff_ray.extras.sketch import _mix_u64
+
+    return _mix_u64(h[valid]), parent[valid]
+
+
+def substr_window_rows(batch: pa.Table) -> pa.Table:
+    """documents -> (h, doc_id, part) rows, one per UNIQUE per-doc
+    window hash — the posting rows of the window inverted index.  A
+    window's rows land in one hash partition, so global df is a
+    partition-local run length (same invariant as shingle_rows)."""
+    h, parents = _window_hashes(batch)
+    uniq, starts, ends = _per_doc_unique(h, parents, len(batch))
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    parents_u = np.repeat(np.arange(len(batch)), (ends - starts))
+    return pa.table(
+        {
+            "h": pa.array(uniq.view(np.int64), type=pa.int64()),
+            "doc_id": pa.array(doc_ids[parents_u], type=pa.int64()),
+            "part": pa.array(
+                (uniq % np.uint64(SUBSTR_PARTS)).astype(np.int32)
+            ),
+        }
+    )
+
+
+def _substr_part_counts(group: pa.Table) -> pa.Table:
+    """One window-hash partition -> per-doc partials (doc_id, n_win,
+    n_rep): run detection over the sorted hashes; every doc in a run of
+    length >= 2 gets +1 repeated.  LINEAR in rows — no pair emit, so no
+    quadratic skew regardless of how many docs share a window."""
+    h = group["h"].to_numpy(zero_copy_only=False)
+    d = group["doc_id"].to_numpy(zero_copy_only=False)
+    if h.size == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_win": pa.array([], type=pa.int64()),
+                "n_rep": pa.array([], type=pa.int64()),
+            }
+        )
+    order = np.lexsort((d, h))
+    h, d = h[order], d[order]
+    change = np.flatnonzero(h[1:] != h[:-1]) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [h.size]])
+    rep_run = np.repeat((ends - starts) >= 2, ends - starts)
+    docs, inv = np.unique(d, return_inverse=True)
+    n_win = np.bincount(inv, minlength=docs.size)
+    n_rep = np.bincount(inv[rep_run], minlength=docs.size)
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "n_win": pa.array(n_win.astype(np.int64), type=pa.int64()),
+            "n_rep": pa.array(n_rep.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def _substr_final(batch: pa.Table) -> pa.Table:
+    n_win = batch["n_win"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n_rep = batch["n_rep"].to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_windows": batch["n_win"],
+            "n_repeated": batch["n_rep"],
+            "coverage_r": pa.array(
+                np.round(n_rep / n_win, 6), type=pa.float64()
+            ),
+        }
+    )
+
+
+def q_dup_substring_coverage(sf_dir: str) -> ray.data.Dataset:
+    """Per-document cross-corpus repeated-substring coverage: of a
+    doc's distinct {SUBSTR_L}-char normalized-text windows (stride 1),
+    how many also occur in ANOTHER document — the duplication metric
+    behind substring-level training-data dedup (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better').
+
+    Shape: one hashed-window exchange (12 B/row, linear — no pair
+    emit), per-partition run counting, one small per-doc groupby.  The
+    stride-1 emit moves ~1 row per character; the scale knob is the
+    winnowing fingerprint (q_doc_fingerprint) as a screen, or a longer
+    stride — this entry pins the EXACT contract."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return (
+        docs.map_batches(substr_window_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_substr_part_counts, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_win", alias_name="n_win"),
+            Sum("n_rep", alias_name="n_rep"),
+        )
+        .map_batches(_substr_final, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # incremental dedup — new batch vs the existing corpus
 
 INCR_BATCH_MOD = 10  # "new batch" = docs with doc_id % 10 == 3
@@ -1394,6 +1533,25 @@ corp AS (SELECT doc_id, nt FROM norm
 SELECT n.doc_id AS new_doc_id, min(c.doc_id) AS dup_of
 FROM newb n JOIN corp c ON n.nt = c.nt
 GROUP BY n.doc_id""",
+    "dup_substring_coverage": f"""WITH norm AS (
+  SELECT doc_id, {NORM_SQL} AS nt FROM documents
+),
+w AS (
+  SELECT DISTINCT doc_id, substr(nt, i, {SUBSTR_L}) AS win
+  FROM norm, unnest(range(1, len(nt) - {SUBSTR_L - 2})) AS t(i)
+  WHERE len(nt) >= {SUBSTR_L}
+),
+dfr AS (SELECT win, count(*) AS d FROM w GROUP BY win),
+agg AS (
+  SELECT w.doc_id,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN dfr.d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repeated
+  FROM w JOIN dfr USING (win) GROUP BY w.doc_id
+)
+SELECT doc_id, n_windows, n_repeated,
+       round(n_repeated * 1.0 / n_windows, 6) AS coverage_r
+FROM agg""",
     "dedup_embedding": f"""SELECT x.vec_id AS a, y.vec_id AS b,
        round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                                     CAST(y.embedding AS DOUBLE[])), 6) AS cos_r
@@ -1406,6 +1564,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_by_key": q_dedup_by_key,
     "dedup_incremental": q_dedup_incremental,
+    "dup_substring_coverage": q_dup_substring_coverage,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,  # rows-only

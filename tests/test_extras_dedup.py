@@ -349,3 +349,48 @@ def test_incr_stage_duplicate_new_keys(ray_session):
     # both new docs matched; per-batch min corpus id is 4
     assert sorted(out["new_doc_id"].tolist()) == new_ids.tolist()
     assert set(out["dup_of"]) == {4}
+
+
+def test_substring_coverage_matches_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from ciff_ray.extras.dedup import ORACLE_SQLS, q_dup_substring_coverage
+
+    res = q_dup_substring_coverage(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    ora = con.execute(ORACLE_SQLS["dup_substring_coverage"]).df()
+    canon = lambda df: df[sorted(df.columns)].sort_values(
+        by=sorted(df.columns), ignore_index=True
+    )
+    pd.testing.assert_frame_equal(canon(res), canon(ora), check_dtype=False)
+    # planted duplicates drive nonzero coverage somewhere
+    assert (res["n_repeated"] > 0).any()
+
+
+def test_window_hash_kernel_boundaries(ray_session):
+    """Windows never cross document boundaries; per-doc window count
+    equals len(norm) - L + 1 for clean docs."""
+    import pyarrow as pa
+
+    from ciff_ray.extras.dedup import SUBSTR_L, _window_hashes
+
+    a = "a" * (SUBSTR_L + 5)  # 6 windows (all identical -> 1 unique)
+    b = "b" * (SUBSTR_L - 1)  # too short -> 0 windows
+    c = "xy" * SUBSTR_L  # 2L chars -> L+1 windows
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array([a, b, c]),
+        }
+    )
+    h, parents = _window_hashes(batch)
+    import numpy as np
+
+    counts = np.bincount(parents, minlength=3)
+    assert counts.tolist() == [6, 0, SUBSTR_L + 1]
+    # all 6 windows of doc 0 are the same string -> same hash
+    assert np.unique(h[parents == 0]).size == 1
