@@ -21,7 +21,8 @@ sf = "/root/testdata/sf0.001"
 want_nonempty = [
     "hybrid_rrf", "conv_topk", "term_suggest", "bm25_fuzzy",
     "bm25_facets", "fuzzy_terms", "mmr_diversify", "approx_distinct",
-    "pagerank",
+    "pagerank", "top_terms", "dup_substring_coverage",
+    "bm25_topk_stemmed",
 ]
 for name in want_nonempty:
     r = q[name](sf)
@@ -45,4 +46,4 @@ def test_round3_ops_at_driver_parallelism():
         timeout=580,
     )
     assert r.returncode == 0, r.stderr[-3000:]
-    assert r.stdout.count("OK ") == 10, r.stdout
+    assert r.stdout.count("OK ") == 13, r.stdout
