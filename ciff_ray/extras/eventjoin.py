@@ -366,3 +366,128 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM s GROUP BY user_id, session_id"""
 
 QUERIES["sessionize"] = q_sessionize
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis — ordered-step conversion over the event stream
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_PARTS = 32
+
+
+def _funnel_rows(batch: pa.Table) -> pa.Table:
+    """events -> (part, user_id, ts, step) rows for funnel step events
+    only (non-step types pruned before the exchange)."""
+    et = batch["event_type"].combine_chunks() if isinstance(
+        batch["event_type"], pa.ChunkedArray
+    ) else batch["event_type"]
+    step = np.full(len(batch), -1, dtype=np.int8)
+    for i, s in enumerate(FUNNEL_STEPS):
+        step[pc.equal(et, s).to_numpy(zero_copy_only=False)] = i
+    keep = step >= 0
+    uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+    ts = batch["ts"].to_numpy(zero_copy_only=False).view(np.int64)[keep]
+    return pa.table(
+        {
+            "part": pa.array((uid % FUNNEL_PARTS).astype(np.int32)),
+            "user_id": pa.array(uid, type=pa.int64()),
+            "ts": pa.array(ts, type=pa.int64()),
+            "step": pa.array(step[keep], type=pa.int8()),
+        }
+    )
+
+
+def _funnel_part_counts(group: pa.Table) -> pa.Table:
+    """One user-hash partition -> per-step user-count partials: greedy
+    earliest-event subsequence matching, fully vectorized — per step, a
+    masked np.minimum.at over the user slots (greedy-earliest is
+    optimal for subsequence existence; ties in ts do NOT chain, strict
+    >, matching the oracle's `ts > prev`)."""
+    if len(group) == 0:
+        return pa.table(
+            {
+                "step": pa.array([], type=pa.int64()),
+                "n_users": pa.array([], type=pa.int64()),
+            }
+        )
+    uid = group["user_id"].to_numpy(zero_copy_only=False)
+    ts = group["ts"].to_numpy(zero_copy_only=False)
+    step = group["step"].to_numpy(zero_copy_only=False)
+    users, uidx = np.unique(uid, return_inverse=True)
+    prev = np.full(users.size, -np.inf)
+    counts = []
+    for s in range(len(FUNNEL_STEPS)):
+        cur = np.full(users.size, np.inf)
+        sel = (step == s) & (ts > prev[uidx])
+        if sel.any():
+            np.minimum.at(cur, uidx[sel], ts[sel].astype(np.float64))
+        counts.append(int(np.isfinite(cur).sum()))
+        prev = cur
+    return pa.table(
+        {
+            "step": pa.array(
+                np.arange(1, len(FUNNEL_STEPS) + 1, dtype=np.int64)
+            ),
+            "n_users": pa.array(np.array(counts, dtype=np.int64)),
+        }
+    )
+
+
+def _funnel_final(batch: pa.Table) -> pa.Table:
+    s = batch["step"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "step": pa.array(s, type=pa.int64()),
+            "step_name": pa.array(
+                [FUNNEL_STEPS[i - 1] for i in s], type=pa.string()
+            ),
+            "n_users": batch["n_users"],
+        }
+    )
+
+
+def q_funnel(sf_dir: str) -> ray.data.Dataset:
+    """Funnel conversion over the event stream: how many users reach
+    step k of view -> click -> purchase as a strictly-time-ordered
+    subsequence of their own events.  Shape: step events pruned at the
+    read side, one user-hash exchange co-locates each user's stream,
+    per-partition vectorized greedy matching, a 3-row count merge.
+
+    Float-exactness note: timestamps pass through float64 inside the
+    kernel for the +/-inf sentinels — exact for any timestamp below
+    2^53 us (~year 2255)."""
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    return (
+        ev.map_batches(_funnel_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_funnel_part_counts, batch_format="pyarrow")
+        .groupby("step")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .map_batches(_funnel_final, batch_format="pyarrow")
+    )
+
+
+ORACLE_SQLS["funnel"] = f"""WITH
+s1 AS (SELECT user_id, min(ts) AS t FROM events
+       WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+       WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+       WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY e.user_id)
+SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS step_name,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, '{FUNNEL_STEPS[1]}',
+       CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 3, '{FUNNEL_STEPS[2]}',
+       CAST((SELECT count(*) FROM s3) AS BIGINT)"""
+
+QUERIES["funnel"] = q_funnel
