@@ -1028,14 +1028,16 @@ def _substr_part_counts(group: pa.Table) -> pa.Table:
 def _substr_final(batch: pa.Table) -> pa.Table:
     n_win = batch["n_win"].to_numpy(zero_copy_only=False).astype(np.float64)
     n_rep = batch["n_rep"].to_numpy(zero_copy_only=False).astype(np.float64)
+    # UNROUNDED ratio: int64-exact doubles divide IEEE-identically in
+    # numpy and DuckDB, while round() does not (half-to-even vs
+    # half-away-from-zero — a boundary-straddling doc at sf0.1 exposed
+    # the divergence)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "n_windows": batch["n_win"],
             "n_repeated": batch["n_rep"],
-            "coverage_r": pa.array(
-                np.round(n_rep / n_win, 6), type=pa.float64()
-            ),
+            "coverage": pa.array(n_rep / n_win, type=pa.float64()),
         }
     )
 
@@ -1550,7 +1552,7 @@ agg AS (
   FROM w JOIN dfr USING (win) GROUP BY w.doc_id
 )
 SELECT doc_id, n_windows, n_repeated,
-       round(n_repeated * 1.0 / n_windows, 6) AS coverage_r
+       n_repeated * 1.0 / n_windows AS coverage
 FROM agg""",
     "dedup_embedding": f"""SELECT x.vec_id AS a, y.vec_id AS b,
        round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),

@@ -491,3 +491,122 @@ SELECT 3, '{FUNNEL_STEPS[2]}',
        CAST((SELECT count(*) FROM s3) AS BIGINT)"""
 
 QUERIES["funnel"] = q_funnel
+
+
+# ---------------------------------------------------------------------------
+# cohort retention — weekly signup cohorts x activity-week offsets
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _week_start_day(ts_us: np.ndarray) -> np.ndarray:
+    """ISO (Monday-start) week truncation on epoch-microsecond ints —
+    exactly DuckDB's date_trunc('week'): 1970-01-01 was a Thursday, so
+    weekday(Monday=0) = (epoch_day + 3) % 7."""
+    days = ts_us // _US_PER_DAY
+    return days - (days + 3) % 7
+
+
+def _cohort_rows(batch: pa.Table) -> pa.Table:
+    uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = batch["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+    return pa.table(
+        {
+            "part": pa.array((uid % FUNNEL_PARTS).astype(np.int32)),
+            "user_id": pa.array(uid, type=pa.int64()),
+            "week_day": pa.array(_week_start_day(ts), type=pa.int64()),
+        }
+    )
+
+
+def _cohort_part_counts(group: pa.Table) -> pa.Table:
+    """One user-hash partition -> (cohort_day, week_offset, n) partials:
+    per-user first week = cohort; per-user DISTINCT activity weeks
+    (exact here — the user's whole stream is co-located); one bincount
+    per (cohort, offset) key."""
+    if len(group) == 0:
+        return pa.table(
+            {
+                "cohort_day": pa.array([], type=pa.int64()),
+                "week_offset": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    uid = group["user_id"].to_numpy(zero_copy_only=False)
+    wd = group["week_day"].to_numpy(zero_copy_only=False)
+    users, uidx = np.unique(uid, return_inverse=True)
+    first = np.full(users.size, np.iinfo(np.int64).max)
+    np.minimum.at(first, uidx, wd)
+    # per-user distinct weeks: unique composite (user, week)
+    key = uidx * np.int64(1 << 32) + ((wd - first[uidx]) // 7)
+    ks = np.unique(key)
+    ku = (ks >> np.int64(32)).astype(np.int64)
+    off = (ks & np.int64(0xFFFFFFFF)).astype(np.int64)
+    ckey = first[ku] * np.int64(1 << 16) + off
+    cs, counts = np.unique(ckey, return_counts=True)
+    return pa.table(
+        {
+            "cohort_day": pa.array(cs >> np.int64(16), type=pa.int64()),
+            "week_offset": pa.array(
+                cs & np.int64(0xFFFF), type=pa.int64()
+            ),
+            "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def _cohort_final(batch: pa.Table) -> pa.Table:
+    import datetime
+
+    cd = batch["cohort_day"].to_numpy(zero_copy_only=False).astype(np.int64)
+    weeks = [
+        (datetime.date(1970, 1, 1) + datetime.timedelta(days=int(d)))
+        .isoformat()
+        for d in cd
+    ]
+    return pa.table(
+        {
+            "cohort_week": pa.array(weeks, type=pa.string()),
+            "week_offset": batch["week_offset"],
+            "n_users": batch["n"],
+        }
+    )
+
+
+def q_cohort_retention(sf_dir: str) -> ray.data.Dataset:
+    """Weekly cohort retention: users grouped by the Monday-start week
+    of their FIRST event; for each later week offset, how many of that
+    cohort were active (>= 1 event).  One user-hash exchange (each
+    user's stream co-located -> exact per-partition distinct weeks),
+    then a tiny (cohort, offset) Sum."""
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return (
+        ev.map_batches(_cohort_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_cohort_part_counts, batch_format="pyarrow")
+        .groupby(["cohort_day", "week_offset"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(_cohort_final, batch_format="pyarrow")
+    )
+
+
+ORACLE_SQLS["cohort_retention"] = """WITH
+f AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cw
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT e.user_id, f.cw,
+         date_diff('week', f.cw, date_trunc('week', e.ts)) AS off
+  FROM events e JOIN f USING (user_id)
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(off AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY cw, off"""
+
+QUERIES["cohort_retention"] = q_cohort_retention
