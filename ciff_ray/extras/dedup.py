@@ -474,7 +474,11 @@ class JaccardVerify:
             {
                 "a": pa.array(a[keep], type=pa.int64()),
                 "b": pa.array(b[keep], type=pa.int64()),
-                "j_r": pa.array(np.round(j[keep], 6), type=pa.float64()),
+                # UNROUNDED: int-ratio jaccards are exact rationals that can
+                # sit ON a 6-dp boundary (e.g. odd/2^7), where np
+                # (half-to-even) and DuckDB (half-away) disagree; the
+                # raw float64 division is IEEE-identical on both sides
+                "j_r": pa.array(j[keep], type=pa.float64()),
             }
         )
 
@@ -752,7 +756,11 @@ class NgramFinalize:
             {
                 "a": pa.array(a[keep], type=pa.int64()),
                 "b": pa.array(b[keep], type=pa.int64()),
-                "j_r": pa.array(np.round(j[keep], 6), type=pa.float64()),
+                # UNROUNDED: int-ratio jaccards are exact rationals that can
+                # sit ON a 6-dp boundary (e.g. odd/2^7), where np
+                # (half-to-even) and DuckDB (half-away) disagree; the
+                # raw float64 division is IEEE-identical on both sides
+                "j_r": pa.array(j[keep], type=pa.float64()),
             }
         )
 
@@ -1495,7 +1503,7 @@ jac AS (
   JOIN ssize sa ON i.a = sa.doc_id
   JOIN ssize sb ON i.b = sb.doc_id
 )
-SELECT a, b, round(j, 6) AS j_r FROM jac WHERE j >= {JACCARD_TAU}"""
+SELECT a, b, j AS j_r FROM jac WHERE j >= {JACCARD_TAU}"""
 
 # uncapped universe (the minhash verify scores full shingle sets)
 _SQL_JACCARD_PAIRS = f"""WITH {_SQL_SHINGLE_BASE.strip()},

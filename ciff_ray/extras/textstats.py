@@ -136,8 +136,10 @@ def _doc_quality_batch(batch: pa.Table) -> pa.Table:
             "doc_id": batch["doc_id"],
             "n_tokens": pa.array(n_tokens, type=pa.int64()),
             "n_chars": pa.array(n_chars, type=pa.int64()),
-            "avg_len_r": pa.array(np.round(avg_len, 6), type=pa.float64()),
-            "stop_frac_r": pa.array(np.round(stop_frac, 6), type=pa.float64()),
+            # UNROUNDED int ratios (see dedup j_r note): identical
+            # float64 divisions on both sides, no boundary hazard
+            "avg_len_r": pa.array(avg_len, type=pa.float64()),
+            "stop_frac_r": pa.array(stop_frac, type=pa.float64()),
             "quality": pa.array(quality, type=pa.int64()),
         }
     )
@@ -624,14 +626,14 @@ def _rep_signals_batch(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "top_tok_frac_r": pa.array(np.round(top_frac, 6), type=pa.float64()),
+            "top_tok_frac_r": pa.array(top_frac, type=pa.float64()),
             "dup_bigram_frac_r": pa.array(
-                np.round(dup_fracs[2], 6), type=pa.float64()
+                dup_fracs[2], type=pa.float64()
             ),
             "dup_trigram_frac_r": pa.array(
-                np.round(dup_fracs[3], 6), type=pa.float64()
+                dup_fracs[3], type=pa.float64()
             ),
-            "symbol_ratio_r": pa.array(np.round(sym_ratio, 6), type=pa.float64()),
+            "symbol_ratio_r": pa.array(sym_ratio, type=pa.float64()),
             "rep_flags": pa.array(flags, type=pa.int64()),
         }
     )
@@ -695,9 +697,9 @@ feat AS (
   JOIN sym s ON d.doc_id = s.doc_id
 )
 SELECT doc_id,
-       round(top_frac, 6) AS top_tok_frac_r,
-       round(dup2, 6) AS dup_bigram_frac_r,
-       round(dup3, 6) AS dup_trigram_frac_r,
+       top_frac AS top_tok_frac_r,
+       dup2 AS dup_bigram_frac_r,
+       dup3 AS dup_trigram_frac_r,
        round(symr, 6) AS symbol_ratio_r,
        CAST((CASE WHEN top_frac > {REP_TOP_TOK_MAX} THEN 1 ELSE 0 END)
             + (CASE WHEN dup2 > {REP_DUP_MAX} THEN 1 ELSE 0 END)
@@ -743,7 +745,7 @@ feat AS (
   FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 )
 SELECT doc_id, n_tokens, n_chars,
-       round(avg_len, 6) AS avg_len_r, round(stop_frac, 6) AS stop_frac_r,
+       avg_len AS avg_len_r, stop_frac AS stop_frac_r,
        (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1 ELSE 0 END)
        + (CASE WHEN stop_frac >= 0.05 AND stop_frac <= 0.7 THEN 1 ELSE 0 END)
        + (CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 1 ELSE 0 END)

@@ -91,12 +91,12 @@ def test_repetition_signals_known_values():
     # bigrams: aa aa aa ab -> 4 total, 2 unique -> 0.5
     assert r1["dup_bigram_frac_r"] == 0.5
     # trigrams: aaa aaa aab -> 3 total, 2 unique
-    assert r1["dup_trigram_frac_r"] == round(1 - 2 / 3, 6)
+    assert r1["dup_trigram_frac_r"] == 1 - 2 / 3
     assert r1["rep_flags"] == 3
     r2 = out[2]
     assert r2["top_tok_frac_r"] == 0.25
     assert r2["dup_bigram_frac_r"] == 0.0
-    assert r2["symbol_ratio_r"] == round(1 / 8, 6)  # the '!' of 8 chars
+    assert r2["symbol_ratio_r"] == 1 / 8  # the '!' of 8 chars
     assert r2["rep_flags"] == 0
 
 

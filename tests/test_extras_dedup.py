@@ -72,7 +72,7 @@ def test_ngram_jaccard_equals_brute_force(ray_session, doc_texts):
     for _, r in got.iterrows():
         A, B = sh[r["a"]], sh[r["b"]]
         inter = len(A & B)
-        assert r["j_r"] == round(inter / (len(A) + len(B) - inter), 6)
+        assert r["j_r"] == inter / (len(A) + len(B) - inter)
 
 
 def test_ngram_df_cap_kills_quadratic_skew():
