@@ -16,6 +16,7 @@ verified against pure-Python oracles in tests/.
 from __future__ import annotations
 
 from ciff_ray.extras import (
+    cleaning,
     dedup,
     eventjoin,
     fuzzy,
@@ -41,6 +42,7 @@ QUERIES = {
     **fuzzy.QUERIES,
     **pagerank.QUERIES,
     **sketch.QUERIES,
+    **cleaning.QUERIES,
 }
 
 ORACLE_SQLS = {
@@ -55,4 +57,5 @@ ORACLE_SQLS = {
     **fuzzy.ORACLE_SQLS,
     **pagerank.ORACLE_SQLS,
     **sketch.ORACLE_SQLS,
+    **cleaning.ORACLE_SQLS,
 }
