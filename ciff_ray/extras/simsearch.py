@@ -708,3 +708,207 @@ QUERIES = {
     # rows-only (greedy-iterative; pure-Python oracle in tests)
     "mmr_diversify": q_mmr_diversify,
 }
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) ANN — compressed-vector scan + exact re-rank
+
+PQ_M = 8  # subspaces (d must be divisible by PQ_M)
+PQ_SAMPLE = 100_000  # codebook training sample (rows), bounded at any scale
+PQ_RERANK = 100  # ADC candidates exactly re-ranked per query
+
+
+def _pq_k(n: int) -> int:
+    """Codes per subspace: 256 (uint8 ceiling) once the corpus supports
+    it, smaller on tiny corpora so codebooks don't memorize points."""
+    return int(min(256, max(16, n // 16)))
+
+
+def _kmeans_local(X: np.ndarray, k: int, iters: int = 4) -> np.ndarray:
+    """Plain Lloyd's on an in-memory sample (codebook training runs on
+    a BOUNDED sample at any corpus scale — the standard PQ practice).
+    Deterministic init = first k rows."""
+    C = X[:k].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for j in range(k):
+            sel = a == j
+            if sel.any():
+                C[j] = X[sel].mean(axis=0)
+    return C
+
+
+def train_pq_codebooks(path: str) -> np.ndarray:
+    """(M, K, d/M) codebooks trained per subspace on a normalized
+    sample (cosine contract: vectors are unit-normalized before
+    encoding, so inner-product ADC ranks by cosine)."""
+    ids, X = _read_prefix(path, PQ_SAMPLE)
+    n = X.shape[0]
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X = X / norms
+    k = _pq_k(n)
+    d = X.shape[1]
+    if d % PQ_M:
+        raise ValueError(f"dim {d} not divisible by PQ_M={PQ_M}")
+    sub = d // PQ_M
+    return np.stack(
+        [
+            _kmeans_local(
+                np.ascontiguousarray(X[:, m * sub : (m + 1) * sub]), k
+            )
+            for m in range(PQ_M)
+        ]
+    )
+
+
+class _PqEncode:
+    """embeddings batches -> (vec_id, code list<uint8>): per subspace,
+    nearest codebook centroid of the normalized vector."""
+
+    def __init__(self, cb_ref):
+        self.CB = ray.get(cb_ref)  # (M, K, sub)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ciff_ray.extras.dedup import _embedding_matrix
+
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        X = _embedding_matrix(batch["embedding"])
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        X = X / norms
+        M, K, sub = self.CB.shape
+        codes = np.empty((X.shape[0], M), dtype=np.uint8)
+        for m in range(M):
+            S = X[:, m * sub : (m + 1) * sub]
+            # ||s - c||^2 = ||s||^2 - 2 s.c + ||c||^2; argmin over c
+            d2 = -2.0 * (S @ self.CB[m].T) + (self.CB[m] ** 2).sum(axis=1)[None, :]
+            codes[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+        flat = pa.array(codes.reshape(-1), type=pa.uint8())
+        offsets = pa.array(
+            np.arange(0, (X.shape[0] + 1) * M, M, dtype=np.int32)
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(vid, type=pa.int64()),
+                "code": pa.ListArray.from_arrays(offsets, flat),
+            }
+        )
+
+
+class _PqScan:
+    """codes batches -> per-(query, batch) partial ADC top candidates:
+    approx score = sum over subspaces of the query-to-centroid inner
+    product table (one (M, K) table per query, computed once per
+    actor), i.e. a pure table-lookup scan over 8-byte codes."""
+
+    def __init__(self, tab_ref, cand: int):
+        self.qids, self.T = ray.get(tab_ref)  # (nq,), (nq, M, K)
+        self.cand = cand
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["code"].combine_chunks()
+        codes = np.asarray(col.values).reshape(len(col), -1)  # (n, M)
+        n, M = codes.shape
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            s = self.T[qi, np.arange(M)[None, :], codes].sum(axis=1)
+            s[vid == qid] = -np.inf  # knn convention: self excluded
+            k = min(self.cand, n)
+            sel = np.argpartition(-s, k - 1)[:k] if n > k else np.arange(n)
+            out_q.extend([qid] * sel.size)
+            out_v.extend(vid[sel].tolist())
+            out_s.extend(s[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "adc": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def q_ann_pq(sf_dir: str) -> pa.Table:
+    """PQ ANN (query_id, rank, vec_id): vectors compressed to PQ_M
+    bytes (32x for f32x64), scanned by ADC table lookups, the top
+    PQ_RERANK candidates per query exactly re-ranked by true cosine
+    (the standard ADC + re-rank pipeline).  Rows-only (approximate by
+    design); recall vs knn_brute asserted in tests."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    CB = train_pq_codebooks(path)
+    cb_ref = ray.put(CB)
+    codes = ray.data.read_parquet(
+        path, columns=["vec_id", "embedding"]
+    ).map_batches(
+        _PqEncode,
+        fn_constructor_args=(cb_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    # query ADC tables: inner products of each normalized query with
+    # every codebook centroid
+    qids, Q = _query_matrix(path)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn
+    M, K, sub = CB.shape
+    T = np.empty((qids.size, M, K))
+    for m in range(M):
+        T[:, m, :] = Qn[:, m * sub : (m + 1) * sub] @ CB[m].T
+    tab_ref = ray.put((qids, T))
+    parts = codes.map_batches(
+        _PqScan,
+        fn_constructor_args=(tab_ref, PQ_RERANK),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).take_all()
+    # global per-query ADC candidate pool -> exact re-rank of PQ_RERANK
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for r in parts:
+        by_q.setdefault(r["query_id"], []).append((r["adc"], r["vec_id"]))
+    cand_ids = sorted(
+        {
+            v
+            for cands in by_q.values()
+            for _, v in sorted(cands, key=lambda t: (-t[0], t[1]))[:PQ_RERANK]
+        }
+    )
+    ct = pq.read_table(
+        path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", cand_ids)],
+    )
+    from ciff_ray.extras.dedup import _embedding_matrix
+
+    cids = ct["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    corder = np.argsort(cids)
+    cids = cids[corder]
+    CE = _embedding_matrix(ct["embedding"])[corder]
+    cn = np.linalg.norm(CE, axis=1)
+    cn[cn == 0] = 1.0
+    out_q, out_r, out_v = [], [], []
+    for qi, qid in enumerate(qids):
+        cands = sorted(by_q.get(qid, []), key=lambda t: (-t[0], t[1]))[:PQ_RERANK]
+        ids = np.array([v for _, v in cands], dtype=np.int64)
+        rows = np.searchsorted(cids, ids)
+        sims = np.round(
+            (CE[rows] @ Qn[qi]) / cn[rows], 9
+        )
+        order = np.lexsort((ids, -sims))[:TOP_K]
+        for rank, i in enumerate(order, 1):
+            out_q.append(int(qid))
+            out_r.append(rank)
+            out_v.append(int(ids[i]))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+        }
+    )
+
+
+# rows-only (approximate by design; recall vs knn_brute in tests)
+QUERIES["ann_pq"] = q_ann_pq

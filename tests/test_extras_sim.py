@@ -431,3 +431,35 @@ def test_mmr_diversify_matches_pure_python(ray_session):
             chosen.append(best)
         mine = got[got.query_id == qid].sort_values("rank")["vec_id"].tolist()
         assert mine == chosen, (qid, mine, chosen)
+
+
+def test_ann_pq_recall_and_compression(ray_session):
+    """PQ ANN: codes are PQ_M bytes per vector (32x for f32x64);
+    recall@10 vs exact brute force stays high because the constant-depth
+    ADC candidate pool is exactly re-ranked. Isotropic Gaussians are
+    the worst case for quantization, so the floor is conservative."""
+    from ciff_ray.extras.simsearch import (
+        PQ_M,
+        q_ann_pq,
+        q_knn_brute,
+        train_pq_codebooks,
+    )
+
+    got = q_ann_pq(SF).to_pandas()
+    exact = q_knn_brute(SF).to_pandas()
+    hits = 0
+    for qid in exact.query_id.unique():
+        a = set(got[got.query_id == qid].vec_id)
+        b = set(exact[exact.query_id == qid].vec_id)
+        hits += len(a & b)
+    recall = hits / len(exact)
+    assert recall >= 0.85, recall
+    # deterministic ranks, dense 1..k per query
+    for qid, grp in got.groupby("query_id"):
+        assert grp.sort_values("rank")["rank"].tolist() == list(
+            range(1, len(grp) + 1)
+        )
+    # compression accounting: 64 f32 dims -> PQ_M uint8 codes
+    CB = train_pq_codebooks(f"{SF}/embeddings.parquet")
+    d = CB.shape[0] * CB.shape[2]
+    assert (d * 4) / PQ_M == 32.0
