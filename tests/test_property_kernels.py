@@ -113,3 +113,57 @@ def test_fuse_matches_dict_reference(sp, dn):
         for r in out.itertuples()
     ]
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),  # user
+            st.integers(0, 20),  # ts
+            st.integers(0, 2),  # step
+        ),
+        max_size=60,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_funnel_kernel_matches_bruteforce(rows):
+    """The masked-minimum funnel kernel == brute-force strictly-
+    increasing subsequence matching, on arbitrary event soups."""
+    import pyarrow as pa
+
+    from ciff_ray.extras.eventjoin import FUNNEL_STEPS, _funnel_part_counts
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.int64()),
+            "step": pa.array([r[2] for r in rows], type=pa.int8()),
+        }
+    )
+    got = dict(
+        zip(
+            _funnel_part_counts(tbl)["step"].to_pylist(),
+            _funnel_part_counts(tbl)["n_users"].to_pylist(),
+        )
+    ) if rows else {}
+
+    def depth(evts):
+        t = -float("inf")
+        d = 0
+        for s in range(len(FUNNEL_STEPS)):
+            nxt = [ts for ts, stp in evts if stp == s and ts > t]
+            if not nxt:
+                break
+            t = min(nxt)
+            d = s + 1
+        return d
+
+    users: dict[int, list] = {}
+    for u, ts, s in rows:
+        users.setdefault(u, []).append((ts, s))
+    want = {k: 0 for k in (1, 2, 3)}
+    for evts in users.values():
+        for s in range(1, depth(evts) + 1):
+            want[s] += 1
+    if rows:
+        assert got == want
