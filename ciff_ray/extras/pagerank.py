@@ -322,8 +322,13 @@ def _sentinels() -> pa.Table:
 
 def pagerank(sf_dir: str, iters: int = PR_ITERS) -> ray.data.Dataset:
     """(user_id, pr) after ``iters`` synchronous power iterations."""
+    from ciff_ray.layout import stable_hash
+
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    tag = f"{abs(hash((os.path.abspath(sf_dir), st.st_size, st.st_mtime_ns))):x}"
+    key = f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
+    # stable_hash, NOT builtin hash(): the builtin is salted per
+    # process, which would orphan the bucket store every run
+    tag = format(stable_hash(key.encode()), "x")
     root = _pr_root(tag)
     n_total = _write_buckets(sf_dir, root)
     if n_total == 0:

@@ -821,6 +821,9 @@ class _PqScan:
             s[vid == qid] = -np.inf  # knn convention: self excluded
             k = min(self.cand, n)
             sel = np.argpartition(-s, k - 1)[:k] if n > k else np.arange(n)
+            sel = sel[np.isfinite(s[sel])]  # the -inf self row must
+            # never reach the exact re-rank (true cosine(self) = 1.0
+            # would win rank 1 whenever the pool <= cand)
             out_q.extend([qid] * sel.size)
             out_v.extend(vid[sel].tolist())
             out_s.extend(s[sel].tolist())

@@ -298,7 +298,9 @@ def q_top_terms(sf_dir: str) -> pa.Table:
         exact[r["term"]] = exact.get(r["term"], 0) + int(r["cf"])
     ranked = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))
     top = ranked[:TOPK_TERMS]
-    certified = len(top) == TOPK_TERMS and top[-1][1] >= budget
+    # STRICT: a non-candidate's true count can EQUAL budget, and a
+    # lexicographically-smaller tie would belong in the top-K
+    certified = len(top) == TOPK_TERMS and top[-1][1] > budget
     if not certified:
         # exact fallback: full (term, cf) aggregation — same result
         # contract, no screen

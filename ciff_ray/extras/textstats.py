@@ -700,7 +700,7 @@ SELECT doc_id,
        top_frac AS top_tok_frac_r,
        dup2 AS dup_bigram_frac_r,
        dup3 AS dup_trigram_frac_r,
-       round(symr, 6) AS symbol_ratio_r,
+       symr AS symbol_ratio_r,
        CAST((CASE WHEN top_frac > {REP_TOP_TOK_MAX} THEN 1 ELSE 0 END)
             + (CASE WHEN dup2 > {REP_DUP_MAX} THEN 1 ELSE 0 END)
             + (CASE WHEN dup3 > {REP_DUP_MAX} THEN 1 ELSE 0 END)

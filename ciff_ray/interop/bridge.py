@@ -322,6 +322,14 @@ def index_to_ciff(
     the docmap (the CIFF container is one sequential file, so a single
     writer is forced either way)."""
     paths = IndexPaths(index_dir)
+    if os.path.exists(paths.tombstones):
+        # the export streams raw segment postings; silently resurrecting
+        # tombstoned docs in the CIFF (and breaking the dense-docid
+        # invariant if they were dropped instead) is worse than failing
+        raise ValueError(
+            "index has pending tombstones — run lifecycle.compact_index "
+            "before exporting to CIFF"
+        )
     m = Manifest.read(paths.manifest)
     header = CiffHeader(
         version=1,

@@ -385,6 +385,7 @@ def compact_index(index_dir: str, out_dir: str) -> Manifest:
         block_size=manifest.block_size,
         input_fingerprint=fingerprint,
         heavy_terms=manifest.heavy_terms,
+        analyzer=manifest.analyzer,
     )
     new_manifest.write(out.manifest)
     return new_manifest

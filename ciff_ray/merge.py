@@ -250,12 +250,14 @@ def ingest(
             block_size=base.block_size,
             k1=base.k1,
             b=base.b,
+            analyzer=base.analyzer,
         )
     if (
         params.num_partitions != base.num_partitions
         or params.k1 != base.k1
         or params.b != base.b
         or params.block_size != base.block_size
+        or params.analyzer != base.analyzer
     ):
         raise ValueError("delta build params must match the base index")
     if delta_dir is None:
@@ -273,7 +275,10 @@ def merge_indexes(root_dirs: list[str], out_dir: str) -> Manifest:
     manifests = [Manifest.read(IndexPaths(r).manifest) for r in root_dirs]
     m0 = manifests[0]
     for m in manifests[1:]:
-        for f in ("num_partitions", "k1", "b", "block_size", "version"):
+        for f in (
+            "num_partitions", "k1", "b", "block_size", "version",
+            "analyzer",  # a stemmed and an unstemmed index must not fold
+        ):
             if getattr(m, f) != getattr(m0, f):
                 raise ValueError(
                     f"roots disagree on {f}: {getattr(m, f)} vs {getattr(m0, f)}"
@@ -394,6 +399,7 @@ def merge_indexes(root_dirs: list[str], out_dir: str) -> Manifest:
         block_size=m0.block_size,
         input_fingerprint=fingerprint,
         heavy_terms=heavy,
+        analyzer=m0.analyzer,
     )
     manifest.write(out.manifest)
     return manifest

@@ -505,7 +505,12 @@ class LocalScorer:
             # ascending-term order in all three), so path choice never
             # changes a score.  Not taken for boosted queries — their w
             # differs from the cached vectors.
-            acc = np.zeros(self.N, dtype=np.float64)
+            # allocate by the LOCAL doc range (manifest.num_docs), not
+            # self.N: under GlobalStats a shard scorer's N is the
+            # collection-wide count while its docIDs stay shard-local,
+            # and a global-sized vector per cached term multiplies RSS
+            # by the shard count for nothing
+            acc = np.zeros(self.manifest.num_docs, dtype=np.float64)
             for t in terms:
                 acc += self._dense_contrib(t)
             u = np.flatnonzero(acc)  # all contributions are > 0
@@ -540,7 +545,8 @@ class LocalScorer:
         if c is not None:
             return c
         docs, tfs = self.postings(term)
-        c = np.zeros(self.N, dtype=np.float64)
+        c = np.zeros(self.manifest.num_docs, dtype=np.float64)  # local
+        # doc range, not self.N (see the dense-path comment above)
         if docs.size:
             c[docs] = self._contrib(tfs, self._dl[docs], self.idf(term))
         if self._dense_cache_bytes + c.nbytes <= self._dense_cache_cap:
@@ -712,7 +718,12 @@ class LocalScorer:
                 theta = np.partition(total, cand.size - k)[cand.size - k]
             else:
                 theta = -np.inf
-            if rest_bound < theta:
+            # compare at the RANK KEY's precision (_rank keys on
+            # round9): a non-candidate with raw score just below theta
+            # could still TIE theta at 9 dp and win the doc_id
+            # tie-break, so acceptance needs strict inequality of the
+            # ROUNDED values, not the raw ones
+            if np.round(rest_bound, 9) < np.round(theta, 9):
                 best_docs, scores = cand, total
                 break
         else:
@@ -801,7 +812,10 @@ class LocalScorer:
         if not np.isfinite(theta0):
             return None
 
-        sel = bound >= theta0
+        # 9-dp comparison (the _rank key): an interval whose bound ties
+        # theta0 at 9 dp can still hold a doc that enters the top-k via
+        # the doc_id tie-break, so it must stay selected
+        sel = np.round(bound, 9) >= np.round(theta0, 9)
         cumsel = np.concatenate([[0], np.cumsum(sel)])
         # candidate selection density guard: pruning must skip enough
         sel_span = float(

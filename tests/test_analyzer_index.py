@@ -118,3 +118,70 @@ def test_unstemmed_default_unchanged(ray_session, tmp_path_factory):
     for txt in pq.read_table(src, columns=["text"])["text"].to_pylist():
         toks.update(tokenize(txt or ""))
     assert vocab == toks
+
+
+def test_lifecycle_preserves_analyzer(stemmed_index, tmp_path_factory):
+    """merge/ingest/compact must carry the analyzer through — a merged
+    or compacted stemmed index that silently stops stemming query terms
+    returns wrong results for every morphological variant (code-review
+    findings on merge.py/lifecycle.py)."""
+    import numpy as np
+    import pytest
+
+    from ciff_ray import IndexBuilder
+    from ciff_ray.layout import IndexPaths, Manifest
+    from ciff_ray.lifecycle import compact_index, delete_docs
+    from ciff_ray.merge import merge_indexes
+    from ciff_ray.query import LocalScorer
+    from ciff_ray.synth import generate_transcripts
+
+    src, out, m = stemmed_index
+    d = tmp_path_factory.mktemp("an_lc")
+
+    # second stemmed index over different data
+    src2 = str(d / "t2.parquet")
+    pq.write_table(generate_transcripts(n_convs=30, seed=21), src2)
+    idx2 = str(d / "idx2")
+    (
+        IndexBuilder()
+        .input_parquet(src2)
+        .output_dir(idx2)
+        .partitions(4)
+        .analyzer("porter")
+        .convert()
+    )
+    merged = str(d / "merged")
+    mm = merge_indexes([out, idx2], merged)
+    assert mm.analyzer == "porter"
+    s = LocalScorer(merged)
+    # wordlist variants: porter("years") == porter("year") == "year"
+    da, _ = s.topk("years working", k=5)
+    db, _ = s.topk("year work", k=5)
+    assert da.tolist() == db.tolist() and da.size > 0
+
+    # compact keeps it too
+    victim = str(d / "victim")
+    (
+        IndexBuilder()
+        .input_parquet(src2)
+        .output_dir(victim)
+        .partitions(4)
+        .analyzer("porter")
+        .convert()
+    )
+    delete_docs(victim, np.array([0, 1], dtype=np.int64))
+    compacted = str(d / "compacted")
+    cm = compact_index(victim, compacted)
+    assert cm.analyzer == "porter"
+
+    # stemmed + unstemmed must refuse to fold
+    plain = str(d / "plain")
+    (
+        IndexBuilder()
+        .input_parquet(src2)
+        .output_dir(plain)
+        .partitions(4)
+        .convert()
+    )
+    with pytest.raises(ValueError, match="analyzer"):
+        merge_indexes([out, plain], str(d / "bad"))

@@ -104,3 +104,24 @@ def test_postings_chunks_boundary_scan():
     # the scan also fixed _docs_start: doc records readable with no
     # second postings pass
     assert len(list(r.doc_records())) == r.header.num_docs
+
+
+def test_export_refuses_pending_tombstones(ray_session, tmp_path):
+    """index_to_ciff on a tombstoned index would resurrect deleted docs
+    in the exported CIFF — it must fail and point at compaction."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest
+
+    from ciff_ray import IndexBuilder
+    from ciff_ray.interop.bridge import index_to_ciff
+    from ciff_ray.lifecycle import delete_docs
+    from ciff_ray.synth import generate_transcripts
+
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(generate_transcripts(n_convs=10, seed=13), src)
+    idx = str(tmp_path / "idx")
+    IndexBuilder().input_parquet(src).output_dir(idx).partitions(2).convert()
+    delete_docs(idx, np.array([0], dtype=np.int64))
+    with pytest.raises(ValueError, match="tombstones"):
+        index_to_ciff(idx, str(tmp_path / "out.ciff"))
