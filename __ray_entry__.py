@@ -27,6 +27,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from ciff_ray import pipelines as p
+    from ciff_ray.evaluation import q_ranking_eval as _ranking_eval
     from ciff_ray.hybrid import q_hybrid_rrf as _hybrid_rrf
     from ciff_ray.positions import (
         q_phrase_match_positional as _positional_phrase,
@@ -61,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_tfidf": p.q_doc_top_tfidf,
         "hybrid_rrf": _hybrid_rrf,
         "conv_topk": p.q_conv_topk,
+        "ranking_eval": _ranking_eval,
         "term_suggest": p.q_term_suggest,
         "more_like_this": p.q_more_like_this,
         "role_top_terms": p.q_role_top_terms,
@@ -79,9 +81,11 @@ def oracle_sql() -> dict[str, str]:
     from ciff_ray import pipelines as p
 
     sqls = dict(p.oracle_sqls())
+    from ciff_ray.evaluation import ranking_eval_oracle_sql
     from ciff_ray.hybrid import hybrid_oracle_sql
 
     sqls["hybrid_rrf"] = hybrid_oracle_sql()
+    sqls["ranking_eval"] = ranking_eval_oracle_sql()
     try:
         from ciff_ray import extras
 
