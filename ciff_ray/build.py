@@ -1235,6 +1235,33 @@ class IndexBuilder:
         self._input = path
         return self
 
+    def input_jsonl(self, path: str | list[str]) -> "IndexBuilder":
+        """Raw transcript rows as JSONL (one object per line with at
+        least conv_id/turn_idx/text — the shape logs arrive in).  The
+        read is distributed (`ray.data.read_json`); a normalization
+        stage casts the three build columns to the canonical schema and
+        fails fast on missing fields (the reference's fail-fast JSONL
+        parse semantics, /root/reference/src/lib.rs:1005-1056)."""
+
+        def _norm(batch: pa.Table) -> pa.Table:
+            for col in ("conv_id", "turn_idx", "text"):
+                if col not in batch.schema.names:
+                    raise ValueError(f"JSONL transcripts missing {col!r}")
+            return pa.table(
+                {
+                    "conv_id": batch["conv_id"].cast(pa.string()),
+                    "turn_idx": batch["turn_idx"].cast(pa.int32()),
+                    "text": pc.fill_null(
+                        batch["text"].cast(pa.string()), ""
+                    ),
+                }
+            )
+
+        self._input = ray.data.read_json(path).map_batches(
+            _norm, batch_format="pyarrow"
+        )
+        return self
+
     def input_dataset(self, ds: ray.data.Dataset) -> "IndexBuilder":
         self._input = ds
         return self

@@ -29,11 +29,14 @@ def cmd_build(args) -> None:
 
     b = (
         IndexBuilder()
-        .input_parquet(args.input)
         .output_dir(args.output)
         .partitions(args.partitions)
         .bm25(args.k1, args.b)
     )
+    if args.jsonl:
+        b.input_jsonl(args.input)
+    else:
+        b.input_parquet(args.input)
     if args.description:
         b.description(args.description)
     if args.analyzer:
@@ -182,6 +185,8 @@ def main(argv=None) -> None:
     b.add_argument("--partitions", type=int, default=32)
     b.add_argument("--analyzer", default="",
                    help="term analyzer, e.g. porter (default: none)")
+    b.add_argument("--jsonl", action="store_true",
+                   help="input is JSONL transcript rows, not parquet")
     b.add_argument("--k1", type=float, default=0.9)
     b.add_argument("--b", type=float, default=0.4)
     b.add_argument("--description", default="")

@@ -209,3 +209,68 @@ def test_turn_window_kernel():
     }
     empty = _window_in_part(group.slice(0, 0))
     assert empty.num_rows == 0
+
+
+def test_jsonl_transcripts_input_matches_parquet_build(ray_session, tmp_path):
+    """input_jsonl builds a BIT-identical index to the parquet path
+    over the same rows (and fails fast on missing columns)."""
+    import json as _json
+
+    import pytest
+
+    from ciff_ray.build import IndexBuilder
+    from ciff_ray.query import LocalScorer
+    from ciff_ray.synth import generate_transcripts
+
+    t = generate_transcripts(n_convs=25, seed=6)
+    psrc = str(tmp_path / "t.parquet")
+    pq.write_table(t, psrc)
+    jsrc = str(tmp_path / "t.jsonl")
+    with open(jsrc, "w") as f:
+        for conv, idx, text in zip(
+            t["conv_id"].to_pylist(),
+            t["turn_idx"].to_pylist(),
+            t["text"].to_pylist(),
+        ):
+            f.write(
+                _json.dumps(
+                    {"conv_id": conv, "turn_idx": idx, "text": text}
+                )
+                + "\n"
+            )
+    m1 = (
+        IndexBuilder()
+        .input_parquet(psrc)
+        .output_dir(str(tmp_path / "ip"))
+        .partitions(3)
+        .convert()
+    )
+    m2 = (
+        IndexBuilder()
+        .input_jsonl(jsrc)
+        .output_dir(str(tmp_path / "ij"))
+        .partitions(3)
+        .convert()
+    )
+    assert m1.num_docs == m2.num_docs
+    assert m1.num_postings_lists == m2.num_postings_lists
+    assert m1.total_terms_in_collection == m2.total_terms_in_collection
+    s1, s2 = LocalScorer(str(tmp_path / "ip")), LocalScorer(str(tmp_path / "ij"))
+    for q in ("the people time", "work years"):
+        d1, sc1 = s1.topk(q, k=10)
+        d2, sc2 = s2.topk(q, k=10)
+        assert d1.tolist() == d2.tolist()
+        assert sc1.tolist() == sc2.tolist()
+
+    # fail fast on a missing column
+    bad = str(tmp_path / "bad.jsonl")
+    with open(bad, "w") as f:
+        f.write('{"conv_id": "c", "text": "no turn idx"}\n')
+    with pytest.raises(Exception, match="turn_idx"):
+        (
+            IndexBuilder()
+            .input_jsonl(bad)
+            .output_dir(str(tmp_path / "ib"))
+            .partitions(2)
+            .convert()
+        )
