@@ -294,10 +294,6 @@ def invert_partial(
     )
 
 
-def _varint_nbytes_per_value(vals: np.ndarray) -> np.ndarray:
-    return codecs.varint_nbytes_per_value(vals)
-
-
 def _slice_encode(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
@@ -314,6 +310,20 @@ def _slice_encode(
     a gamma slice gets no block offsets — it is decoded whole)."""
     n = doc_ids.size
     S = starts.size
+    if n == 0:
+        # an empty partition (fully-tombstoned compaction, sparse
+        # rebuild) must pack to an empty segment, not IndexError on
+        # gaps_full[0]
+        return {
+            "doc_bytes": [b""] * S,
+            "tf_bytes": [b""] * S,
+            "doc_codec": np.full(S, CODEC_VARINT, dtype=np.int8),
+            "tf_codec": np.full(S, CODEC_VARINT, dtype=np.int8),
+            "gap_nb": np.empty(0, dtype=np.int64),
+            "tf_nb": np.empty(0, dtype=np.int64),
+            "gap_bounds": np.zeros(S + 1, dtype=np.int64),
+            "tf_bounds": np.zeros(S + 1, dtype=np.int64),
+        }
     keep = np.ones(n, dtype=bool)
     keep[starts] = False
     gaps_full = np.empty(n, dtype=np.int64)
@@ -339,8 +349,8 @@ def _slice_encode(
     gap_counts = ends - starts - 1
     tf_counts = ends - starts
     tf_vals = tfs.view(np.uint64)
-    gap_nb = _varint_nbytes_per_value(gap_vals)
-    tf_nb = _varint_nbytes_per_value(tf_vals)
+    gap_nb = codecs.varint_nbytes_per_value(gap_vals)
+    tf_nb = codecs.varint_nbytes_per_value(tf_vals)
     doc_bytes = _pack_all(gap_vals, gap_counts, gap_nb)
     # tf streams are mostly 1s -> gamma often wins; single-buffer varint
     # first, then selective gamma re-encode below
@@ -393,8 +403,13 @@ def make_partition_writer(
         if os.path.exists(done_path):
             with open(done_path) as f:
                 done = json.load(f)
-            if done.get("fingerprint") == fingerprint and os.path.exists(
-                paths.segment(pid)
+            if (
+                done.get("fingerprint") == fingerprint
+                and os.path.exists(paths.segment(pid))
+                # a missing term-dict part would make every term of
+                # this partition silently unsearchable (merge.py's
+                # resume guard checks both; so must the build's)
+                and os.path.exists(paths.term_dict_part(pid))
             ):
                 return pa.table(
                     {
@@ -454,7 +469,7 @@ def make_partition_writer(
         salts_slice = salts_rows[run_starts_row]
 
         marker = _pack_segment(
-            paths, pid, terms, salts_rows[run_starts_row], doc_ids, tfs,
+            paths, pid, terms, salts_slice, doc_ids, tfs,
             dls, starts, ends, avgdl, k1, b, bs, fingerprint, t0,
         )
         return pa.table(
@@ -524,9 +539,12 @@ def _pack_segment(
     nblocks = (df + bs - 1) // bs
     tot_blocks = int(nblocks.sum())
     slice_of_block = np.repeat(np.arange(S), nblocks)
-    blk_in_slice = np.arange(tot_blocks) - np.repeat(
-        np.concatenate([[0], np.cumsum(nblocks)[:-1]]), nblocks
-    )
+    if tot_blocks:
+        blk_in_slice = np.arange(tot_blocks) - np.repeat(
+            np.concatenate([[0], np.cumsum(nblocks)[:-1]]), nblocks
+        )
+    else:  # zero slices: np.repeat([0], []) does not broadcast
+        blk_in_slice = np.empty(0, dtype=np.int64)
     bstart = starts[slice_of_block] + blk_in_slice * bs
     bend = np.minimum(bstart + bs, ends[slice_of_block])
     block_last = doc_ids[bend - 1]
@@ -1031,6 +1049,57 @@ def _merge_heavy_partials(
     return {t: params.num_salts for t in heavy_terms}
 
 
+def _clean_stale_parts(paths: IndexPaths, fingerprint: str) -> None:
+    """Reusing an out_dir across DIFFERENT builds must not leave the
+    previous occupant's state behind:
+
+    * a segment/term-dict part whose done-marker carries another
+      fingerprint (or has no marker at all) would survive untouched if
+      the new build routes no rows to that partition — its terms would
+      resolve to the OLD corpus's docIDs;
+    * tombstones.parquet refers to the old corpus's docIDs and would
+      silently suppress arbitrary new docs.
+
+    Markers matching ``fingerprint`` are left alone (that is resume)."""
+    import re as _re
+
+    seg_dir = paths.segments_dir
+    if os.path.isdir(seg_dir):
+        keep: set[int] = set()
+        for fn in os.listdir(seg_dir):
+            m = _re.fullmatch(r"part-(\d+)\.done\.json", fn)
+            if not m:
+                continue
+            pid = int(m.group(1))
+            try:
+                with open(os.path.join(seg_dir, fn)) as f:
+                    if json.load(f).get("fingerprint") == fingerprint:
+                        keep.add(pid)
+                        continue
+            except (OSError, json.JSONDecodeError):
+                pass
+            os.remove(os.path.join(seg_dir, fn))
+        for d, pat in ((seg_dir, r"part-(\d+)\.parquet"), (
+            paths.term_dict_dir, r"part-(\d+)\.parquet",
+        )):
+            if not os.path.isdir(d):
+                continue
+            for fn in os.listdir(d):
+                m = _re.fullmatch(pat, fn)
+                if m and int(m.group(1)) not in keep:
+                    os.remove(os.path.join(d, fn))
+    docmap_marker = os.path.join(paths.root, "docmap_done.json")
+    same_docmap = False
+    if os.path.exists(docmap_marker):
+        try:
+            with open(docmap_marker) as f:
+                same_docmap = json.load(f).get("fingerprint") == fingerprint
+        except (OSError, json.JSONDecodeError):
+            pass
+    if not same_docmap and os.path.exists(paths.tombstones):
+        os.remove(paths.tombstones)
+
+
 def build_index(
     ds: ray.data.Dataset,
     out_dir: str,
@@ -1056,14 +1125,31 @@ def build_index(
         _times[phase] = round(now - _tprev, 3)
         _tprev = now
 
+    fingerprint_deferred = False
     if input_fingerprint is None:
         try:
             files = sorted(ds.input_files())
         except Exception:
             files = []
-        input_fingerprint = format(
-            stable_hash(("|".join(files) + repr(asdict(params))).encode()), "08x"
-        )
+        if files:
+            input_fingerprint = format(
+                stable_hash(
+                    ("|".join(files) + repr(asdict(params))).encode()
+                ),
+                "08x",
+            )
+        else:
+            # in-memory / untracked sources have NO file identity: a
+            # params-only hash would match markers from a DIFFERENT
+            # dataset and silently skip its partitions.  Defer to a
+            # CONTENT fingerprint from the pass-A aggregates instead
+            # (doc/token/conv counts + the heavy-term profile) — same-
+            # content rebuilds still resume, different content never
+            # matches.
+            fingerprint_deferred = True
+
+    if not fingerprint_deferred:
+        _clean_stale_parts(paths, input_fingerprint)
 
     ds = ds.select_columns(["conv_id", "turn_idx", "text"])
 
@@ -1116,6 +1202,13 @@ def build_index(
     heavy_ref = ray.put(heavy)
     salt_range = max(1, (num_docs + params.num_salts - 1) // params.num_salts)
     avgdl = total_terms / num_docs if num_docs else 0.0  # f64, src/lib.rs:616-617
+    if fingerprint_deferred:
+        content = (
+            f"content|{num_docs}|{total_terms}|"
+            f"{sorted(heavy.items())}|{repr(asdict(params))}"
+        )
+        input_fingerprint = format(stable_hash(content.encode()), "08x")
+        _clean_stale_parts(paths, input_fingerprint)
 
     # --- docmap finalize (DocRecord analogue, K3/A6): attach doc IDs to
     # the kind=3 partials and write parquet.  Runs OVERLAPPED with pass

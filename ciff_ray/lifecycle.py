@@ -54,6 +54,8 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     """Tombstone documents by docID.  Cumulative and idempotent; takes
     effect on the next scorer construction.  Returns the total
     tombstone count."""
+    import fcntl
+
     paths = IndexPaths(index_dir)
     manifest = Manifest.read(paths.manifest)
     new = np.unique(np.asarray(doc_ids, dtype=np.int64))
@@ -62,16 +64,23 @@ def delete_docs(index_dir: str, doc_ids) -> int:
             f"doc_ids out of range [0, {manifest.num_docs}): "
             f"{new[0]}..{new[-1]}"
         )
-    if os.path.exists(paths.tombstones):
-        old = (
-            pq.read_table(paths.tombstones)["doc_id"]
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
+    # the read-union-write below is a lost-update race under concurrent
+    # callers (both read the same old set; the second replace drops the
+    # first's deletes) — serialize writers with an advisory flock
+    lock_path = paths.tombstones + ".lock"
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if os.path.exists(paths.tombstones):
+            old = (
+                pq.read_table(paths.tombstones)["doc_id"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            new = np.union1d(old, new)
+        atomic_write_parquet(
+            pa.table({"doc_id": pa.array(new, type=pa.int64())}),
+            paths.tombstones,
         )
-        new = np.union1d(old, new)
-    atomic_write_parquet(
-        pa.table({"doc_id": pa.array(new, type=pa.int64())}), paths.tombstones
-    )
     append_lineage(
         paths.lineage,
         [{"op": "delete", "n_total_tombstones": int(new.size), "ts": time.time()}],

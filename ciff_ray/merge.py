@@ -261,7 +261,12 @@ def ingest(
     ):
         raise ValueError("delta build params must match the base index")
     if delta_dir is None:
-        delta_dir = os.path.join(out_dir + ".delta")
+        # unique per call: a reused default delta dir would let a
+        # day-2 ingest resume-skip day-1's partitions (in-memory deltas
+        # have no input fingerprint to tell them apart)
+        import uuid
+
+        delta_dir = os.path.join(out_dir + f".delta-{uuid.uuid4().hex[:8]}")
     build_index(new_ds, delta_dir, params)
     return merge_indexes([base_dir, delta_dir], out_dir)
 
@@ -377,6 +382,11 @@ def merge_indexes(root_dirs: list[str], out_dir: str) -> Manifest:
             pa.table({"doc_id": pa.array(dead, type=pa.int64())}),
             out.tombstones,
         )
+    elif os.path.exists(out.tombstones):
+        # a REUSED out_dir may hold a previous occupant's tombstones;
+        # with no roots carrying deletes they refer to nothing in this
+        # merge and would silently suppress arbitrary merged docs
+        os.remove(out.tombstones)
 
     # global term stats: same two-level distributed tree as the build,
     # over the merged term-dict parts

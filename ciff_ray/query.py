@@ -332,6 +332,13 @@ class LocalScorer:
         self._dense_cache: dict[str, np.ndarray] = {}
         self._dense_cache_bytes = 0
         self._dense_cache_cap = 256_000_000
+        # materialized-slice memo for the block-targeted decode path:
+        # the Arrow .as_py() copies of a slice's payload + offsets are
+        # paid ONCE per scorer, not once per decoded block (MaxScore on
+        # a stopword slice previously copied O(slice_bytes x blocks))
+        self._slice_mat: dict[tuple[str, int, int], dict] = {}
+        self._slice_mat_bytes = 0
+        self._slice_mat_cap = 64_000_000
 
     # -- index access ----------------------------------------------------
 
@@ -602,25 +609,51 @@ class LocalScorer:
 
     # -- MaxScore + block-max pruning ------------------------------------
 
-    def _block_decode(self, row: dict, bi: int) -> tuple[np.ndarray, np.ndarray]:
+    def _slice_mat_for(self, term: str, salt: int, pid: int) -> dict:
+        """Materialized (plain bytes + numpy) view of one slice row for
+        block-targeted decode — memoized, bounded by payload bytes."""
+        key = (term, salt, pid)
+        mat = self._slice_mat.get(key)
+        if mat is not None:
+            return mat
+        row = self._slice_row(term, salt, pid)
+        mat = {
+            "bld": np.asarray(row["block_last_doc"].as_py(), dtype=np.int64),
+            "doff": np.asarray(row["block_doc_off"].as_py(), dtype=np.int64),
+            "toff": np.asarray(row["block_tf_off"].as_py(), dtype=np.int64),
+            "df": row["df"].as_py(),
+            "first_doc": row["first_doc"].as_py(),
+            "doc_codec": row["doc_codec"].as_py(),
+            "tf_codec": row["tf_codec"].as_py(),
+            "doc_bytes": row["doc_bytes"].as_py(),
+            "tf_bytes": row["tf_bytes"].as_py(),
+            "row": row,
+        }
+        nbytes = len(mat["doc_bytes"]) + len(mat["tf_bytes"])
+        if self._slice_mat_bytes + nbytes <= self._slice_mat_cap:
+            self._slice_mat[key] = mat
+            self._slice_mat_bytes += nbytes
+        return mat
+
+    def _block_decode(self, mat: dict, bi: int) -> tuple[np.ndarray, np.ndarray]:
         """Decode a single block of a varint slice via its byte offsets."""
-        bld = row["block_last_doc"].as_py()
-        doff = row["block_doc_off"].as_py()
-        toff = row["block_tf_off"].as_py()
-        df = row["df"].as_py()
+        bld = mat["bld"]
+        doff = mat["doff"]
+        toff = mat["toff"]
+        df = mat["df"]
         bs = self.manifest.block_size
         nblocks = len(bld)
         start_pos = bi * bs
         end_pos = min(start_pos + bs, df)
         count = end_pos - start_pos
-        doc_b = row["doc_bytes"].as_py()
-        tf_b = row["tf_bytes"].as_py()
+        doc_b = mat["doc_bytes"]
+        tf_b = mat["tf_bytes"]
         d_end = doff[bi + 1] if bi + 1 < nblocks else len(doc_b)
         t_end = toff[bi + 1] if bi + 1 < nblocks else len(tf_b)
         if bi == 0:
             gaps = codecs.varint_decode(doc_b[: d_end], count - 1).astype(np.int64)
             docs = np.empty(count, dtype=np.int64)
-            docs[0] = row["first_doc"].as_py()
+            docs[0] = mat["first_doc"]
             if count > 1:
                 docs[1:] = docs[0] + np.cumsum(gaps)
         else:
@@ -636,21 +669,21 @@ class LocalScorer:
         only the blocks that can contain a candidate."""
         out = np.zeros(cand.size, dtype=np.int64)
         for salt, pid in self._slices_for(term):
-            row = self._slice_row(term, salt, pid)
-            bld = np.asarray(row["block_last_doc"].as_py(), dtype=np.int64)
+            mat = self._slice_mat_for(term, salt, pid)
+            bld = mat["bld"]
             if bld.size == 0:
                 continue
-            lo = row["first_doc"].as_py()
+            lo = mat["first_doc"]
             sel = (cand >= lo) & (cand <= bld[-1])
             if not sel.any():
                 continue
             if (
-                row["doc_codec"].as_py() == CODEC_GAMMA
-                or row["tf_codec"].as_py() == CODEC_GAMMA
-                or row["block_doc_off"].as_py()[0] < 0
-                or row["block_tf_off"].as_py()[0] < 0
+                mat["doc_codec"] == CODEC_GAMMA
+                or mat["tf_codec"] == CODEC_GAMMA
+                or (mat["doff"].size and mat["doff"][0] < 0)
+                or (mat["toff"].size and mat["toff"][0] < 0)
             ):
-                docs, tfs = self._decode_slice(row)
+                docs, tfs = self._decode_slice(mat["row"])
                 pos = np.searchsorted(docs, cand[sel])
                 hit = (pos < docs.size) & (docs[np.minimum(pos, docs.size - 1)] == cand[sel])
                 vals = np.zeros(sel.sum(), dtype=np.int64)
@@ -661,7 +694,7 @@ class LocalScorer:
             blocks = np.searchsorted(bld, csel)
             vals = np.zeros(csel.size, dtype=np.int64)
             for bi in np.unique(blocks):
-                docs, tfs = self._block_decode(row, int(bi))
+                docs, tfs = self._block_decode(mat, int(bi))
                 mask = blocks == bi
                 pos = np.searchsorted(docs, csel[mask])
                 hit = (pos < docs.size) & (
@@ -695,7 +728,10 @@ class LocalScorer:
             cand = np.unique(np.concatenate(doc_parts))
             if cand.size == 0:
                 return None
-            if cand.size >= self.N // 2:
+            if cand.size >= self.manifest.num_docs // 2:
+                # LOCAL doc count, not self.N: a GlobalStats shard
+                # scorer's N is collection-wide while cand is bounded
+                # by the shard, which made this guard dead on shards
                 return None  # candidate set too dense; exhaustive is cheaper
             total = np.zeros(cand.size, dtype=np.float64)
             for t in terms:  # byte-sorted order for fp determinism
@@ -821,7 +857,7 @@ class LocalScorer:
         sel_span = float(
             np.sum((uniq_pos[1:] - uniq_pos[:-1]) * sel[:-1].astype(np.int64))
         )
-        if sel_span > 0.5 * max(1, self.N):
+        if sel_span > 0.5 * max(1, self.manifest.num_docs):  # local range
             return None
 
         doc_parts, contrib_parts = [], []

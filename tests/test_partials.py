@@ -131,3 +131,35 @@ def test_term_stats_tree_single_shard(ray_session, tmp_path, monkeypatch):
     assert by_term["a"]["df"] == 5 and by_term["a"]["cf"] == 9
     assert by_term["a"]["max_score"] == 3.0
     assert by_term["b"]["df"] == 1
+
+
+def test_pack_segment_empty_partition(tmp_path):
+    """A partition that receives ZERO postings (fully-tombstoned
+    compaction, sparse rebuild) must pack to a valid empty segment —
+    _slice_encode previously crashed on gaps_full[0] of a size-0
+    array."""
+    import pyarrow as pa
+
+    from ciff_ray.build import _pack_segment, _slice_encode
+    from ciff_ray.layout import IndexPaths
+
+    enc = _slice_encode(
+        np.empty(0, np.int64), np.empty(0, np.int64),
+        np.empty(0, np.int64), np.empty(0, np.int64),
+    )
+    assert enc["doc_bytes"] == [] and enc["gap_bounds"].tolist() == [0]
+
+    paths = IndexPaths(str(tmp_path / "idx"))
+    import os
+
+    os.makedirs(paths.segments_dir, exist_ok=True)
+    os.makedirs(paths.term_dict_dir, exist_ok=True)
+    marker = _pack_segment(
+        paths, 0,
+        pa.array([], type=pa.string()),
+        np.empty(0, np.int32),
+        np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64),
+        np.empty(0, np.int64), np.empty(0, np.int64),
+        avgdl=5.0, k1=0.9, b=0.4, bs=128, fingerprint="t",
+    )
+    assert marker["n_postings"] == 0 and marker["n_slices"] == 0

@@ -85,3 +85,56 @@ def test_changed_input_invalidates_markers(tmp_path):
     oracle = OracleIndex.build(tbl2)
     scorer = LocalScorer(out)
     assert scorer.vocabulary() == sorted(oracle.postings.keys())
+
+
+def test_out_dir_reuse_clears_stale_state(tmp_path):
+    """Rebuilding a DIFFERENT corpus into the same out_dir must not
+    leave the previous occupant's segments, term-dict parts, or
+    tombstones behind (code-review findings: a partition receiving no
+    rows in the new build kept the old corpus's postings; stale
+    tombstones suppressed arbitrary new docs)."""
+    import numpy as np
+
+    from ciff_ray.lifecycle import delete_docs
+    from ciff_ray.query import LocalScorer
+
+    out = str(tmp_path / "idx")
+    a = generate_transcripts(n_convs=12, seed=1)
+    build_index(ray.data.from_arrow(a), out, BP)
+    delete_docs(out, np.array([0], dtype=np.int64))
+    paths = IndexPaths(out)
+    assert os.path.exists(paths.tombstones)
+
+    b = generate_transcripts(n_convs=4, seed=99)  # different + smaller
+    m = build_index(ray.data.from_arrow(b), out, BP)
+
+    # tombstones from the old corpus are gone; doc 0 serves again
+    assert not os.path.exists(paths.tombstones)
+    s = LocalScorer(out)
+    # vocabulary is exactly corpus B's (no stale terms from A)
+    from ciff_ray.oracle import OracleIndex
+
+    oracle = OracleIndex.build(b)
+    assert sorted(s.vocabulary()) == sorted(oracle.postings)
+    for term, plist in oracle.postings.items():
+        docs, tfs = s.postings(term)
+        assert docs.tolist() == [d for d, _ in plist], term
+    assert m.num_docs == len(b)
+
+
+def test_in_memory_content_fingerprint(tmp_path):
+    """In-memory datasets resume on IDENTICAL content but never match
+    markers from different content (the params-only-hash trap)."""
+    out = str(tmp_path / "idx")
+    a = generate_transcripts(n_convs=10, seed=3)
+    build_index(ray.data.from_arrow(a), out, BP)
+    build_index(ray.data.from_arrow(a), out, BP)  # identical -> resume
+    lineage = read_lineage(IndexPaths(out).lineage)
+    last = lineage[-BP.num_partitions:]
+    assert all(r["status"] == "skipped" for r in last)
+
+    b = generate_transcripts(n_convs=10, seed=4)  # same shape, new text
+    build_index(ray.data.from_arrow(b), out, BP)
+    lineage = read_lineage(IndexPaths(out).lineage)
+    last = lineage[-BP.num_partitions:]
+    assert all(r["status"] == "written" for r in last)
