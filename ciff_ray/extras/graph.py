@@ -225,6 +225,9 @@ def connected_components(
     _write_edge_buckets(pairs, root, parts)
 
     def _init(batch: pa.Table) -> pa.Table:
+        if "a" not in batch.schema.names:  # zero-column empty block
+            # (the Ray 2.49 race _sym already guards; same dataset)
+            return _LAB_SCHEMA.empty_table()
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = np.concatenate([a, b])
@@ -292,8 +295,12 @@ def q_dup_clusters(sf_dir: str) -> ray.data.Dataset:
                 [("doc_id", pa.int64()), ("cluster_id", pa.int64())]
             ).empty_table()
         )
+    # content-keyed (path + size + mtime), like every other derived
+    # store: a path-only tag would let a run over a REGENERATED corpus
+    # share and mutate the bucket files a concurrent run still reads
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     tag = hashlib.sha1(
-        f"minhash:{os.path.abspath(sf_dir)}".encode()
+        f"minhash:{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
     return connected_components(pairs, tag)
 

@@ -60,7 +60,7 @@ class _RevenuePartials:
         # boundary in the cross-engine hash compare
         cents = np.round(price * 100.0).astype(np.int64)
         pos = np.searchsorted(self.ck, cust)
-        ok = (pos < self.ck.size) & (self.ck[np.minimum(pos, self.ck.size - 1)] == cust)
+        ok = (pos < self.ck.size) & (self.ck[np.minimum(pos, max(self.ck.size - 1, 0))] == cust)
         if not ok.all():
             # inner-join semantics: drop orders without a customer row
             pos, cents = pos[ok], cents[ok]

@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
-MIX_HASH_MULT = 2654435761  # Knuth multiplicative hash, fits int64 here
+MIX_HASH_MULT = 2654435761  # Knuth multiplicative hash
 MIX_MOD = 100
 
 
@@ -46,7 +46,11 @@ def _rates(src_num: np.ndarray) -> np.ndarray:
 
 
 def _keep_mask(doc_id: np.ndarray, rate: np.ndarray) -> np.ndarray:
-    return (doc_id * np.int64(MIX_HASH_MULT)) % MIX_MOD < rate
+    # residues first: (id % M) * (MULT % M) stays far inside int64 for
+    # ANY doc_id, and equals (id * MULT) % M in exact arithmetic — the
+    # raw product silently wraps in numpy above ~3.5e9 ids while the
+    # SQL side raises, breaking cross-engine reproducibility
+    return ((doc_id % MIX_MOD) * np.int64(MIX_HASH_MULT % MIX_MOD)) % MIX_MOD < rate
 
 
 def sample_documents(sf_dir: str) -> ray.data.Dataset:
@@ -218,7 +222,7 @@ FROM c""",
        CAST(25 * (1 + CAST(substr(source, 4) AS BIGINT) % 4) AS BIGINT)
          AS rate_pct,
        CAST(count(*) AS BIGINT) AS n_total,
-       CAST(sum(CASE WHEN (doc_id * {MIX_HASH_MULT}) % {MIX_MOD}
+       CAST(sum(CASE WHEN ((doc_id % {MIX_MOD}) * {MIX_HASH_MULT % MIX_MOD}) % {MIX_MOD}
                           < 25 * (1 + CAST(substr(source, 4) AS BIGINT) % 4)
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents GROUP BY source""",

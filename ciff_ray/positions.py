@@ -78,7 +78,14 @@ def _position_partials(batch: pa.Table) -> pa.Table:
     run_start = np.flatnonzero(new_run)
     run_len = np.diff(np.concatenate([run_start, [n]]))
     pos = (np.arange(n) - np.repeat(run_start, run_len)).astype(np.int32)
-    doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[rows]
+    doc_col = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if doc_col.size and int(doc_col.max()) >= (1 << 32):
+        # the query side packs (doc << 32 | pos) into u64; a larger
+        # docID would wrap into another doc's key space and produce
+        # silent false phrase/proximity hits — fail at build instead.
+        # (>= 2^32 docs => shard the positional store by doc range.)
+        raise ValueError("positional store requires doc_id < 2^32")
+    doc = doc_col[rows]
     # one row per (term, doc); positions ascend within each group
     # because lexsort is stable on the already-ascending pos
     order = np.lexsort((pos, doc, tidx))
@@ -168,16 +175,26 @@ class PositionStore:
         part_dir = os.path.join(self.root, f"part={_term_part(term)}")
         if not os.path.isdir(part_dir):
             return np.empty(0, np.uint64)
+        # term-only pushdown: a candidate "in"-list filter materializes
+        # |cand| Python ints per read and degenerates for frequent-term
+        # pairs; the doc intersection is one vectorized searchsorted
+        # against the (sorted) candidate array instead
         t = pq.read_table(
             part_dir,
             columns=["term", "doc_id", "positions"],
-            filters=[
-                ("term", "=", term),
-                ("doc_id", "in", cand.tolist()),
-            ],
+            filters=[("term", "=", term)],
         )
         if t.num_rows == 0:
             return np.empty(0, np.uint64)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.sort(np.asarray(cand, dtype=np.int64))
+        pos = np.searchsorted(cs, doc_ids)
+        keep = (pos < cs.size) & (
+            cs[np.minimum(pos, max(cs.size - 1, 0))] == doc_ids
+        )
+        if not keep.any():
+            return np.empty(0, np.uint64)
+        t = t.filter(pa.array(keep))
         col = t["positions"].combine_chunks()
         flat = np.asarray(col.values).astype(np.uint64)
         lens = np.diff(np.asarray(col.offsets)).astype(np.int64)

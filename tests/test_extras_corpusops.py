@@ -111,7 +111,9 @@ def test_source_mixture_matches_direct_numpy(ray_session):
         num = int(s[3:])
         rate = 25 * (1 + num % 4)
         ids = did[src == s]
-        kept = ((ids * np.int64(sampling.MIX_HASH_MULT)) % 100 < rate).sum()
+        kept = (
+            ((ids % 100) * np.int64(sampling.MIX_HASH_MULT % 100)) % 100 < rate
+        ).sum()
         assert got.loc[s, "rate_pct"] == rate
         assert got.loc[s, "n_total"] == ids.size
         assert got.loc[s, "n_kept"] == kept
