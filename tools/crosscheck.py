@@ -44,7 +44,9 @@ def main() -> int:
     only = set(sys.argv[2:])  # optional: restrict to these query names
     if not ray.is_initialized():
         ray.init(
-            address="local", num_cpus=8, include_dashboard=False,
+            address="local",
+            num_cpus=int(os.environ.get("CROSSCHECK_CPUS", "8")),
+            include_dashboard=False,
             logging_level="ERROR",
         )
     from ray.data import DataContext
