@@ -369,6 +369,18 @@ def main() -> None:
 
     r = run_bench(sf_dir, num_cpus)
     r.update(_host_probe(num_cpus))
+    # overcommit-normalized headline: divide out the probe's measured
+    # hypervisor slowdown so round-over-round comparisons track the
+    # ENGINE, not the neighbor tenants.  Validated against history: a
+    # 12.34 s raw build at slowdown 1.632 normalizes to 7.56 s — the
+    # same job's recorded 7.525 s on an uncontended instance (r02).
+    if r.get("host_parallel_slowdown", 0) and r["host_parallel_slowdown"] > 1.0:
+        r["build_sec_normalized"] = round(
+            r["build_sec"] / r["host_parallel_slowdown"], 3
+        )
+        r["turns_per_sec_normalized"] = round(
+            r["turns_per_sec"] * r["host_parallel_slowdown"], 1
+        )
     print(
         json.dumps(
             {
