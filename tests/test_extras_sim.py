@@ -4,6 +4,7 @@ multimodal decode plumbing (sf0.001 testdata)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -463,3 +464,50 @@ def test_ann_pq_recall_and_compression(ray_session):
     CB = train_pq_codebooks(f"{SF}/embeddings.parquet")
     d = CB.shape[0] * CB.shape[2]
     assert (d * 4) / PQ_M == 32.0
+
+
+def test_media_frame_sample_resize_kernel():
+    """FrameSampleResize vs a brute-force per-doc Python oracle, plus
+    the zero-length-blob edge (no rows emitted, schema preserved)."""
+    texts = ["a" * 700, "b" * 256, "c", "d" * 3000, "", "x" * 512]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(["src0"] * len(texts)),
+        }
+    )
+    st = multimodal.FrameSampleResize()
+    out = (
+        st(multimodal.synthesize_media(batch))
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    fb, se, stride = (
+        multimodal.FRAME_BYTES,
+        multimodal.SAMPLE_EVERY,
+        multimodal.RESIZE_STRIDE,
+    )
+    for did, t in zip(range(1, len(texts) + 1), texts):
+        b = t.encode()
+        for f in range(0, -(-len(b) // fb), se):
+            fl = min(fb, len(b) - f * fb)
+            taps = b[f * fb : f * fb + fl : stride]
+            rows.append((did, f, fl, len(taps), sum(taps), taps.decode()))
+    exp = pd.DataFrame(rows, columns=list(out.columns))
+    pd.testing.assert_frame_equal(out, exp)
+    assert 5 not in set(out.doc_id)  # empty blob -> zero frames
+    # all-empty batch keeps the declared schema
+    empty = st(multimodal.synthesize_media(batch.slice(4, 1)))
+    assert empty.num_rows == 0
+    assert empty.schema.names == list(out.columns)
+
+
+def test_media_frames_pipeline(ray_session):
+    out = multimodal.q_media_frames(SF).to_pandas()
+    assert len(out) > 0
+    assert (out.n_taps >= 1).all()
+    assert (out.frame_idx % multimodal.SAMPLE_EVERY == 0).all()
+    assert (out.resized.str.len() == out.n_taps).all()
