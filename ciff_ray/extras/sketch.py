@@ -358,8 +358,160 @@ TOP_TERMS_SQL = f"""SELECT CAST(rnk AS BIGINT) AS rank, term, cf FROM (
 ) WHERE rnk <= {TOPK_TERMS}"""
 
 
+
+
+# ---------------------------------------------------------------------------
+# t-digest quantile sketch (events.value) — the mergeable-quantiles leg of
+# the sketch family (HLL = distinct counts, Misra-Gries = heavy hitters,
+# t-digest = quantiles).  Exact quantiles need a full sort (all-to-all at
+# 100 TB); the digest is one streaming pass emitting <= ~DELTA centroids
+# per (block, scope), merged by a tiny groupby.
+#
+# Batch "merging digest" construction (Dunning & Ertl, arXiv:1902.04023,
+# public algorithm): sort points/centroids by mean, compute each item's
+# center quantile q, bin by the k1 scale function
+# k(q) = (delta/2pi) * asin(2q-1), and fuse consecutive items that share a
+# k-bin — clusters stay small near the tails (accurate p99) and coarse in
+# the middle.  Fully vectorized: argsort + cumsum + reduceat, no Python
+# loop over points; merging two digests is the same routine on the
+# concatenated centroid arrays, so partials are associative enough for a
+# distributed tree (order-dependence only redistributes the APPROXIMATION,
+# the rank-error bound is partition-independent — pinned in
+# tests/test_sketch.py).
+# ---------------------------------------------------------------------------
+
+TDIGEST_DELTA = 200
+TD_QUANTILES = (0.01, 0.10, 0.50, 0.90, 0.99)
+
+
+def td_compress(
+    means: np.ndarray, weights: np.ndarray, delta: int = TDIGEST_DELTA
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fuse (means, weights) into <= O(delta) centroids (k1 scale)."""
+    if means.size == 0:
+        return means.astype(np.float64), weights.astype(np.float64)
+    order = np.argsort(means, kind="stable")
+    m = means[order].astype(np.float64)
+    w = weights[order].astype(np.float64)
+    total = w.sum()
+    q_center = (np.cumsum(w) - w / 2.0) / total
+    k = delta * (np.arcsin(2.0 * q_center - 1.0) / np.pi + 0.5)
+    bins = np.floor(k).astype(np.int64)
+    starts = np.concatenate([[0], np.nonzero(np.diff(bins))[0] + 1])
+    gw = np.add.reduceat(w, starts)
+    gm = np.add.reduceat(m * w, starts) / gw
+    return gm, gw
+
+
+def td_quantiles(
+    means: np.ndarray,
+    weights: np.ndarray,
+    vmin: float,
+    vmax: float,
+    qs: tuple[float, ...] = TD_QUANTILES,
+) -> np.ndarray:
+    """Interpolated quantile estimates from a digest: piecewise-linear
+    CDF through the centroid means at their center ranks, clamped to
+    the exact [min, max] carried alongside the digest."""
+    if means.size == 0:
+        return np.full(len(qs), np.nan)
+    total = weights.sum()
+    centers = np.cumsum(weights) - weights / 2.0
+    xs = np.concatenate([[0.0], centers, [total]])
+    ys = np.concatenate([[vmin], means, [vmax]])
+    return np.interp(np.asarray(qs) * total, xs, ys)
+
+
+_TD_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("scope", pa.string()),
+        ("means", pa.large_list(pa.float64())),
+        ("weights", pa.large_list(pa.float64())),
+        ("vmin", pa.float64()),
+        ("vmax", pa.float64()),
+    ]
+)
+
+
+def _td_partials(batch: pa.Table) -> pa.Table:
+    """events batch -> one digest row per event_type present (plus the
+    \'all\' scope): <= ~TDIGEST_DELTA centroids each."""
+    vals = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    types = batch["event_type"].to_numpy(zero_copy_only=False)
+    rows_scope, rows_m, rows_w, rows_lo, rows_hi = [], [], [], [], []
+
+    def emit(scope: str, v: np.ndarray) -> None:
+        gm, gw = td_compress(v, np.ones_like(v))
+        rows_scope.append(scope)
+        rows_m.append(gm)
+        rows_w.append(gw)
+        rows_lo.append(float(v.min()))
+        rows_hi.append(float(v.max()))
+
+    if vals.size:
+        emit("all", vals)
+        order = np.argsort(types, kind="stable")
+        st, sv = types[order], vals[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(st[1:] != st[:-1])[0] + 1]
+        )
+        for i, s in enumerate(starts):
+            e = starts[i + 1] if i + 1 < starts.size else st.size
+            emit(str(st[s]), sv[s:e])
+    return pa.table(
+        {
+            "scope": pa.array(rows_scope, type=pa.string()),
+            "means": pa.array(rows_m, type=pa.large_list(pa.float64())),
+            "weights": pa.array(rows_w, type=pa.large_list(pa.float64())),
+            "vmin": pa.array(rows_lo, type=pa.float64()),
+            "vmax": pa.array(rows_hi, type=pa.float64()),
+        },
+        schema=_TD_PARTIAL_SCHEMA,
+    )
+
+
+def _td_final(group: pa.Table) -> pa.Table:
+    """Merge one scope\'s partial digests and emit quantile rows."""
+    means_col = group["means"].combine_chunks()
+    w_col = group["weights"].combine_chunks()
+    m = np.asarray(means_col.values, dtype=np.float64)
+    w = np.asarray(w_col.values, dtype=np.float64)
+    gm, gw = td_compress(m, w)
+    vmin = float(np.min(group["vmin"].to_numpy(zero_copy_only=False)))
+    vmax = float(np.max(group["vmax"].to_numpy(zero_copy_only=False)))
+    est = td_quantiles(gm, gw, vmin, vmax)
+    scope = group["scope"][0].as_py()
+    return pa.table(
+        {
+            "scope": pa.array([scope] * len(TD_QUANTILES), type=pa.string()),
+            "q": pa.array(list(TD_QUANTILES), type=pa.float64()),
+            "est": pa.array(est, type=pa.float64()),
+            "n": pa.array(
+                [int(round(gw.sum()))] * len(TD_QUANTILES), type=pa.int64()
+            ),
+        }
+    )
+
+
+def q_quantile_sketch(sf_dir: str) -> ray.data.Dataset:
+    """Distributed t-digest over events.value, per event_type plus an
+    \'all\' scope -> (scope, q, est, n).  Rows-only driver entry
+    (approximate by design); the rank-error bound vs exact quantiles is
+    pinned in tests/test_sketch.py."""
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        .map_batches(_td_partials, batch_format="pyarrow")
+        .groupby("scope")
+        .map_groups(_td_final, batch_format="pyarrow")
+    )
+
+
 QUERIES = {
     "approx_distinct": q_approx_distinct,  # rows-only (approximate)
     "top_terms": q_top_terms,
+    "quantile_sketch": q_quantile_sketch,  # rows-only (approximate)
 }
 ORACLE_SQLS: dict[str, str] = {"top_terms": TOP_TERMS_SQL}

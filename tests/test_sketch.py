@@ -125,3 +125,77 @@ def test_top_terms_fallback_exactness(ray_session, monkeypatch):
     monkeypatch.setattr(sk, "MG_CAP", 1)  # budget explodes -> fallback
     fell_back = sk.q_top_terms("/root/testdata/sf0.001").to_pandas()
     assert normal.equals(fell_back)
+
+
+# ---------------------------------------------------------------------------
+# t-digest quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_tdigest_rank_error_vs_exact(ray_session):
+    """Distributed digest over events.value: every estimated quantile's
+    TRUE rank must sit within 0.005 of the target (delta=200 gives
+    ~1e-4 empirically; 50x margin keeps the pin partition-robust)."""
+    import pyarrow.parquet as pq
+
+    from ciff_ray.extras.sketch import q_quantile_sketch
+
+    got = q_quantile_sketch(SF).to_pandas()
+    ev = pq.read_table(
+        SF + "/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    scopes = {"all": ev.value.to_numpy()}
+    for t, grp in ev.groupby("event_type"):
+        scopes[str(t)] = grp.value.to_numpy()
+    assert set(got.scope) == set(scopes)
+    for _, row in got.iterrows():
+        vals = np.sort(scopes[row.scope])
+        assert row.n == vals.size
+        true_rank = np.searchsorted(vals, row.est) / vals.size
+        assert abs(true_rank - row.q) <= 0.005, (
+            row.scope,
+            row.q,
+            row.est,
+            true_rank,
+        )
+
+
+def test_tdigest_merge_partition_invariance():
+    """Same data through 1 vs 64 partition layouts: estimates agree to
+    well inside the accuracy budget, centroid count stays O(delta)."""
+    from ciff_ray.extras.sketch import (
+        TDIGEST_DELTA,
+        td_compress,
+        td_quantiles,
+    )
+
+    rng = np.random.default_rng(11)
+    data = rng.exponential(5.0, size=100_000)
+    one_m, one_w = td_compress(data, np.ones_like(data))
+    ms, ws = [], []
+    for p in np.array_split(data, 64):
+        gm, gw = td_compress(p, np.ones_like(p))
+        ms.append(gm)
+        ws.append(gw)
+    many_m, many_w = td_compress(np.concatenate(ms), np.concatenate(ws))
+    assert many_m.size <= 2 * TDIGEST_DELTA
+    assert abs(many_w.sum() - data.size) < 1e-6  # weight conserved
+    q1 = td_quantiles(one_m, one_w, data.min(), data.max())
+    q2 = td_quantiles(many_m, many_w, data.min(), data.max())
+    srt = np.sort(data)
+    r1 = np.searchsorted(srt, q1) / data.size
+    r2 = np.searchsorted(srt, q2) / data.size
+    assert np.all(np.abs(r1 - r2) < 0.004)
+
+
+def test_tdigest_edge_cases():
+    from ciff_ray.extras.sketch import td_compress, td_quantiles
+
+    m, w = td_compress(np.array([]), np.array([]))
+    assert m.size == 0 and np.all(np.isnan(td_quantiles(m, w, 0, 0)))
+    m, w = td_compress(np.array([3.0]), np.array([1.0]))
+    assert list(m) == [3.0] and list(w) == [1.0]
+    assert np.allclose(td_quantiles(m, w, 3.0, 3.0), 3.0)
+    # constant column: every quantile is the constant
+    m, w = td_compress(np.full(1000, 7.0), np.ones(1000))
+    assert np.allclose(td_quantiles(m, w, 7.0, 7.0), 7.0)
