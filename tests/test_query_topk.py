@@ -264,3 +264,43 @@ def test_rank_ties_collapse_at_9dp():
         np.array([9, 2], dtype=np.int64), np.array([1.0, 1.1]), 2
     )
     assert d2.tolist() == [2, 9]
+
+
+def test_auto_identical_to_exact(engine_and_oracle):
+    """mode="auto" only dispatches between score-identical modes, so
+    its results must match exhaustive scoring bit-for-bit."""
+    engine, oracle = engine_and_oracle
+    for q in QUERIES:
+        for k in (1, 3, 10, 50):
+            d1, s1 = engine.topk(q, k=k, mode="exact")
+            d2, s2 = engine.topk(q, k=k, mode="auto")
+            assert d1.tolist() == d2.tolist(), (q, k)
+            assert s1.tolist() == s2.tolist(), (q, k)
+
+
+def test_auto_mode_policy(engine_and_oracle):
+    """The cost model: uniform max_scores -> exhaustive (pruning can't
+    establish a threshold); one dominant term over long weak lists ->
+    pruned path; single indexed term -> pruned path."""
+    sc = engine_and_oracle[0]._local
+
+    # single indexed term (plus an unindexed one) -> bmw
+    some_term = sc.vocabulary()[0]
+    assert sc._pick_mode(some_term) == "bmw"
+    assert sc._pick_mode(f"{some_term} zzzznotindexed") == "bmw"
+
+    # fabricated stats through the memo: uniform -> exact
+    sc._stat_memo["unia"] = (10_000, 20_000, 1.7)
+    sc._stat_memo["unib"] = (10_000, 20_000, 1.68)
+    sc._stat_memo["unic"] = (10_000, 20_000, 1.69)
+    assert sc._pick_mode("unia unib unic") == "exact"
+
+    # rare high-idf term + stopword-scale weak lists -> bmw (the weak
+    # lists' combined upper bound can't reach the strong list's best doc)
+    sc._stat_memo["rarex"] = (50, 60, 9.0)
+    sc._stat_memo["stopy"] = (480_000, 2_000_000, 1.8)
+    sc._stat_memo["stopz"] = (400_000, 1_500_000, 1.7)
+    assert sc._pick_mode("rarex stopy stopz") == "bmw"
+
+    # no indexed terms at all -> exact fallback
+    assert sc._pick_mode("zzz1 zzz2") == "exact"
