@@ -16,6 +16,7 @@ verified against pure-Python oracles in tests/.
 from __future__ import annotations
 
 from ciff_ray.extras import (
+    bloomjoin,
     cleaning,
     dedup,
     eventjoin,
@@ -31,6 +32,7 @@ from ciff_ray.extras import (
 )
 
 QUERIES = {
+    **bloomjoin.QUERIES,
     **eventjoin.QUERIES,
     **relational.QUERIES,
     **textstats.QUERIES,
@@ -46,6 +48,7 @@ QUERIES = {
 }
 
 ORACLE_SQLS = {
+    **bloomjoin.ORACLE_SQLS,
     **eventjoin.ORACLE_SQLS,
     **relational.ORACLE_SQLS,
     **textstats.ORACLE_SQLS,

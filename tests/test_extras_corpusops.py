@@ -4,6 +4,7 @@ repetition signals, mixture sampling (kernel edges + sf0.001 e2e)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -192,3 +193,70 @@ def test_pii_scan_counts(ray_session, tmp_path):
     assert out[0]["has_pii"] is True
     assert out[1]["n_digitrun"] == 2 and out[1]["n_email"] == 0
     assert out[2]["has_pii"] is False
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pushdown
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_kernel_no_false_negatives():
+    """Membership guarantee: every inserted key probes true; FP rate on
+    disjoint keys stays near the 16-bits/key design point (~7e-4)."""
+    from ciff_ray.extras.bloomjoin import bloom_build, bloom_probe
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 2**62, size=20_000, dtype=np.int64)
+    others = rng.integers(0, 2**62, size=200_000, dtype=np.int64)
+    others = np.setdiff1d(others, keys)
+    m_bits = 1 << 19  # ~26 bits/key here
+    words = bloom_build(keys, m_bits)
+    assert bloom_probe(keys, words).all()
+    fp = bloom_probe(others, words).mean()
+    assert fp < 2e-3, fp
+    # empty filter rejects everything; empty probe returns empty
+    empty = bloom_build(np.array([], dtype=np.int64), m_bits)
+    assert not bloom_probe(others[:100], empty).any()
+    assert bloom_probe(np.array([], dtype=np.int64), words).size == 0
+
+
+def test_bloom_semijoin_scan_reduction(ray_session):
+    """The probe must never drop a true match (exactness depends on it)
+    and the candidate stream must track the true selectivity — the scan
+    reduction the pushdown exists for."""
+    from ciff_ray.extras.bloomjoin import semijoin_scan_stats
+
+    s = semijoin_scan_stats(SF)
+    assert s["missed"] == 0
+    assert s["n_true"] <= s["n_candidates"] <= s["n_fact"]
+    # false positives add < 1% of the fact table on top of true matches
+    assert s["fp_rows"] < 0.01 * s["n_fact"], s
+    # and the candidate stream is a real reduction (selectivity ~20%)
+    assert s["n_candidates"] < 0.35 * s["n_fact"], s
+
+
+def test_bloom_semijoin_matches_duckdb(ray_session):
+    import duckdb
+
+    from ciff_ray.extras.bloomjoin import ORACLE_SQLS, q_semijoin_bloom
+
+    got = (
+        q_semijoin_bloom(SF)
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    exp = (
+        con.execute(ORACLE_SQLS["semijoin_bloom"])
+        .df()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
