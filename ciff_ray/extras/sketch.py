@@ -509,9 +509,166 @@ def q_quantile_sketch(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# EXACT distributed quantiles without a full sort: t-digest bracket +
+# one refinement pass.  The classic scale move — an exact quantile of a
+# 100 TB column via sort/percentile is an all-to-all shuffle; instead:
+#   pass A: merged t-digest per scope (tiny partials, driver merge),
+#   bracket [est(q - delta), est(q + delta)] around each target — the
+#     digest\'s measured rank error (~1e-4, pinned <= 5e-3 in tests) makes
+#     delta = 0.01 a safe over-cover,
+#   pass B: one map_batches computing, per (scope, q): exact
+#     count(v < lo) plus the values INSIDE the bracket (~2*delta*N rows,
+#     the only data that ever reaches the driver),
+#   driver: the global rank-r order statistic (r = ceil(q*n), DuckDB
+#     quantile_disc semantics) = the (r - count_below)-th smallest
+#     bracket value, via np.partition.  If a bracket under-covers
+#     (cannot happen within the pinned error bound, but guarded anyway)
+#     the pass retries with delta doubled.
+# Result is an actual element of the column -> bit-identical to the SQL
+# oracle, hash-green, not approximate.
+# ---------------------------------------------------------------------------
+
+EXACT_QS = (0.5, 0.9, 0.99)
+_BRACKET_DELTA = 0.01
+
+
+def _merged_digests(sf_dir: str) -> dict[str, tuple]:
+    """scope -> (means, weights, vmin, vmax, n) from pass-A partials."""
+    rows = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        .map_batches(_td_partials, batch_format="pyarrow")
+        .take_all()
+    )  # bounded: blocks x scopes x <=~DELTA centroids
+    acc: dict[str, list] = {}
+    for r in rows:
+        a = acc.setdefault(r["scope"], [[], [], np.inf, -np.inf])
+        a[0].append(np.asarray(r["means"], dtype=np.float64))
+        a[1].append(np.asarray(r["weights"], dtype=np.float64))
+        a[2] = min(a[2], r["vmin"])
+        a[3] = max(a[3], r["vmax"])
+    out = {}
+    for scope, (ms, ws, lo, hi) in acc.items():
+        gm, gw = td_compress(np.concatenate(ms), np.concatenate(ws))
+        out[scope] = (gm, gw, lo, hi, int(round(gw.sum())))
+    return out
+
+
+def _bracket_pass(sf_dir: str, brackets: dict) -> dict:
+    """(scope, qi) -> (n_below_lo, bracket values) in ONE scan.
+    `brackets`: (scope, qi) -> (lo, hi)."""
+
+    def blk(batch: pa.Table) -> pa.Table:
+        vals = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        types = batch["event_type"].to_numpy(zero_copy_only=False)
+        ks, nb, bv = [], [], []
+        for (scope, qi), (lo, hi) in brackets.items():
+            v = vals if scope == "all" else vals[types == scope]
+            ks.append(f"{scope}\x00{qi}")
+            nb.append(int((v < lo).sum()))
+            bv.append(v[(v >= lo) & (v <= hi)])
+        return pa.table(
+            {
+                "k": pa.array(ks, type=pa.string()),
+                "n_below": pa.array(nb, type=pa.int64()),
+                "vals": pa.array(bv, type=pa.large_list(pa.float64())),
+            }
+        )
+
+    rows = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        .map_batches(blk, batch_format="pyarrow")
+        .take_all()
+    )  # bounded: ~2*delta*N values per (scope, q)
+    out: dict = {}
+    for r in rows:
+        scope, qi = r["k"].split("\x00")
+        key = (scope, int(qi))
+        nb, vs = out.setdefault(key, [0, []])
+        out[key][0] += r["n_below"]
+        out[key][1].append(np.asarray(r["vals"], dtype=np.float64))
+    return out
+
+
+def q_exact_quantiles(sf_dir: str) -> "pd.DataFrame":
+    """Exact per-scope quantiles of events.value (DuckDB quantile_disc
+    semantics: the element at 1-based rank ceil(q*n)) with no full
+    sort: digest-bracketed order-statistic refinement."""
+    import pandas as pd
+
+    digests = _merged_digests(sf_dir)
+    delta = _BRACKET_DELTA
+    pending = {
+        (scope, qi)
+        for scope in digests
+        for qi in range(len(EXACT_QS))
+    }
+    results: dict = {}
+    for _attempt in range(6):
+        if not pending:
+            break
+        brackets = {}
+        for scope, qi in pending:
+            gm, gw, vmin, vmax, n = digests[scope]
+            q = EXACT_QS[qi]
+            lo, hi = td_quantiles(
+                gm, gw, vmin, vmax, (max(q - delta, 0.0), min(q + delta, 1.0))
+            )
+            brackets[(scope, qi)] = (float(lo), float(hi))
+        got = _bracket_pass(sf_dir, brackets)
+        still = set()
+        for key, (n_below, parts) in got.items():
+            scope, qi = key
+            n = digests[scope][4]
+            r = max(1, int(np.ceil(EXACT_QS[qi] * n)))  # 1-based target rank
+            vals = np.concatenate(parts) if parts else np.empty(0)
+            idx = r - n_below - 1
+            if 0 <= idx < vals.size:
+                results[key] = float(np.partition(vals, idx)[idx])
+            else:  # bracket under-covered: widen and retry
+                still.add(key)
+        pending = still
+        delta *= 2.0
+    if pending:
+        raise RuntimeError(f"quantile brackets failed to converge: {pending}")
+    rows = [
+        {"scope": scope, "q": EXACT_QS[qi], "val": v}
+        for (scope, qi), v in sorted(results.items())
+    ]
+    return pd.DataFrame(rows)
+
+
+_EQ_LIST = "[" + ", ".join(str(q) for q in EXACT_QS) + "]"
+
+EXACT_QUANTILES_SQL = f"""
+WITH alls AS (
+  SELECT 'all' AS scope, unnest({_EQ_LIST}) AS q,
+         unnest(quantile_disc(value, {_EQ_LIST})) AS val
+  FROM events
+),
+byt AS (
+  SELECT event_type AS scope, unnest({_EQ_LIST}) AS q,
+         unnest(quantile_disc(value, {_EQ_LIST})) AS val
+  FROM events GROUP BY event_type
+)
+SELECT * FROM alls UNION ALL SELECT * FROM byt"""
+
+
 QUERIES = {
     "approx_distinct": q_approx_distinct,  # rows-only (approximate)
     "top_terms": q_top_terms,
     "quantile_sketch": q_quantile_sketch,  # rows-only (approximate)
+    "exact_quantiles": q_exact_quantiles,
 }
-ORACLE_SQLS: dict[str, str] = {"top_terms": TOP_TERMS_SQL}
+ORACLE_SQLS: dict[str, str] = {
+    "top_terms": TOP_TERMS_SQL,
+    "exact_quantiles": EXACT_QUANTILES_SQL,
+}

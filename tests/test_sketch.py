@@ -199,3 +199,24 @@ def test_tdigest_edge_cases():
     # constant column: every quantile is the constant
     m, w = td_compress(np.full(1000, 7.0), np.ones(1000))
     assert np.allclose(td_quantiles(m, w, 7.0, 7.0), 7.0)
+
+
+def test_exact_quantiles_match_order_statistics(ray_session):
+    """q_exact_quantiles returns EXACT elements (quantile_disc rank
+    ceil(q*n)) — checked against numpy order statistics per scope."""
+    import pyarrow.parquet as pq
+
+    from ciff_ray.extras.sketch import EXACT_QS, q_exact_quantiles
+
+    got = q_exact_quantiles(SF)
+    ev = pq.read_table(
+        SF + "/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    scopes = {"all": ev.value.to_numpy()}
+    for t, grp in ev.groupby("event_type"):
+        scopes[str(t)] = grp.value.to_numpy()
+    assert len(got) == len(scopes) * len(EXACT_QS)
+    for _, row in got.iterrows():
+        srt = np.sort(scopes[row.scope])
+        r = max(1, int(np.ceil(row.q * srt.size)))
+        assert row.val == srt[r - 1], (row.scope, row.q)
