@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from ciff_ray.extras import (
     bloomjoin,
+    chunking,
     cleaning,
     dedup,
     eventjoin,
@@ -33,6 +34,7 @@ from ciff_ray.extras import (
 
 QUERIES = {
     **bloomjoin.QUERIES,
+    **chunking.QUERIES,
     **eventjoin.QUERIES,
     **relational.QUERIES,
     **textstats.QUERIES,
@@ -49,6 +51,7 @@ QUERIES = {
 
 ORACLE_SQLS = {
     **bloomjoin.ORACLE_SQLS,
+    **chunking.ORACLE_SQLS,
     **eventjoin.ORACLE_SQLS,
     **relational.ORACLE_SQLS,
     **textstats.ORACLE_SQLS,

@@ -260,3 +260,67 @@ def test_bloom_semijoin_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_kernel_vs_bruteforce():
+    import re
+
+    from ciff_ray.extras.chunking import CHUNK_STRIDE as S
+    from ciff_ray.extras.chunking import CHUNK_TOKENS as C
+    from ciff_ray.extras.chunking import chunk_batch
+
+    texts = [
+        "Hello, World! one two THREE.",
+        " ".join(f"w{i}" for i in range(C)),       # exactly one window
+        " ".join(f"t{i}" for i in range(C + 1)),   # one token over -> 2
+        " ".join(f"x{i}" for i in range(200)),     # several windows
+        "!!! ???",                                  # normalizes to empty
+        "single",
+        " ".join(f"y{i}" for i in range(C + S)),   # boundary: exact stride
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    got = (
+        chunk_batch(batch)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for did, t in zip(range(1, len(texts) + 1), texts):
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        n = len(toks)
+        if n == 0:
+            continue
+        last = 0 if n <= C else int(np.ceil((n - C) / S))
+        for k in range(last + 1):
+            seg = toks[k * S : min(k * S + C, n)]
+            rows.append((did, k, len(seg), " ".join(seg)))
+    exp = pd.DataFrame(rows, columns=list(got.columns))
+    pd.testing.assert_frame_equal(got, exp)
+    # overlap property: consecutive windows share C - S tokens
+    full = got[got.doc_id == 4].chunk_text.tolist()
+    a, b = full[0].split(), full[1].split()
+    assert a[S:] == b[: C - S]
+    # empty normalization emits nothing, schema preserved
+    empty = chunk_batch(batch.slice(4, 1))
+    assert empty.num_rows == 0 and empty.schema.names == list(got.columns)
+
+
+def test_chunk_docs_pipeline(ray_session):
+    from ciff_ray.extras.chunking import CHUNK_TOKENS, q_chunk_docs
+
+    out = q_chunk_docs(SF).to_pandas()
+    assert len(out) > 0
+    assert (out.n_tokens >= 1).all() and (out.n_tokens <= CHUNK_TOKENS).all()
+    # every chunk's text has exactly n_tokens whitespace tokens
+    assert (out.chunk_text.str.split().str.len() == out.n_tokens).all()
