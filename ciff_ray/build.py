@@ -66,6 +66,8 @@ from ciff_ray.layout import (
 )
 from ciff_ray.schemas import (
     BLOCK_SIZE,
+    CODEC_BP,
+    CODEC_BPG,
     CODEC_GAMMA,
     CODEC_VARINT,
     SEGMENT_SCHEMA,
@@ -299,6 +301,7 @@ def _slice_encode(
     tfs: np.ndarray,
     starts: np.ndarray,
     ends: np.ndarray,
+    block_size: int = BLOCK_SIZE,
 ) -> dict:
     """Pack all slices of a partition.
 
@@ -323,6 +326,8 @@ def _slice_encode(
             "tf_nb": np.empty(0, dtype=np.int64),
             "gap_bounds": np.zeros(S + 1, dtype=np.int64),
             "tf_bounds": np.zeros(S + 1, dtype=np.int64),
+            "bp_doc_off": {},
+            "bp_tf_off": {},
         }
     keep = np.ones(n, dtype=bool)
     keep[starts] = False
@@ -360,19 +365,58 @@ def _slice_encode(
     tf_codec = np.full(S, CODEC_VARINT, dtype=np.int8)
     gap_bounds = np.concatenate([[0], np.cumsum(gap_counts)])
     tf_bounds = np.concatenate([[0], np.cumsum(tf_counts)])
+    # selective re-encode: gamma where it wins (short/mostly-1 streams),
+    # bit-packed 128-blocks where THEY win >= 25% (long streams with
+    # small gaps — heavy terms compress ~3x; codec blocks align with the
+    # WAND blocks, so block-targeted decode keeps working; only when
+    # this index's block_size IS the codec block size).
+    bp_ok = block_size == codecs.BP_BLOCK
+    bp_doc_off: dict[int, np.ndarray] = {}
+    bp_tf_off: dict[int, np.ndarray] = {}
+
+    def _bp_offsets(vals: np.ndarray, codec: int) -> np.ndarray:
+        sizes = codecs.bp_block_nbytes(vals, codec)
+        return sizes.size + np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(
+            np.int64
+        )
+
+    def _pick(vals: np.ndarray, vbytes: bytes, bp_codec: int):
+        """Choose varint / gamma / bit-packed for one stream.
+
+        Gamma is densest on mostly-1 streams but decodes value-at-a-time
+        in Python AND disables block-targeted decode (no intra-slice
+        byte offsets), so for streams long enough to have multiple WAND
+        blocks we take bit-packing whenever it is within 30% of gamma's
+        size (and >= 25% under varint): block skipping + vectorized
+        word decode are worth a modest size premium.  Short streams
+        keep the round-1 varint/gamma policy unchanged."""
+        gamma_b = None
+        if vals.size and codecs.choose_codec(vals) == CODEC_GAMMA:
+            cand = codecs.gamma_encode(vals)
+            if len(cand) < len(vbytes):
+                gamma_b = cand
+        bp_nb = None
+        if bp_ok and vals.size >= 2 * codecs.BP_BLOCK:
+            nb = codecs.bp_nbytes(vals, bp_codec)
+            if nb * 4 <= len(vbytes) * 3 and (
+                gamma_b is None or nb * 10 <= len(gamma_b) * 13
+            ):
+                bp_nb = nb
+        if bp_nb is not None:
+            return codecs.bp_encode(vals, bp_codec), bp_codec
+        if gamma_b is not None:
+            return gamma_b, CODEC_GAMMA
+        return vbytes, CODEC_VARINT
+
     for i in range(S):
         g = gap_vals[gap_bounds[i] : gap_bounds[i + 1]]
-        if g.size and codecs.choose_codec(g) == CODEC_GAMMA:
-            cand = codecs.gamma_encode(g)
-            if len(cand) < len(doc_bytes[i]):
-                doc_bytes[i] = cand
-                doc_codec[i] = CODEC_GAMMA
+        doc_bytes[i], doc_codec[i] = _pick(g, doc_bytes[i], CODEC_BPG)
+        if doc_codec[i] == CODEC_BPG:
+            bp_doc_off[i] = _bp_offsets(g, CODEC_BPG)
         t = tf_vals[tf_bounds[i] : tf_bounds[i + 1]]
-        if t.size and codecs.choose_codec(t) == CODEC_GAMMA:
-            cand = codecs.gamma_encode(t)
-            if len(cand) < len(tf_bytes[i]):
-                tf_bytes[i] = cand
-                tf_codec[i] = CODEC_GAMMA
+        tf_bytes[i], tf_codec[i] = _pick(t, tf_bytes[i], CODEC_BP)
+        if tf_codec[i] == CODEC_BP:
+            bp_tf_off[i] = _bp_offsets(t, CODEC_BP)
     return {
         "doc_bytes": doc_bytes,
         "tf_bytes": tf_bytes,
@@ -382,6 +426,8 @@ def _slice_encode(
         "tf_nb": tf_nb,
         "gap_bounds": gap_bounds,
         "tf_bounds": tf_bounds,
+        "bp_doc_off": bp_doc_off,
+        "bp_tf_off": bp_tf_off,
     }
 
 
@@ -523,7 +569,7 @@ def _pack_segment(
     max_tf = np.maximum.reduceat(tfs, starts) if S else np.empty(0, np.int64)
     first_doc = doc_ids[starts] if S else np.empty(0, np.int64)
 
-    enc = _slice_encode(doc_ids, tfs, starts, ends)
+    enc = _slice_encode(doc_ids, tfs, starts, ends, block_size=bs)
     doc_bytes, tf_bytes = enc["doc_bytes"], enc["tf_bytes"]
     doc_codec, tf_codec = enc["doc_codec"], enc["tf_codec"]
 
@@ -569,6 +615,15 @@ def _pack_segment(
     blk_tf_off = (Ct[tb[sob] + rel] - Ct[tb[sob]]).astype(np.int64)
     blk_doc_off[doc_codec[sob] == CODEC_GAMMA] = -1
     blk_tf_off[tf_codec[sob] == CODEC_GAMMA] = -1
+    # bit-packed slices: offsets point at each codec block's PAYLOAD
+    # (width bytes live in the buffer's header); codec blocks align
+    # 1:1 with WAND blocks by construction
+    for i, offs_arr in enc["bp_doc_off"].items():
+        rows = np.nonzero(sob == i)[0]
+        blk_doc_off[rows] = offs_arr[: rows.size]
+    for i, offs_arr in enc["bp_tf_off"].items():
+        rows = np.nonzero(sob == i)[0]
+        blk_tf_off[rows] = offs_arr[: rows.size]
 
     seg = pa.table(
         {

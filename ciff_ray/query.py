@@ -47,7 +47,7 @@ import pyarrow.parquet as pq
 from ciff_ray import codecs
 from ciff_ray.layout import IndexPaths, Manifest
 from ciff_ray.oracle import EPS_IDF, tokenize
-from ciff_ray.schemas import CODEC_GAMMA
+from ciff_ray.schemas import CODEC_BP, CODEC_BPG, CODEC_GAMMA
 
 
 @dataclass
@@ -694,18 +694,28 @@ class LocalScorer:
         tf_b = mat["tf_bytes"]
         d_end = doff[bi + 1] if bi + 1 < nblocks else len(doc_b)
         t_end = toff[bi + 1] if bi + 1 < nblocks else len(tf_b)
+
+        def blk(buf, codec, off, end, cnt):
+            # varint: offsets index value bytes directly; bit-packed:
+            # offsets point at the codec block's payload, width byte at
+            # the buffer's header position bi
+            if codec in (CODEC_BP, CODEC_BPG):
+                return codecs.bp_decode_block(buf, bi, off, end, cnt).astype(
+                    np.int64
+                )
+            return codecs.varint_decode(buf[off:end], cnt).astype(np.int64)
+
         if bi == 0:
-            gaps = codecs.varint_decode(doc_b[: d_end], count - 1).astype(np.int64)
+            gaps = blk(doc_b, mat["doc_codec"], doff[0] if doff.size else 0,
+                       d_end, count - 1)
             docs = np.empty(count, dtype=np.int64)
             docs[0] = mat["first_doc"]
             if count > 1:
                 docs[1:] = docs[0] + np.cumsum(gaps)
         else:
-            gaps = codecs.varint_decode(doc_b[doff[bi] : d_end], count).astype(
-                np.int64
-            )
+            gaps = blk(doc_b, mat["doc_codec"], doff[bi], d_end, count)
             docs = bld[bi - 1] + np.cumsum(gaps)
-        tfs = codecs.varint_decode(tf_b[toff[bi] : t_end], count).astype(np.int64)
+        tfs = blk(tf_b, mat["tf_codec"], toff[bi], t_end, count)
         return docs, tfs
 
     def _candidate_tf(self, term: str, cand: np.ndarray) -> np.ndarray:

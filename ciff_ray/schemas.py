@@ -89,6 +89,15 @@ TERM_DICT_SCHEMA = pa.schema(
 # Codec ids (segment doc_codec / tf_codec values).
 CODEC_VARINT = 0
 CODEC_GAMMA = 1
+# bit-packed 128-value blocks (PISA block-codec family): per block one
+# width byte b then ceil(cnt*b/8) packed bytes.  Two ids because the two
+# posting streams block differently: tf streams block uniformly at 128
+# (CODEC_BP), doc-GAP streams carry df-1 values against 128-doc blocks,
+# so their first block holds 127 values (CODEC_BPG) — this keeps codec
+# blocks exactly aligned with the WAND block-max blocks, so the
+# block-targeted decode path works unchanged.
+CODEC_BP = 2
+CODEC_BPG = 3
 
 # Postings per block-max block.
 BLOCK_SIZE = 128

@@ -304,3 +304,70 @@ def test_auto_mode_policy(engine_and_oracle):
 
     # no indexed terms at all -> exact fallback
     assert sc._pick_mode("zzz1 zzz2") == "exact"
+
+
+def test_bitpacked_slices_engage_and_score_identically(tmp_path):
+    """An index whose gap/tf shapes favor the bit-packed codec (term
+    every ~150 docs -> gaps in varint's 2-byte band; tf cycling 1..10 ->
+    4-bit blocks) must actually SELECT it in the segment, keep valid
+    block offsets (no -1), and stay score-identical to the oracle in
+    every mode including the block-targeted pruned paths."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ciff_ray.schemas import CODEC_BP, CODEC_BPG
+
+    n = 12_000
+    texts = []
+    for i in range(n):
+        parts = ["common"] * (1 + (i * 7) % 10)  # tf in 1..10
+        if i % 150 == 0:
+            parts.append("needle")  # df=80, gaps=150 per partition band
+        parts.append("filler")
+        texts.append(" ".join(parts))
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([f"conv-{i:07d}" for i in range(n)]),
+            "turn_idx": pa.array([0] * n, type=pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array(texts),
+            "tool": pa.array([""] * n),
+            "ts": pa.array([0] * n, type=pa.timestamp("us")),
+        }
+    )
+    out = str(tmp_path / "bpidx")
+    build_index(
+        ray.data.from_arrow(tbl).repartition(2),
+        out,
+        BuildParams(num_partitions=2, heavy_df_frac=0.0),
+    )
+    codec_counts = {0: 0, 1: 0, 2: 0, 3: 0}
+    bp_rows = []
+    for f in glob.glob(out + "/segments/*.parquet"):
+        t = pq.read_table(f)
+        for r in range(t.num_rows):
+            dc = t["doc_codec"][r].as_py()
+            tc = t["tf_codec"][r].as_py()
+            codec_counts[dc] += 1
+            codec_counts[tc] += 1
+            if dc in (CODEC_BP, CODEC_BPG):
+                bp_rows.append(np.asarray(t["block_doc_off"][r].as_py()))
+            if tc in (CODEC_BP, CODEC_BPG):
+                bp_rows.append(np.asarray(t["block_tf_off"][r].as_py()))
+    assert codec_counts[CODEC_BPG] > 0, codec_counts  # gap stream packed
+    assert codec_counts[CODEC_BP] > 0, codec_counts  # tf stream packed
+    for offs in bp_rows:  # block offsets valid (block decode engaged)
+        assert (offs >= 0).all() and (np.diff(offs) > 0).all()
+
+    from ciff_ray.oracle import OracleIndex
+
+    eng = QueryEngine(out)
+    oracle = OracleIndex.build(tbl)
+    for q in ("common", "needle", "common needle", "needle filler zzz"):
+        exp = oracle.bm25_topk(q, k=20)
+        for mode in ("exact", "maxscore", "bmw", "auto"):
+            d, s = eng.topk(q, k=20, mode=mode)
+            assert d.tolist() == [x for x, _ in exp], (q, mode)
+            assert s.tolist() == [x for _, x in exp], (q, mode)
