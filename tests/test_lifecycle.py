@@ -5,6 +5,8 @@ build over the surviving corpus."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -214,3 +216,66 @@ def test_compact_defragments_merged_slices(tmp_path, ray_session, corpus):
         d1, s1 = eng.topk(q, k=10, mode="exact")
         d3, s3 = eng.topk(q, k=10, mode="bmw")
         assert d1.tolist() == d3.tolist() and s1.tolist() == s3.tolist(), q
+
+
+# ---------------------------------------------------------------------------
+# versioned catalog (publish / pinned reads / CAS swap)
+# ---------------------------------------------------------------------------
+
+
+def test_catalog_publish_pin_and_swap(ray_session, tmp_path):
+    """Two generations: readers opened before a publish stay pinned to
+    their generation; new opens see the new one; CURRENT never moves
+    backwards under racing publishers; prune keeps the newest."""
+    import concurrent.futures as cf
+
+    import ray.data
+
+    from ciff_ray import catalog
+    from ciff_ray.build import BuildParams, build_index
+    from ciff_ray.synth import generate_transcripts
+
+    cat = str(tmp_path / "cat")
+    idx1, idx2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    t1 = generate_transcripts(n_convs=20, max_turns=4, seed=1, mean_tokens=12)
+    t2 = generate_transcripts(n_convs=25, max_turns=4, seed=2, mean_tokens=12)
+    build_index(ray.data.from_arrow(t1).repartition(2), idx1,
+                BuildParams(num_partitions=2))
+    build_index(ray.data.from_arrow(t2).repartition(2), idx2,
+                BuildParams(num_partitions=2))
+
+    assert catalog.current(cat) is None
+    with pytest.raises(FileNotFoundError):
+        catalog.open_current(cat)
+    with pytest.raises(FileNotFoundError):
+        catalog.publish(cat, str(tmp_path / "not-an-index"))
+
+    g1 = catalog.publish(cat, idx1)
+    eng_old = catalog.open_current(cat)
+    n_old = eng_old.manifest.num_docs
+
+    g2 = catalog.publish(cat, idx2)
+    assert g2 > g1
+    assert catalog.current(cat) == (g2, os.path.abspath(idx2))
+    # pinned: the already-open engine still serves generation 1
+    assert eng_old.manifest.num_docs == n_old
+    assert eng_old.index_dir == os.path.abspath(idx1) or eng_old.index_dir == idx1
+    eng_new = catalog.open_current(cat)
+    assert eng_new.manifest.num_docs != n_old
+    # both engines answer queries against their own generation
+    d_old, _ = eng_old.topk("the", k=3)
+    d_new, _ = eng_new.topk("the", k=3)
+    assert len(d_old) and len(d_new)
+
+    # racing publishers: distinct generations, CURRENT = max
+    with cf.ThreadPoolExecutor(8) as ex:
+        gens = list(ex.map(lambda _: catalog.publish(cat, idx1), range(8)))
+    assert len(set(gens)) == 8
+    assert catalog.current(cat)[0] == max(gens)
+    assert len(catalog.generations(cat)) == 10
+
+    pruned = catalog.prune(cat, keep=2)
+    assert len(catalog.generations(cat)) == 2
+    assert max(gens) not in pruned
+    # pruning registrations never touches index data
+    assert os.path.exists(os.path.join(idx1, "manifest.json"))
