@@ -128,6 +128,23 @@ def cmd_compact(args) -> None:
                       "output": args.output}))
 
 
+def cmd_publish(args) -> None:
+    from ciff_ray import catalog
+
+    gen = catalog.publish(args.catalog, args.index)
+    print(json.dumps({"generation": gen, "catalog": args.catalog}))
+
+
+def cmd_current(args) -> None:
+    from ciff_ray import catalog
+
+    cur = catalog.current(args.catalog)
+    if cur is None:
+        print(json.dumps({"generation": None}))
+    else:
+        print(json.dumps({"generation": cur[0], "index_dir": cur[1]}))
+
+
 def cmd_build_positions(args) -> None:
     _ray_session()
     import ray.data
@@ -261,6 +278,15 @@ def main(argv=None) -> None:
     cp.add_argument("index")
     cp.add_argument("output")
     cp.set_defaults(fn=cmd_compact)
+
+    pub = sub.add_parser("publish", help="register an index as the catalog's next generation")
+    pub.add_argument("catalog")
+    pub.add_argument("index")
+    pub.set_defaults(fn=cmd_publish)
+
+    curp = sub.add_parser("current", help="show the catalog's CURRENT generation")
+    curp.add_argument("catalog")
+    curp.set_defaults(fn=cmd_current)
 
     args = p.parse_args(argv)
     args.fn(args)

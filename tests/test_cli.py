@@ -127,3 +127,26 @@ def test_positions_cli_chain(tmp_path, capsys, ray_session):
     main(["phrase", idx, pos, "tool call"])
     lines = capsys.readouterr().out.strip().splitlines()
     assert [int(l.split("\t")[0]) for l in lines] == [0, 2]
+
+
+def test_cli_publish_current(tmp_path, capsys, ray_session):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ciff_ray.synth import generate_transcripts
+
+    pq.write_table(
+        generate_transcripts(n_convs=10, max_turns=3, seed=7, mean_tokens=10),
+        str(tmp_path / "t.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    main(["build", str(tmp_path / "t.parquet"), idx, "--partitions", "2"])
+    capsys.readouterr()
+    cat = str(tmp_path / "cat")
+    main(["publish", cat, idx])
+    gen1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert gen1["generation"] == 1
+    main(["current", cat])
+    cur = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cur["generation"] == 1 and cur["index_dir"].endswith("idx")

@@ -151,3 +151,17 @@ def test_bp_width_rounding_and_size_wins():
     v = np.array([7, 1, 1], dtype=np.uint64)  # max 3 bits -> width 4
     buf = codecs.bp_encode(v, CODEC_BPG)
     assert np.frombuffer(buf, dtype=np.uint8)[0] == 4
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=600),
+    st.sampled_from([2, 3]),  # CODEC_BP, CODEC_BPG
+)
+@settings(max_examples=120, deadline=None)
+def test_bp_round_trip_property(vals, codec):
+    from ciff_ray import codecs
+
+    v = np.array(vals, dtype=np.uint64)
+    buf = codecs.bp_encode(v, codec)
+    assert len(buf) == codecs.bp_nbytes(v, codec)
+    assert np.array_equal(codecs.bp_decode(buf, v.size, codec), v)
