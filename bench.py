@@ -367,20 +367,32 @@ def main() -> None:
         )
         return
 
+    pre = _host_probe(num_cpus)
     r = run_bench(sf_dir, num_cpus)
-    r.update(_host_probe(num_cpus))
-    # overcommit-normalized headline: divide out the probe's measured
-    # hypervisor slowdown so round-over-round comparisons track the
-    # ENGINE, not the neighbor tenants.  Validated against history: a
-    # 12.34 s raw build at slowdown 1.632 normalizes to 7.56 s — the
-    # same job's recorded 7.525 s on an uncontended instance (r02).
-    if r.get("host_parallel_slowdown", 0) and r["host_parallel_slowdown"] > 1.0:
-        r["build_sec_normalized"] = round(
-            r["build_sec"] / r["host_parallel_slowdown"], 3
-        )
-        r["turns_per_sec_normalized"] = round(
-            r["turns_per_sec"] * r["host_parallel_slowdown"], 1
-        )
+    post = _host_probe(num_cpus)
+    # overcommit-normalized headline: divide out the measured hypervisor
+    # slowdown so round-over-round comparisons track the ENGINE, not the
+    # neighbor tenants.  The probe brackets the run (before AND after —
+    # contention drifts on minute scales, a single post-run probe can
+    # measure a different neighbor mix than the build saw) and the mean
+    # is clamped at 1.0: effective cores cannot exceed physical, so a
+    # sub-1.0 reading is probe noise, not a speedup to bank.  Validated
+    # against history: a 12.34 s raw build at slowdown 1.632 normalizes
+    # to 7.56 s — the same job's recorded 7.525 s on an uncontended
+    # instance (r02).  Raw numbers stay the headline `value`; normalized
+    # fields are context.
+    slows = [
+        p["host_parallel_slowdown"]
+        for p in (pre, post)
+        if p.get("host_parallel_slowdown")
+    ]
+    r.update(post or pre)
+    if slows:
+        r["host_slowdown_pre_post"] = [round(x, 3) for x in slows]
+        slow = max(1.0, float(np.mean(slows)))
+        r["host_parallel_slowdown"] = round(slow, 3)
+        r["build_sec_normalized"] = round(r["build_sec"] / slow, 3)
+        r["turns_per_sec_normalized"] = round(r["turns_per_sec"] * slow, 1)
     print(
         json.dumps(
             {

@@ -374,8 +374,7 @@ def _slice_encode(
     bp_doc_off: dict[int, np.ndarray] = {}
     bp_tf_off: dict[int, np.ndarray] = {}
 
-    def _bp_offsets(vals: np.ndarray, codec: int) -> np.ndarray:
-        sizes = codecs.bp_block_nbytes(vals, codec)
+    def _bp_offsets(sizes: np.ndarray) -> np.ndarray:
         return sizes.size + np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(
             np.int64
         )
@@ -395,28 +394,30 @@ def _slice_encode(
             cand = codecs.gamma_encode(vals)
             if len(cand) < len(vbytes):
                 gamma_b = cand
-        bp_nb = None
         if bp_ok and vals.size >= 2 * codecs.BP_BLOCK:
-            nb = codecs.bp_nbytes(vals, bp_codec)
+            plan = codecs.bp_plan(vals, bp_codec)  # one sizing pass,
+            nb = codecs.bp_nbytes(vals, bp_codec, plan=plan)  # reused below
             if nb * 4 <= len(vbytes) * 3 and (
                 gamma_b is None or nb * 10 <= len(gamma_b) * 13
             ):
-                bp_nb = nb
-        if bp_nb is not None:
-            return codecs.bp_encode(vals, bp_codec), bp_codec
+                return (
+                    codecs.bp_encode(vals, bp_codec, plan=plan),
+                    bp_codec,
+                    _bp_offsets(plan[3]),
+                )
         if gamma_b is not None:
-            return gamma_b, CODEC_GAMMA
-        return vbytes, CODEC_VARINT
+            return gamma_b, CODEC_GAMMA, None
+        return vbytes, CODEC_VARINT, None
 
     for i in range(S):
         g = gap_vals[gap_bounds[i] : gap_bounds[i + 1]]
-        doc_bytes[i], doc_codec[i] = _pick(g, doc_bytes[i], CODEC_BPG)
-        if doc_codec[i] == CODEC_BPG:
-            bp_doc_off[i] = _bp_offsets(g, CODEC_BPG)
+        doc_bytes[i], doc_codec[i], offs = _pick(g, doc_bytes[i], CODEC_BPG)
+        if offs is not None:
+            bp_doc_off[i] = offs
         t = tf_vals[tf_bounds[i] : tf_bounds[i + 1]]
-        tf_bytes[i], tf_codec[i] = _pick(t, tf_bytes[i], CODEC_BP)
-        if tf_codec[i] == CODEC_BP:
-            bp_tf_off[i] = _bp_offsets(t, CODEC_BP)
+        tf_bytes[i], tf_codec[i], offs = _pick(t, tf_bytes[i], CODEC_BP)
+        if offs is not None:
+            bp_tf_off[i] = offs
     return {
         "doc_bytes": doc_bytes,
         "tf_bytes": tf_bytes,

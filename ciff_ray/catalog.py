@@ -10,18 +10,36 @@ an open engine, so queries are consistent across the swap with zero
 downtime.  Old generations stay on disk until `prune()` (readers may
 still hold them).
 
-Concurrency: generation numbers are claimed with O_EXCL marker files
-(two racing publishers get distinct generations), and the CURRENT swap
-is a compare-and-swap loop over an atomic os.replace — a stale
-publisher can never roll CURRENT backwards.  All files live under the
-catalog dir, which on a cluster sits on shared storage (same
-requirement as every index root — see README "Running on a cluster").
+Concurrency: generation markers are claimed with atomic os.link of a
+fully-written temp file (two racing publishers get distinct
+generations, and a marker is never observable half-written — a crashed
+publisher leaves only a temp file, which generations() ignores).  The
+CURRENT swap is serialized by an exclusive flock around
+read-compare-replace, so a stale publisher can never roll CURRENT
+backwards.  All files live under the catalog dir, which on a cluster
+sits on shared storage (same requirement as every index root — see
+README "Running on a cluster"; the lock file needs flock semantics,
+which NFSv4 provides).
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+import uuid
+from contextlib import contextmanager
+
+
+@contextmanager
+def _swap_lock(catalog_dir: str):
+    fd = os.open(os.path.join(catalog_dir, ".lock"), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _current_path(catalog_dir: str) -> str:
@@ -54,31 +72,35 @@ def publish(catalog_dir: str, index_dir: str) -> int:
     if not os.path.exists(manifest):
         raise FileNotFoundError(f"not a completed index (no manifest): {index_dir}")
 
+    # claim a generation number: write the payload to a temp file FIRST,
+    # then atomically os.link it into the marker name — the marker is
+    # never observable empty/half-written, and a crash leaves only a
+    # .tmp file that generations() ignores
     cur = current(catalog_dir)
     gen = (cur[0] if cur else 0) + 1
-    while True:  # claim a generation number exclusively
+    tmp = os.path.join(catalog_dir, f".gen.tmp.{uuid.uuid4().hex}")
+    while True:
+        with open(tmp, "w") as f:
+            json.dump({"gen": gen, "index_dir": index_dir}, f)
         try:
-            fd = os.open(
-                _gen_path(catalog_dir, gen), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-            )
+            os.link(tmp, _gen_path(catalog_dir, gen))
+            os.remove(tmp)
             break
         except FileExistsError:
             gen += 1
-    with os.fdopen(fd, "w") as f:
-        json.dump({"gen": gen, "index_dir": index_dir}, f)
 
-    # compare-and-swap CURRENT: only advance, never regress
-    tmp = _current_path(catalog_dir) + f".tmp.{gen}"
-    while True:
+    # advance CURRENT, never regress: the read-compare-replace is
+    # serialized under an exclusive lock (a blind os.replace after an
+    # unlocked check lets a stale publisher overwrite a newer CURRENT)
+    swap = _current_path(catalog_dir) + f".swap.{gen}"
+    with _swap_lock(catalog_dir):
         cur = current(catalog_dir)
         if cur is not None and cur[0] >= gen:
             return gen  # a newer publish already won
-        with open(tmp, "w") as f:
+        with open(swap, "w") as f:
             json.dump({"gen": gen, "index_dir": index_dir}, f)
-        os.replace(tmp, _current_path(catalog_dir))
-        chk = current(catalog_dir)
-        if chk is not None and chk[0] >= gen:
-            return gen
+        os.replace(swap, _current_path(catalog_dir))
+    return gen
 
 
 def generations(catalog_dir: str) -> list[tuple[int, str]]:
@@ -91,7 +113,7 @@ def generations(catalog_dir: str) -> list[tuple[int, str]]:
     for n in sorted(names):
         if n.startswith("gen-") and n.endswith(".json"):
             with open(os.path.join(catalog_dir, n)) as f:
-                d = json.load(f)
+                d = json.load(f)  # markers are linked-in complete
             out.append((int(d["gen"]), d["index_dir"]))
     return out
 

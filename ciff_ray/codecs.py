@@ -248,21 +248,33 @@ def _bp_first_block(codec: int) -> int:
     return BP_BLOCK - 1 if codec == CODEC_BPG else BP_BLOCK
 
 
-def bp_block_nbytes(values: np.ndarray, codec: int) -> np.ndarray:
-    """Per-block PAYLOAD byte sizes.  Layout: buf = [nblk width bytes]
-    [payload 0][payload 1]... — the width header makes decode's offset
-    recovery one cumsum, and the block-targeted path reads buf[bi]."""
+def bp_plan(values: np.ndarray, codec: int):
+    """(counts, bounds, widths, payload sizes) for one stream — computed
+    once and threaded through sizing, encoding, and the writer's block
+    offsets (each would otherwise redo the bit_lengths/reduceat pass
+    over the full stream, and bp streams are precisely the heavy
+    slices)."""
     v = np.asarray(values, dtype=np.uint64)
     counts = _bp_counts(v.size, _bp_first_block(codec))
     if counts.size == 0:
-        return counts
+        z = np.empty(0, dtype=np.int64)
+        return counts, np.zeros(1, dtype=np.int64), z, z
     bounds = np.concatenate([[0], np.cumsum(counts)])
     widths = _bp_widths(v, bounds)
-    return (counts * widths + 7) // 8
+    return counts, bounds, widths, (counts * widths + 7) // 8
 
 
-def bp_nbytes(values: np.ndarray, codec: int) -> int:
-    sizes = bp_block_nbytes(values, codec)
+def bp_block_nbytes(values: np.ndarray, codec: int, plan=None) -> np.ndarray:
+    """Per-block PAYLOAD byte sizes.  Layout: buf = [nblk width bytes]
+    [payload 0][payload 1]... — the width header makes decode's offset
+    recovery one cumsum, and the block-targeted path reads buf[bi]."""
+    if plan is None:
+        plan = bp_plan(values, codec)
+    return plan[3]
+
+
+def bp_nbytes(values: np.ndarray, codec: int, plan=None) -> int:
+    sizes = bp_block_nbytes(values, codec, plan=plan)
     return int(sizes.sum() + sizes.size)  # + header
 
 
@@ -295,14 +307,11 @@ def _bp_unpack_group(payload: np.ndarray, cnt: int, b: int) -> np.ndarray:
     return vals.reshape(k, nw * per)[:, :cnt]
 
 
-def bp_encode(values: np.ndarray, codec: int) -> bytes:
+def bp_encode(values: np.ndarray, codec: int, plan=None) -> bytes:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    counts = _bp_counts(v.size, _bp_first_block(codec))
-    bounds = np.concatenate([[0], np.cumsum(counts)])
-    widths = _bp_widths(v, bounds)
-    sizes = (counts * widths + 7) // 8
+    counts, bounds, widths, sizes = plan if plan is not None else bp_plan(v, codec)
     nblk = counts.size
     offs = nblk + np.concatenate([[0], np.cumsum(sizes)])
     out = np.zeros(int(offs[-1]), dtype=np.uint8)

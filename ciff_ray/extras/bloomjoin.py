@@ -42,14 +42,12 @@ _N_VERIFY_PARTS = 64  # key-hash exchange fan-out
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer — vectorized avalanche over uint64 keys."""
-    x = x.astype(np.uint64, copy=True)
-    x ^= x >> np.uint64(30)
-    x *= np.uint64(0xBF58476D1CE4E5B9)
-    x ^= x >> np.uint64(27)
-    x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
-    return x
+    """splitmix64 over uint64 keys (one shared implementation — see
+    sketch._mix_u64; a second private copy of the avalanche constants
+    would be a drift hazard)."""
+    from ciff_ray.extras.sketch import _mix_u64
+
+    return _mix_u64(x.astype(np.uint64, copy=False))
 
 
 def _probe_positions(keys: np.ndarray, m_bits: int) -> np.ndarray:
@@ -86,18 +84,28 @@ def bloom_probe(keys: np.ndarray, words: np.ndarray) -> np.ndarray:
     return hit.all(axis=1)
 
 
-def _bloom_m_bits(n_keys_upper: int) -> int:
-    """Power-of-two bit size for ~BLOOM_BITS_PER_KEY bits/key."""
-    return max(1 << 10, 1 << int(np.ceil(np.log2(n_keys_upper * BLOOM_BITS_PER_KEY))))
+def _bloom_m_bits(n_keys: int) -> int:
+    """Power-of-two bit size for ~BLOOM_BITS_PER_KEY bits/key; floor
+    guard also covers n_keys == 0 (empty dimension after the filter)."""
+    bits = max(1 << 10, n_keys * BLOOM_BITS_PER_KEY)
+    return 1 << int(np.ceil(np.log2(bits)))
 
 
 def build_filtered_bloom(sf_dir: str) -> tuple[object, int]:
     """Distributed build over the filtered orders: per-block partial
     bitmaps, OR-merged, placed in the object store once (`ray.put`).
-    Returns (bitmap ref, m_bits).  Sizing uses the parquet row-count
-    metadata as the key upper bound — no extra pass."""
+    Returns (bitmap ref, m_bits).  Sizing counts the FILTERED keys
+    (one cheap single-column pass over the dimension side — sizing from
+    the table's total row count would over-allocate 1/selectivity-fold,
+    ~5x here, and at 10^9 orders the broadcast would be GBs where
+    hundreds of MB meet the bits/key design point)."""
     path = os.path.join(sf_dir, "orders.parquet")
-    m_bits = _bloom_m_bits(pq.ParquetFile(path).metadata.num_rows)
+    n_keys = ray.data.read_parquet(
+        path,
+        columns=["o_orderkey"],
+        filter=(pc.field("o_orderpriority") == SEMI_PRIORITY),
+    ).count()
+    m_bits = _bloom_m_bits(n_keys)
 
     def part(batch: pa.Table) -> pa.Table:
         keys = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)

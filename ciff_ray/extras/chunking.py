@@ -35,12 +35,11 @@ CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
 
 
 def _normalized(text: pa.ChunkedArray | pa.Array) -> pa.Array:
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
-    norm = pc.replace_substring_regex(
-        pc.utf8_lower(text), pattern="[^a-z0-9]+", replacement=" "
-    )
-    return pc.utf8_trim(norm, " ")
+    """The package's canonical normalization (single shared impl —
+    dedup/textstats and every SQL oracle mirror the same contract)."""
+    from ciff_ray.extras.dedup import _normalize
+
+    return _normalize(text)
 
 
 _EMPTY = pa.schema(

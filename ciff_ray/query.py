@@ -626,28 +626,33 @@ class LocalScorer:
         rare-term + stopword case, where the best single-doc score
         already exceeds the stopword list's upper bound.
 
-        Policy: MaxScore essential-list analysis with the conservative
-        threshold estimate theta = max_i max_score_i (the best single
-        doc on the strongest term — a lower bound on the final top-k
-        threshold whenever that list has >= k docs): lists whose
-        ascending-max_score prefix sum stays under theta can be fully
-        skipped; if the estimated skipped-postings fraction >= 0.5 the
-        pruned path pays, else exhaustive.  BMW over MaxScore because
-        the measurements above have BMW strictly faster at every shape.
+        Policy: MaxScore essential-list analysis on the SAME per-term
+        upper bounds the pruned paths use — ub(t) = idf(t) * max_score(t)
+        (raw stored max_scores are tf-partials and near-uniform even on
+        skewed queries; without the idf factor the rare-term +
+        stopword case the policy exists for would mis-classify as
+        unskippable).  theta = max ub (the best single doc on the
+        strongest term — a lower bound on the final top-k threshold
+        whenever that list has >= k docs): lists whose ascending-ub
+        prefix sum stays under theta can be fully skipped; if the
+        estimated skipped-postings fraction >= 0.5 the pruned path
+        pays, else exhaustive.  BMW over MaxScore because the
+        measurements above have BMW strictly faster at every shape.
+        Single-indexed-term queries go exhaustive: both pruned
+        implementations decline (<2 terms) and would fall through
+        anyway.
         """
         if not self._bounds_valid:
             return "exact"
-        stats = [self._term_stat(t) for t in self._query_terms(query)]
-        stats = [s for s in stats if s is not None]
-        if not stats:
+        pairs = [(t, self._term_stat(t)) for t in self._query_terms(query)]
+        pairs = [(t, s) for t, s in pairs if s is not None]
+        if len(pairs) < 2:
             return "exact"
-        if len(stats) == 1:
-            return "bmw"
-        dfs = np.array([s[0] for s in stats], dtype=np.float64)
-        ms = np.array([s[2] for s in stats], dtype=np.float64)
-        theta = float(ms.max())
-        order = np.argsort(ms)
-        skippable = np.cumsum(ms[order]) < theta
+        dfs = np.array([s[0] for _, s in pairs], dtype=np.float64)
+        ub = np.array([self.idf(t) * s[2] for t, s in pairs], dtype=np.float64)
+        theta = float(ub.max())
+        order = np.argsort(ub)
+        skippable = np.cumsum(ub[order]) < theta
         skip_frac = dfs[order][skippable].sum() / dfs.sum()
         return "bmw" if skip_frac >= 0.5 else "exact"
 

@@ -283,23 +283,29 @@ def test_auto_mode_policy(engine_and_oracle):
     establish a threshold); one dominant term over long weak lists ->
     pruned path; single indexed term -> pruned path."""
     sc = engine_and_oracle[0]._local
+    n = sc.N
 
-    # single indexed term (plus an unindexed one) -> bmw
+    # single indexed term (pruned paths decline <2 terms) -> exact
     some_term = sc.vocabulary()[0]
-    assert sc._pick_mode(some_term) == "bmw"
-    assert sc._pick_mode(f"{some_term} zzzznotindexed") == "bmw"
+    assert sc._pick_mode(some_term) == "exact"
+    assert sc._pick_mode(f"{some_term} zzzznotindexed") == "exact"
 
-    # fabricated stats through the memo: uniform -> exact
-    sc._stat_memo["unia"] = (10_000, 20_000, 1.7)
-    sc._stat_memo["unib"] = (10_000, 20_000, 1.68)
-    sc._stat_memo["unic"] = (10_000, 20_000, 1.69)
+    # fabricated stats through the memo (dfs must stay <= N so the idf
+    # the policy now applies is well-defined): uniform -> exact
+    mid = max(2, n // 3)
+    sc._stat_memo["unia"] = (mid, 2 * mid, 1.7)
+    sc._stat_memo["unib"] = (mid, 2 * mid, 1.68)
+    sc._stat_memo["unic"] = (mid, 2 * mid, 1.69)
     assert sc._pick_mode("unia unib unic") == "exact"
 
-    # rare high-idf term + stopword-scale weak lists -> bmw (the weak
-    # lists' combined upper bound can't reach the strong list's best doc)
-    sc._stat_memo["rarex"] = (50, 60, 9.0)
-    sc._stat_memo["stopy"] = (480_000, 2_000_000, 1.8)
-    sc._stat_memo["stopz"] = (400_000, 1_500_000, 1.7)
+    # rare high-idf term + stopword-scale weak lists -> bmw: with the
+    # idf factor the rare term's bound dwarfs the stopwords' (their raw
+    # max_scores alone are near-uniform — the case that mis-classified
+    # before the ub fix)
+    stop_df = int(n * 0.8)
+    sc._stat_memo["rarex"] = (2, 3, 2.0)
+    sc._stat_memo["stopy"] = (stop_df, 4 * stop_df, 1.8)
+    sc._stat_memo["stopz"] = (stop_df, 3 * stop_df, 1.7)
     assert sc._pick_mode("rarex stopy stopz") == "bmw"
 
     # no indexed terms at all -> exact fallback
