@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_merged": p.q_bm25_topk_merged,
         "bm25_topk_sharded": p.q_bm25_topk_sharded,
         "bm25_topk_compacted": p.q_bm25_topk_compacted,
+        "bm25_topk_pruned": p.q_bm25_topk_pruned,
         "bm25_topk_filtered": p.q_bm25_topk_filtered,
         "bm25_feedback": p.q_bm25_feedback,
         "bm25_boosted": p.q_bm25_boosted,

@@ -41,6 +41,17 @@ QUERY_SET = [
 
 TOPK_K = 10
 
+# single-term query set for the statically pruned index: with k <=
+# lambda, single-term top-k over the pruned index is EXACTLY the full
+# index's (ciff_ray/pruned.py guarantee), so the same SQL BM25 oracle
+# applies unchanged — multi-term pruned retrieval is lossy by design
+# and has no oracle
+PRUNED_QUERY_SET = [
+    "table", "vector", "the", "merge", "customer",
+    "zzznotaterm", "window", "spark",
+]
+PRUNE_LAMBDA = 64
+
 
 def transcripts_dataset(sf_dir: str) -> ray.data.Dataset:
     docs = ray.data.read_parquet(
@@ -729,6 +740,39 @@ def q_bm25_topk_compacted(sf_dir: str) -> pa.Table:
     eng = QE(compacted)
     return eng.score_dataset(
         _query_set_ds().repartition(4), k=TOPK_K, concurrency=(1, 4)
+    ).select_columns(["query_id", "rank", "doc_id"])
+
+
+def q_bm25_topk_pruned(sf_dir: str) -> ray.data.Dataset:
+    """Single-term top-k over a top-λ STATICALLY PRUNED index (Carmel
+    et al. term-centric pruning, global stats preserved): results must
+    be bit-identical to the full index — and therefore to the plain
+    BM25 SQL oracle — because k (10) <= λ (64) and per-slice top-λ
+    keeps every posting beaten by < λ others."""
+    import pyarrow as pa_mod
+
+    from ciff_ray.layout import cache_root
+    from ciff_ray.pruned import prune_index
+    from ciff_ray.query import QueryEngine as QE
+
+    idx = ensure_index(sf_dir)
+    fp = _sf_fingerprint(sf_dir)
+    pruned = os.path.join(cache_root(), "index", f"{fp}-pruned{PRUNE_LAMBDA}")
+    if not os.path.exists(IndexPaths(pruned).manifest):
+        prune_index(idx, pruned, lam=PRUNE_LAMBDA)
+    qds = ray.data.from_arrow(
+        pa_mod.table(
+            {
+                "query_id": pa_mod.array(
+                    np.arange(len(PRUNED_QUERY_SET), dtype=np.int64)
+                ),
+                "query": pa_mod.array(PRUNED_QUERY_SET),
+            }
+        )
+    )
+    eng = QE(pruned)
+    return eng.score_dataset(
+        qds.repartition(4), k=TOPK_K, concurrency=(1, 4)
     ).select_columns(["query_id", "rank", "doc_id"])
 
 
@@ -1696,6 +1740,17 @@ def q_doclength_quantiles(sf_dir: str) -> ray.data.Dataset:
 # conversation-level retrieval (max-passage aggregation)
 
 CONV_TOPK_K = 10
+
+# single-term query set for the statically pruned index: with k <=
+# lambda, single-term top-k over the pruned index is EXACTLY the full
+# index's (ciff_ray/pruned.py guarantee), so the same SQL BM25 oracle
+# applies unchanged — multi-term pruned retrieval is lossy by design
+# and has no oracle
+PRUNED_QUERY_SET = [
+    "table", "vector", "the", "merge", "customer",
+    "zzznotaterm", "window", "spark",
+]
+PRUNE_LAMBDA = 64
 _CONV_KEY_MUL = np.int64(1) << np.int64(40)
 
 
@@ -1945,10 +2000,11 @@ _BM25_CONTRIB_SQL = f"""greatest(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5)), {
            / (tf.tf + {K1_DEFAULT} * (1.0 - {B_DEFAULT} + {B_DEFAULT} * dl.dl / s.avgdl))"""
 
 
-def _bm25_scored_cte(src: str = "transcripts") -> str:
-    """CTEs computing exact BM25 for the fixed QUERY_SET over ``src``."""
+def _bm25_scored_cte(src: str = "transcripts", queries=None) -> str:
+    """CTEs computing exact BM25 for a query set (default QUERY_SET)
+    over ``src``."""
     values = []
-    for qid, q in enumerate(QUERY_SET):
+    for qid, q in enumerate(QUERY_SET if queries is None else queries):
         for t in sorted(set(tokenize(q))):
             values.append(f"({qid}, '{t}')")
     vals = ", ".join(values)
@@ -2213,6 +2269,17 @@ FROM r GROUP BY role""",
 SELECT query_id, doc_id, round(score, 6) AS score_r FROM scored""",
         "bm25_topk": f"""{T},
 {_bm25_scored_cte().lstrip()}
+SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {TOPK_K}""",
+        # the pruned index preserves global stats and k <= lambda, so
+        # single-term results equal the FULL index: the oracle is plain
+        # BM25 over the corpus with the single-term query set
+        "bm25_topk_pruned": f"""{T},
+{_bm25_scored_cte(queries=PRUNED_QUERY_SET).lstrip()}
 SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id

@@ -279,3 +279,56 @@ def test_catalog_publish_pin_and_swap(ray_session, tmp_path):
     assert max(gens) not in pruned
     # pruning registrations never touches index data
     assert os.path.exists(os.path.join(idx1, "manifest.json"))
+
+
+# ---------------------------------------------------------------------------
+# static (top-lambda) index pruning
+# ---------------------------------------------------------------------------
+
+
+def test_static_pruning_exact_single_term_and_smaller(ray_session, tmp_path):
+    """Top-64 pruned index: single-term top-10 bit-identical to the
+    full index in every mode (the per-slice top-lambda guarantee),
+    payload strictly smaller, multi-term overlap@10 high, and global
+    stats (N, avgdl, term df) preserved verbatim."""
+    import random
+
+    from ciff_ray.pruned import index_postings_bytes, prune_index
+    from ciff_ray.query import QueryEngine
+    from ciff_ray.synth import generate_transcripts
+
+    tbl = generate_transcripts(n_convs=300, max_turns=8, seed=21, mean_tokens=30)
+    idx, pidx = str(tmp_path / "full"), str(tmp_path / "top64")
+    build_index(
+        ray.data.from_arrow(tbl).repartition(4), idx, BuildParams(num_partitions=4)
+    )
+    m = prune_index(idx, pidx, lam=64)
+    full, pruned = QueryEngine(idx), QueryEngine(pidx)
+    assert m.num_docs == full.manifest.num_docs
+    assert m.average_doclength == full.manifest.average_doclength
+    vocab = full._local.vocabulary()
+    random.seed(3)
+    for t in random.sample(vocab, min(30, len(vocab))) + ["the", "a"]:
+        for mode in ("exact", "bmw", "auto"):
+            d1, s1 = full.topk(t, k=10, mode=mode)
+            d2, s2 = pruned.topk(t, k=10, mode=mode)
+            assert d1.tolist() == d2.tolist(), (t, mode)
+            assert s1.tolist() == s2.tolist(), (t, mode)
+    assert index_postings_bytes(pidx) < index_postings_bytes(idx)
+    # term stats preserved verbatim (idf identical by construction)
+    assert full._local._term_stat("the") == pruned._local._term_stat("the")
+    hits = tot = 0
+    for q in ("the time people", "state good very make", "know while last"):
+        d1, _ = full.topk(q, k=10)
+        d2, _ = pruned.topk(q, k=10)
+        hits += len(set(d1) & set(d2))
+        tot += len(d1)
+    assert hits / tot >= 0.8, hits / tot
+    # resume: a second prune skips every partition
+    prune_index(idx, pidx, lam=64)
+    import json as _json
+
+    from ciff_ray.layout import read_lineage
+
+    rows = read_lineage(str(tmp_path / "top64" / "lineage.jsonl"))
+    assert [r["status"] for r in rows[-4:]] == ["skipped"] * 4
