@@ -128,6 +128,15 @@ def cmd_compact(args) -> None:
                       "output": args.output}))
 
 
+def cmd_prune(args) -> None:
+    _ray_session()
+    from ciff_ray.pruned import prune_index
+
+    m = prune_index(args.index, args.output, lam=args.top)
+    print(json.dumps({"num_docs": m.num_docs, "top": args.top,
+                      "output": args.output}))
+
+
 def cmd_publish(args) -> None:
     from ciff_ray import catalog
 
@@ -278,6 +287,12 @@ def main(argv=None) -> None:
     cp.add_argument("index")
     cp.add_argument("output")
     cp.set_defaults(fn=cmd_compact)
+
+    pr = sub.add_parser("prune", help="top-lambda static pruning into a new index dir")
+    pr.add_argument("index")
+    pr.add_argument("output")
+    pr.add_argument("--top", type=int, default=64)
+    pr.set_defaults(fn=cmd_prune)
 
     pub = sub.add_parser("publish", help="register an index as the catalog's next generation")
     pub.add_argument("catalog")

@@ -150,3 +150,26 @@ def test_cli_publish_current(tmp_path, capsys, ray_session):
     main(["current", cat])
     cur = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert cur["generation"] == 1 and cur["index_dir"].endswith("idx")
+
+
+def test_cli_prune_chain(tmp_path, capsys, ray_session):
+    """build -> prune -> query via the CLI: pruned index serves."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ciff_ray.synth import generate_transcripts
+
+    pq.write_table(
+        generate_transcripts(n_convs=15, max_turns=4, seed=9, mean_tokens=12),
+        str(tmp_path / "t.parquet"),
+    )
+    idx, pidx = str(tmp_path / "idx"), str(tmp_path / "pruned")
+    main(["build", str(tmp_path / "t.parquet"), idx, "--partitions", "2"])
+    capsys.readouterr()
+    main(["prune", idx, pidx, "--top", "8"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["top"] == 8 and out["output"] == pidx
+    main(["query", pidx, "the", "-k", "3"])
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert 1 <= len(lines) <= 3
