@@ -662,11 +662,122 @@ byt AS (
 SELECT * FROM alls UNION ALL SELECT * FROM byt"""
 
 
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): point-frequency
+# estimates over the full term stream in one pass with a fixed
+# CMS_D x CMS_W counter grid.  Completes the mergeable-sketch family
+# (HLL = distinct counts, Misra-Gries = heavy hitters + exact verify,
+# t-digest = quantiles, CMS = arbitrary point lookups): at 100 TB an
+# exact per-term count table is vocabulary-sized state through a
+# shuffle; a CMS is CMS_D*CMS_W*8 bytes per block, merged by elementwise
+# SUM (one tiny groupby), with the one-sided guarantee
+#   true <= est <= true + eps*TOTAL  w.p. 1 - delta,
+# eps = e/CMS_W, delta = e^-CMS_D — pinned in tests/test_sketch.py
+# against exact DuckDB counts.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # rows (delta = e^-4 ~ 1.8%)
+CMS_W = 1 << 14  # columns (eps = e/16384 ~ 1.7e-4 of total mass)
+_CMS_SEEDS = np.array([0xA5A5, 0x5A5A, 0xC3C3, 0x3C3C], dtype=np.uint64)
+
+
+def _cms_rows(terms: pa.Array) -> np.ndarray:
+    """(CMS_D, n) column indices for a term array (vectorized xxhash
+    per seed — C-speed over the Arrow buffers)."""
+    import polars as pl
+
+    s = pl.from_arrow(terms)
+    return np.stack(
+        [
+            s.hash(seed=int(seed)).to_numpy().astype(np.uint64)
+            & np.uint64(CMS_W - 1)
+            for seed in _CMS_SEEDS
+        ]
+    ).astype(np.int64)
+
+
+def _cms_partial(batch: pa.Table) -> pa.Table:
+    """documents batch -> one flattened CMS_D*CMS_W counter row."""
+    from ciff_ray.tokenizer import token_ids
+
+    term_dict, idx, _rows = token_ids(batch["text"])
+    grid = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    if len(term_dict):
+        counts = np.bincount(idx, minlength=len(term_dict)).astype(np.int64)
+        cols = _cms_rows(pa.array(term_dict, type=pa.string()))
+        for d in range(CMS_D):  # CMS_D=4 iterations, vectorized inside
+            np.add.at(grid[d], cols[d], counts)
+    return pa.table(
+        {
+            "k": pa.array([0], type=pa.int64()),
+            "grid": pa.array([grid.ravel()], type=pa.large_list(pa.int64())),
+            "total": pa.array(
+                [int(np.bincount(idx).sum()) if len(term_dict) else 0],
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+def cms_build(sf_dir: str) -> tuple[np.ndarray, int]:
+    """Merged (CMS_D, CMS_W) grid + exact total token count."""
+    rows = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+        .map_batches(_cms_partial, batch_format="pyarrow")
+        .take_all()
+    )  # bounded: one 512 KiB grid per block
+    grid = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    total = 0
+    for r in rows:
+        grid += np.asarray(r["grid"], dtype=np.int64)
+        total += int(r["total"])
+    return grid.reshape(CMS_D, CMS_W), total
+
+
+def cms_query(grid: np.ndarray, terms: list[str]) -> np.ndarray:
+    """Point-frequency estimates: min over the CMS_D rows."""
+    if not terms:
+        return np.empty(0, dtype=np.int64)
+    cols = _cms_rows(pa.array(terms, type=pa.string()))
+    return np.min(
+        np.stack([grid[d][cols[d]] for d in range(CMS_D)]), axis=0
+    ).astype(np.int64)
+
+
+CMS_PROBE_TERMS = (
+    "the", "a", "table", "spark", "vector", "window", "merge",
+    "customer", "zzznotaterm",
+)
+
+
+def q_term_freq_cms(sf_dir: str):
+    """CMS point estimates for a fixed probe set -> (term, est, total).
+    Rows-only driver entry (one-sided approximate by construction); the
+    true <= est <= true + eps*total guarantee is pinned in
+    tests/test_sketch.py against exact DuckDB counts."""
+    import pandas as pd
+
+    grid, total = cms_build(sf_dir)
+    est = cms_query(grid, list(CMS_PROBE_TERMS))
+    return pd.DataFrame(
+        {
+            "term": list(CMS_PROBE_TERMS),
+            "est": est,
+            "total": [total] * len(CMS_PROBE_TERMS),
+        }
+    )
+
+
 QUERIES = {
     "approx_distinct": q_approx_distinct,  # rows-only (approximate)
     "top_terms": q_top_terms,
     "quantile_sketch": q_quantile_sketch,  # rows-only (approximate)
     "exact_quantiles": q_exact_quantiles,
+    "term_freq_cms": q_term_freq_cms,  # rows-only (one-sided approx)
 }
 ORACLE_SQLS: dict[str, str] = {
     "top_terms": TOP_TERMS_SQL,

@@ -220,3 +220,58 @@ def test_exact_quantiles_match_order_statistics(ray_session):
         srt = np.sort(scopes[row.scope])
         r = max(1, int(np.ceil(row.q * srt.size)))
         assert row.val == srt[r - 1], (row.scope, row.q)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_one_sided_error_bound(ray_session):
+    """CMS guarantee vs exact DuckDB counts: never an underestimate,
+    overestimate within eps*total (eps = e/W; generous 3x margin keeps
+    the pin robust to seed choice)."""
+    from ciff_ray.extras.sketch import CMS_W, cms_build, cms_query
+
+    grid, total = cms_build(SF)
+    con = duckdb.connect()
+    exact = dict(
+        con.execute(
+            f"""WITH tok AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM read_parquet('{SF}/documents.parquet'))
+SELECT term, count(*) FROM tok WHERE term <> '' GROUP BY term"""
+        ).fetchall()
+    )
+    assert total == sum(exact.values())
+    terms = list(exact)[:200] + ["zzznotaterm"]
+    est = cms_query(grid, terms)
+    eps = np.e / CMS_W
+    for t, e in zip(terms, est):
+        true = exact.get(t, 0)
+        assert e >= true, (t, e, true)  # never underestimates
+        assert e <= true + 3 * eps * total, (t, e, true)
+
+
+def test_cms_merge_is_sum(ray_session):
+    """Partial grids merge by elementwise sum: split-corpus estimates
+    equal whole-corpus estimates (the distributed-merge contract)."""
+    import pyarrow as pa
+
+    from ciff_ray.extras.sketch import (
+        _cms_partial,
+        cms_query,
+    )
+
+    texts = ["the fast key the", "spark window merge spark", "the a a a"]
+    whole = _cms_partial(pa.table({"text": pa.array([" ".join(texts)])}))
+    parts = [_cms_partial(pa.table({"text": pa.array([t])})) for t in texts]
+    g_whole = np.asarray(whole["grid"][0].as_py(), dtype=np.int64)
+    g_sum = sum(
+        np.asarray(p["grid"][0].as_py(), dtype=np.int64) for p in parts
+    )
+    assert np.array_equal(g_whole, g_sum)
+    from ciff_ray.extras.sketch import CMS_D, CMS_W
+
+    est = cms_query(g_sum.reshape(CMS_D, CMS_W), ["the", "a", "spark"])
+    assert est.tolist() == [3, 3, 2]
