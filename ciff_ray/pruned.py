@@ -107,7 +107,9 @@ def _prune_partition(
     doc_bufs = seg["doc_bytes"].to_pylist()
     tf_bufs = seg["tf_bytes"].to_pylist()
 
+    terms_py = seg["term"].to_pylist()
     docs_parts, tfs_parts, dls_parts, counts = [], [], [], []
+    tau_rows: list[tuple[str, float]] = []
     for i in range(seg.num_rows):
         df = int(dfs[i])
         gaps = codecs.decode(doc_bufs[i], df - 1, int(dcodec[i])).astype(np.int64)
@@ -124,6 +126,9 @@ def _prune_partition(
             )
             # the scorer's exact tie order: contrib desc, docID asc
             keep = np.sort(np.lexsort((docs, -contrib))[:lam])
+            # tau = the weakest KEPT contribution: every pruned posting
+            # of this slice contributes <= tau (TieredEngine's bound)
+            tau_rows.append((terms_py[i], float(contrib[keep].min())))
             docs, tfs, dl = docs[keep], tfs[keep], dl[keep]
         docs_parts.append(docs)
         tfs_parts.append(tfs)
@@ -133,6 +138,19 @@ def _prune_partition(
     counts = np.asarray(counts, dtype=np.int64)
     ends = np.cumsum(counts).astype(np.int64)
     starts = (ends - counts).astype(np.int64)
+    meta_dir = os.path.join(out_root, "prune_meta")
+    os.makedirs(meta_dir, exist_ok=True)
+    meta_tmp = os.path.join(meta_dir, f".part-{pid:05d}.tmp")
+    pq.write_table(
+        pa.table(
+            {
+                "term": pa.array([t for t, _ in tau_rows], type=pa.string()),
+                "tau": pa.array([x for _, x in tau_rows], type=pa.float64()),
+            }
+        ),
+        meta_tmp,
+    )
+    os.replace(meta_tmp, os.path.join(meta_dir, f"part-{pid:05d}.parquet"))
     marker = _pack_segment(
         out, pid,
         seg["term"].combine_chunks(),
@@ -179,6 +197,34 @@ def prune_index(index_dir: str, out_dir: str, lam: int = DEFAULT_LAMBDA) -> Mani
         for f in os.listdir(src_dir):
             shutil.copy2(os.path.join(src_dir, f), os.path.join(dst, f))
 
+    # per-term pruning threshold: max over slices of the weakest kept
+    # contribution (a salted term's doc lives in exactly one slice, so
+    # the per-term MAX upper-bounds any hidden contribution)
+    meta_dir = os.path.join(out_dir, "prune_meta")
+    parts = [
+        pq.read_table(os.path.join(meta_dir, f))
+        for f in sorted(os.listdir(meta_dir))
+        if f.endswith(".parquet")
+    ]
+    merged = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table({"term": pa.array([], type=pa.string()),
+                       "tau": pa.array([], type=pa.float64())})
+    )
+    if merged.num_rows:
+        import pyarrow.compute as pc
+
+        merged = (
+            merged.group_by("term")
+            .aggregate([("tau", "max")])
+            .rename_columns(["term", "tau"])
+            .sort_by("term")
+        )
+    tmp = os.path.join(out_dir, ".prune_meta.parquet.tmp")
+    pq.write_table(merged, tmp)
+    os.replace(tmp, os.path.join(out_dir, "prune_meta.parquet"))
+
     new_manifest = Manifest(
         version=manifest.version,
         num_docs=manifest.num_docs,
@@ -212,3 +258,78 @@ def index_postings_bytes(index_dir: str) -> int:
         total += sum(len(x) for x in t["doc_bytes"].to_pylist())
         total += sum(len(x) for x in t["tf_bytes"].to_pylist())
     return total
+
+
+class TieredEngine:
+    """Two-tier retrieval with a SOUNDNESS CERTIFICATE: answer from the
+    small pruned index when pruning provably could not change the top-k
+    SET, exact-rescore just those k docs against the full index
+    (block-targeted decode — k docs, not a scan), and fall back to a
+    full-index query only when the certificate fails.
+
+    The certificate (Ntoulas & Cho 2007 flavor): every hidden (pruned)
+    contribution of query term t is <= tau_t (the weakest KEPT
+    contribution, recorded at prune time), so any document's true score
+    exceeds its pruned score by at most M = sum_t idf_t * tau_t.  If
+    the pruned ranking has s_k > s_{k+1} + M and s_k > M (unseen docs
+    score <= M), no document outside the pruned top-k can reach it —
+    the SET is exact; the final scores/order come from the full-index
+    rescore of those k docs, so the returned result is bit-identical
+    to full.topk().  Results are therefore EXACT for every query; the
+    certificate only decides which tier pays the cost.
+    """
+
+    def __init__(self, full_dir: str, pruned_dir: str):
+        from ciff_ray.query import QueryEngine
+
+        self.full = QueryEngine(full_dir)
+        self.pruned = QueryEngine(pruned_dir)
+        meta = pq.read_table(
+            os.path.join(pruned_dir, "prune_meta.parquet")
+        )  # term-sorted (term, tau); only TRUNCATED terms appear
+        self._tau_terms = meta["term"].to_numpy(zero_copy_only=False)
+        self._taus = meta["tau"].to_numpy(zero_copy_only=False)
+
+    def _tau(self, term: str) -> float:
+        i = np.searchsorted(self._tau_terms, term)
+        if i < self._tau_terms.size and self._tau_terms[i] == term:
+            return float(self._taus[i])
+        return 0.0
+
+    def topk(self, query: str, k: int = 10, return_certificate: bool = False):
+        ps = self.pruned._local
+        terms = [t for t in ps._query_terms(query) if ps._term_stat(t)]
+        M = sum(ps.idf(t) * self._tau(t) for t in terms)
+        u, scores = ps.score_all(query)
+        certified = False
+        if M == 0.0:
+            certified = True  # nothing relevant was pruned
+        elif u.size > k:
+            kth = np.partition(scores, scores.size - k)[scores.size - k]
+            k1th = np.partition(scores, scores.size - k - 1)[
+                scores.size - k - 1
+            ]
+            certified = kth > k1th + M and kth > M
+        if certified:
+            # select the SET by raw pruned scores (the certificate's
+            # margins are raw); the final order comes from the rescore
+            ids = u[np.lexsort((u, -scores))[:k]]
+            # exact rescore of the k winners on the FULL index
+            fs = self.full._local
+            total = np.zeros(ids.size, dtype=np.float64)
+            for t in terms:
+                tfs = fs._candidate_tf(t, ids)
+                hit = tfs > 0
+                if hit.any():
+                    dl = fs._dl[ids[hit]].astype(np.float64)
+                    total[hit] += fs._contrib(
+                        tfs[hit].astype(np.float64), dl, fs.idf(t)
+                    )
+            d, s = fs._rank(ids, total, k)
+            if return_certificate:
+                return d, s, True
+            return d, s
+        d, s = self.full.topk(query, k=k)
+        if return_certificate:
+            return d, s, False
+        return d, s

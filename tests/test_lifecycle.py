@@ -332,3 +332,47 @@ def test_static_pruning_exact_single_term_and_smaller(ray_session, tmp_path):
 
     rows = read_lineage(str(tmp_path / "top64" / "lineage.jsonl"))
     assert [r["status"] for r in rows[-4:]] == ["skipped"] * 4
+
+
+def test_tiered_engine_exact_with_certificate(ray_session, tmp_path):
+    """TieredEngine must return bit-identical results to the full index
+    on EVERY query (certificate only picks the tier), and must actually
+    serve a meaningful share from the pruned tier."""
+    import random
+
+    from ciff_ray.pruned import TieredEngine, prune_index
+    from ciff_ray.query import QueryEngine
+    from ciff_ray.synth import generate_transcripts
+
+    tbl = generate_transcripts(n_convs=400, max_turns=8, seed=33, mean_tokens=30)
+    idx, pidx = str(tmp_path / "full"), str(tmp_path / "top64")
+    build_index(
+        ray.data.from_arrow(tbl).repartition(4), idx, BuildParams(num_partitions=4)
+    )
+    prune_index(idx, pidx, lam=64)
+    tier = TieredEngine(idx, pidx)
+    full = QueryEngine(idx)
+    vocab = full._local.vocabulary()
+    random.seed(5)
+    queries = (
+        random.sample(vocab, 15)
+        + [
+            "the time people",
+            "state good very",
+            "know while last might us",
+            "zzznotaterm",
+            "the zzz year",
+            " ".join(random.sample(vocab, 4)),
+        ]
+    )
+    ncert = ntotal = 0
+    for q in queries:
+        for k in (1, 5, 10):
+            d1, s1 = full.topk(q, k=k)
+            d2, s2, cert = tier.topk(q, k=k, return_certificate=True)
+            assert d1.tolist() == d2.tolist(), (q, k)
+            assert s1.tolist() == s2.tolist(), (q, k)
+            ncert += cert
+            ntotal += 1
+    assert ncert > ntotal // 4, (ncert, ntotal)  # pruned tier really serves
+    assert ncert < ntotal  # and the fallback path is exercised too
