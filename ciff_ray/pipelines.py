@@ -743,6 +743,20 @@ def q_bm25_topk_compacted(sf_dir: str) -> pa.Table:
     ).select_columns(["query_id", "rank", "doc_id"])
 
 
+def ensure_pruned_index(sf_dir: str) -> str:
+    """Build (once per sf_dir) the top-λ pruned copy of the full index
+    under the shared cache root; returns its directory."""
+    from ciff_ray.layout import cache_root
+    from ciff_ray.pruned import prune_index
+
+    idx = ensure_index(sf_dir)
+    fp = _sf_fingerprint(sf_dir)
+    pruned = os.path.join(cache_root(), "index", f"{fp}-pruned{PRUNE_LAMBDA}")
+    if not os.path.exists(IndexPaths(pruned).manifest):
+        prune_index(idx, pruned, lam=PRUNE_LAMBDA)
+    return pruned
+
+
 def q_bm25_topk_pruned(sf_dir: str) -> ray.data.Dataset:
     """Single-term top-k over a top-λ STATICALLY PRUNED index (Carmel
     et al. term-centric pruning, global stats preserved): results must
@@ -751,15 +765,9 @@ def q_bm25_topk_pruned(sf_dir: str) -> ray.data.Dataset:
     keeps every posting beaten by < λ others."""
     import pyarrow as pa_mod
 
-    from ciff_ray.layout import cache_root
-    from ciff_ray.pruned import prune_index
     from ciff_ray.query import QueryEngine as QE
 
-    idx = ensure_index(sf_dir)
-    fp = _sf_fingerprint(sf_dir)
-    pruned = os.path.join(cache_root(), "index", f"{fp}-pruned{PRUNE_LAMBDA}")
-    if not os.path.exists(IndexPaths(pruned).manifest):
-        prune_index(idx, pruned, lam=PRUNE_LAMBDA)
+    pruned = ensure_pruned_index(sf_dir)
     qds = ray.data.from_arrow(
         pa_mod.table(
             {
@@ -774,6 +782,33 @@ def q_bm25_topk_pruned(sf_dir: str) -> ray.data.Dataset:
     return eng.score_dataset(
         qds.repartition(4), k=TOPK_K, concurrency=(1, 4)
     ).select_columns(["query_id", "rank", "doc_id"])
+
+
+def q_bm25_topk_tiered(sf_dir: str) -> ray.data.Dataset:
+    """Top-k through the certificate-gated TWO-TIER engine
+    (ciff_ray.pruned.TieredEngine): each query is answered from the
+    small pruned index when its soundness certificate proves the top-k
+    SET could not have changed (then exact-rescored on the full index),
+    and falls back to a full-index query otherwise.  EXACT for every
+    query by construction — including the multi-term, lossy-under-
+    pruning ones — so the oracle is the same monolithic BM25 SQL as
+    bm25_topk.  The per-batch certificate rate is logged by the actor
+    (`[tiered] certificate rate …`)."""
+    from ciff_ray.pruned import TieredScorerActor
+
+    full = ensure_index(sf_dir)
+    pruned = ensure_pruned_index(sf_dir)
+    return (
+        _query_set_ds()
+        .repartition(4)
+        .map_batches(
+            TieredScorerActor,
+            fn_constructor_args=(full, pruned, TOPK_K),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .select_columns(["query_id", "rank", "doc_id"])
+    )
 
 
 def q_bm25_topk_merged(sf_dir: str) -> ray.data.Dataset:
@@ -1741,16 +1776,6 @@ def q_doclength_quantiles(sf_dir: str) -> ray.data.Dataset:
 
 CONV_TOPK_K = 10
 
-# single-term query set for the statically pruned index: with k <=
-# lambda, single-term top-k over the pruned index is EXACTLY the full
-# index's (ciff_ray/pruned.py guarantee), so the same SQL BM25 oracle
-# applies unchanged — multi-term pruned retrieval is lossy by design
-# and has no oracle
-PRUNED_QUERY_SET = [
-    "table", "vector", "the", "merge", "customer",
-    "zzznotaterm", "window", "spark",
-]
-PRUNE_LAMBDA = 64
 _CONV_KEY_MUL = np.int64(1) << np.int64(40)
 
 
@@ -2268,6 +2293,17 @@ FROM r GROUP BY role""",
 {_bm25_scored_cte().lstrip()}
 SELECT query_id, doc_id, round(score, 6) AS score_r FROM scored""",
         "bm25_topk": f"""{T},
+{_bm25_scored_cte().lstrip()}
+SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {TOPK_K}""",
+        # TieredEngine is EXACT for every query (certificate-gated tier
+        # choice, full-index rescore/fallback), so the tiered entry sits
+        # under the very same monolithic BM25 oracle as bm25_topk
+        "bm25_topk_tiered": f"""{T},
 {_bm25_scored_cte().lstrip()}
 SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   SELECT query_id, doc_id,

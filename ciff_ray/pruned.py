@@ -52,6 +52,31 @@ from ciff_ray.layout import IndexPaths, Manifest, append_lineage
 
 DEFAULT_LAMBDA = 64
 
+# the engine's final ranking key rounds scores to 9 dp
+# (query.LocalScorer._rank); certificate margins are strengthened by
+# this quantum so the certified SET provably equals full.topk's set
+# even under the rounded-key ordering (see TieredEngine docstring)
+RANK_EPS = 1e-9
+
+
+def _write_meta_part(
+    out_root: str, pid: int, tau_rows: list[tuple[str, float]]
+) -> None:
+    """Atomically write partition ``pid``'s (term, tau) rows."""
+    meta_dir = os.path.join(out_root, "prune_meta")
+    os.makedirs(meta_dir, exist_ok=True)
+    meta_tmp = os.path.join(meta_dir, f".part-{pid:05d}.tmp")
+    pq.write_table(
+        pa.table(
+            {
+                "term": pa.array([t for t, _ in tau_rows], type=pa.string()),
+                "tau": pa.array([x for _, x in tau_rows], type=pa.float64()),
+            }
+        ),
+        meta_tmp,
+    )
+    os.replace(meta_tmp, os.path.join(meta_dir, f"part-{pid:05d}.parquet"))
+
 
 @ray.remote
 def _prune_partition(
@@ -71,12 +96,19 @@ def _prune_partition(
     pa.set_cpu_count(1)
     t0 = time.monotonic()
     out = IndexPaths(out_root)
+    meta_part = os.path.join(out_root, "prune_meta", f"part-{pid:05d}.parquet")
     done_path = out.segment_done(pid)
     if os.path.exists(done_path):
         with open(done_path) as f:
             done = json.load(f)
-        if done.get("fingerprint") == fingerprint and os.path.exists(
-            out.segment(pid)
+        # the done marker alone is not enough: the partition's tau rows
+        # feed TieredEngine's soundness bound M, so a deleted/partial
+        # prune_meta part must force a re-run (a missing tau silently
+        # under-states M and the certificate would certify incorrectly)
+        if (
+            done.get("fingerprint") == fingerprint
+            and os.path.exists(out.segment(pid))
+            and os.path.exists(meta_part)
         ):
             done["status"] = "skipped"
             return done
@@ -88,6 +120,8 @@ def _prune_partition(
         else None
     )
     if seg is None or seg.num_rows == 0:
+        _write_meta_part(out_root, pid, [])  # resume invariant: every
+        # completed pid owns a meta part, even an empty one
         marker = _pack_segment(
             out, pid,
             pa.array([], type=pa.string()),
@@ -138,19 +172,7 @@ def _prune_partition(
     counts = np.asarray(counts, dtype=np.int64)
     ends = np.cumsum(counts).astype(np.int64)
     starts = (ends - counts).astype(np.int64)
-    meta_dir = os.path.join(out_root, "prune_meta")
-    os.makedirs(meta_dir, exist_ok=True)
-    meta_tmp = os.path.join(meta_dir, f".part-{pid:05d}.tmp")
-    pq.write_table(
-        pa.table(
-            {
-                "term": pa.array([t for t, _ in tau_rows], type=pa.string()),
-                "tau": pa.array([x for _, x in tau_rows], type=pa.float64()),
-            }
-        ),
-        meta_tmp,
-    )
-    os.replace(meta_tmp, os.path.join(meta_dir, f"part-{pid:05d}.parquet"))
+    _write_meta_part(out_root, pid, tau_rows)
     marker = _pack_segment(
         out, pid,
         seg["term"].combine_chunks(),
@@ -201,10 +223,18 @@ def prune_index(index_dir: str, out_dir: str, lam: int = DEFAULT_LAMBDA) -> Mani
     # contribution (a salted term's doc lives in exactly one slice, so
     # the per-term MAX upper-bounds any hidden contribution)
     meta_dir = os.path.join(out_dir, "prune_meta")
+    # stale parts from a prior run in the same out_dir (e.g. a different
+    # partition count) would inject wrong taus into M — drop anything
+    # this run's partitions did not write
+    expected = {f"part-{pid:05d}.parquet" for pid in range(manifest.num_partitions)}
+    for f in os.listdir(meta_dir):
+        if f not in expected:
+            os.remove(os.path.join(meta_dir, f))
+    missing = sorted(expected - set(os.listdir(meta_dir)))
+    if missing:
+        raise RuntimeError(f"prune_meta parts missing after prune: {missing}")
     parts = [
-        pq.read_table(os.path.join(meta_dir, f))
-        for f in sorted(os.listdir(meta_dir))
-        if f.endswith(".parquet")
+        pq.read_table(os.path.join(meta_dir, f)) for f in sorted(expected)
     ]
     merged = (
         pa.concat_tables(parts)
@@ -213,14 +243,12 @@ def prune_index(index_dir: str, out_dir: str, lam: int = DEFAULT_LAMBDA) -> Mani
                        "tau": pa.array([], type=pa.float64())})
     )
     if merged.num_rows:
-        import pyarrow.compute as pc
-
-        merged = (
-            merged.group_by("term")
-            .aggregate([("tau", "max")])
-            .rename_columns(["term", "tau"])
-            .sort_by("term")
-        )
+        agg = merged.group_by("term").aggregate([("tau", "max")])
+        # select by NAME: pyarrow's aggregate column order has differed
+        # across versions, so a positional rename could swap term/tau
+        merged = pa.table(
+            {"term": agg["term"], "tau": agg["tau_max"]}
+        ).sort_by("term")
     tmp = os.path.join(out_dir, ".prune_meta.parquet.tmp")
     pq.write_table(merged, tmp)
     os.replace(tmp, os.path.join(out_dir, "prune_meta.parquet"))
@@ -271,12 +299,23 @@ class TieredEngine:
     contribution of query term t is <= tau_t (the weakest KEPT
     contribution, recorded at prune time), so any document's true score
     exceeds its pruned score by at most M = sum_t idf_t * tau_t.  If
-    the pruned ranking has s_k > s_{k+1} + M and s_k > M (unseen docs
-    score <= M), no document outside the pruned top-k can reach it —
-    the SET is exact; the final scores/order come from the full-index
-    rescore of those k docs, so the returned result is bit-identical
-    to full.topk().  Results are therefore EXACT for every query; the
-    certificate only decides which tier pays the cost.
+    the pruned ranking has s_k > s_{k+1} + M + RANK_EPS and
+    s_k > M + RANK_EPS (unseen docs score <= M), no document outside
+    the pruned top-k can reach it — the SET is exact; the final
+    scores/order come from the full-index rescore of those k docs, so
+    the returned result is bit-identical to full.topk().  Results are
+    therefore EXACT for every query; the certificate only decides which
+    tier pays the cost.
+
+    The RANK_EPS strengthening closes the rounded-key corner: `_rank`
+    orders by round(score, 9) desc then docID asc, so a raw margin
+    alone could admit an in/out pair whose FULL scores round equal and
+    re-order by docID.  With the margin > M + 1e-9, every certified
+    doc's full score exceeds every excluded doc's by
+    s_k - s_{k+1} - M > 1e-9 (full_in >= pruned_in, full_out <=
+    pruned_out + M), which survives 9-dp rounding as a strict
+    inequality — the certified set IS full.topk's set under the
+    engine's own ranking key, ties included.
     """
 
     def __init__(self, full_dir: str, pruned_dir: str):
@@ -309,10 +348,12 @@ class TieredEngine:
             k1th = np.partition(scores, scores.size - k - 1)[
                 scores.size - k - 1
             ]
-            certified = kth > k1th + M and kth > M
+            certified = kth > k1th + M + RANK_EPS and kth > M + RANK_EPS
         if certified:
-            # select the SET by raw pruned scores (the certificate's
-            # margins are raw); the final order comes from the rescore
+            # select the SET by raw pruned scores; with the RANK_EPS
+            # margin the boundary gap exceeds the rounding quantum, so
+            # this is the same set a round(·, 9) key would pick — the
+            # final order comes from the rescore
             ids = u[np.lexsort((u, -scores))[:k]]
             # exact rescore of the k winners on the FULL index
             fs = self.full._local
@@ -333,3 +374,44 @@ class TieredEngine:
         if return_certificate:
             return d, s, False
         return d, s
+
+
+class TieredScorerActor:
+    """map_batches callable serving queries through :class:`TieredEngine`
+    (the distributed two-tier path: small certified index first, full
+    index only on certificate failure).  Both indexes are loaded once
+    per actor; output matches ScorerActor's (query_id, rank, doc_id,
+    score) schema, with a `certified` column so callers can audit the
+    certificate hit-rate (the driver entry drops it before the oracle
+    compare and logs the rate instead)."""
+
+    def __init__(self, full_dir: str, pruned_dir: str, k: int = 10):
+        self.engine = TieredEngine(full_dir, pruned_dir)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores, certs = [], [], [], [], []
+        n_cert = 0
+        queries = batch["query"].to_pylist()
+        for qid, q in zip(batch["query_id"].to_pylist(), queries):
+            d, s, cert = self.engine.topk(q, self.k, return_certificate=True)
+            n_cert += bool(cert)
+            qids.extend([qid] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            docs.extend(d.tolist())
+            scores.extend(s.tolist())
+            certs.extend([bool(cert)] * len(d))
+        if queries:
+            print(
+                f"[tiered] certificate rate {n_cert}/{len(queries)} "
+                f"({100.0 * n_cert / len(queries):.0f}%) in this batch"
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+                "certified": pa.array(certs, type=pa.bool_()),
+            }
+        )

@@ -376,3 +376,79 @@ def test_tiered_engine_exact_with_certificate(ray_session, tmp_path):
             ntotal += 1
     assert ncert > ntotal // 4, (ncert, ntotal)  # pruned tier really serves
     assert ncert < ntotal  # and the fallback path is exercised too
+
+
+def test_prune_resume_requires_meta_part(ray_session, tmp_path):
+    """A done marker alone must not satisfy resume: deleting a
+    partition's prune_meta part (tau rows feed TieredEngine's soundness
+    bound M) forces that partition to re-run, and stale part files from
+    a prior layout are cleared before the merge."""
+    import os
+
+    from ciff_ray.layout import read_lineage
+    from ciff_ray.pruned import prune_index
+    from ciff_ray.synth import generate_transcripts
+
+    tbl = generate_transcripts(n_convs=200, max_turns=6, seed=7, mean_tokens=25)
+    idx, pidx = str(tmp_path / "full"), str(tmp_path / "top64")
+    build_index(
+        ray.data.from_arrow(tbl).repartition(4), idx, BuildParams(num_partitions=4)
+    )
+    prune_index(idx, pidx, lam=64)
+    meta_dir = os.path.join(pidx, "prune_meta")
+    victim = os.path.join(meta_dir, "part-00002.parquet")
+    os.remove(victim)
+    stale = os.path.join(meta_dir, "part-00099.parquet")  # bogus pid
+    import shutil
+
+    shutil.copy2(os.path.join(meta_dir, "part-00001.parquet"), stale)
+    import pyarrow.parquet as pq_mod
+
+    before = pq_mod.read_table(os.path.join(pidx, "prune_meta.parquet"))
+    prune_index(idx, pidx, lam=64)
+    rows = read_lineage(os.path.join(pidx, "lineage.jsonl"))[-4:]
+    statuses = {r["partition_id"]: r["status"] for r in rows}
+    assert statuses[2] == "pruned"  # re-ran the damaged partition
+    assert all(v == "skipped" for p, v in statuses.items() if p != 2)
+    assert os.path.exists(victim)
+    assert not os.path.exists(stale)  # stale part cleared pre-merge
+    after = pq_mod.read_table(os.path.join(pidx, "prune_meta.parquet"))
+    assert after.equals(before)  # merged taus unchanged by the repair
+
+
+def test_tiered_scorer_actor_dataset_path(ray_session, tmp_path):
+    """TieredScorerActor (the map_batches serving stage) must equal
+    QueryEngine.topk on the full index for every query in the batch."""
+    import pyarrow as pa
+
+    from ciff_ray.pruned import TieredScorerActor, prune_index
+    from ciff_ray.query import QueryEngine
+    from ciff_ray.synth import generate_transcripts
+
+    tbl = generate_transcripts(n_convs=200, max_turns=6, seed=9, mean_tokens=25)
+    idx, pidx = str(tmp_path / "full"), str(tmp_path / "top64")
+    build_index(
+        ray.data.from_arrow(tbl).repartition(4), idx, BuildParams(num_partitions=4)
+    )
+    prune_index(idx, pidx, lam=64)
+    queries = ["the", "time", "the time people", "zzznotaterm", "state good"]
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(range(len(queries)), type=pa.int64()),
+                "query": pa.array(queries),
+            }
+        )
+    )
+    out = qds.map_batches(
+        TieredScorerActor,
+        fn_constructor_args=(idx, pidx, 10),
+        batch_format="pyarrow",
+        concurrency=1,
+    ).to_pandas()
+    full = QueryEngine(idx)
+    for qid, q in enumerate(queries):
+        d, s = full.topk(q, k=10)
+        got = out[out.query_id == qid].sort_values("rank")
+        assert got.doc_id.tolist() == d.tolist(), q
+        assert got.score.tolist() == s.tolist(), q
