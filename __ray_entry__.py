@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ciff_ray import pipelines as p
     from ciff_ray.evaluation import q_ranking_eval as _ranking_eval
     from ciff_ray.hybrid import q_hybrid_rrf as _hybrid_rrf
+    from ciff_ray.positions import q_bm25_proximity as _bm25_proximity
     from ciff_ray.positions import (
         q_phrase_match_positional as _positional_phrase,
     )
@@ -90,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match": p.q_phrase_match,
         "phrase_match_positional": _positional_phrase,
         "proximity_pairs": _proximity,
+        "bm25_proximity": _bm25_proximity,
         "doc_top_tfidf": p.q_doc_top_tfidf,
         "hybrid_rrf": _hybrid_rrf,
         "conv_topk": p.q_conv_topk,

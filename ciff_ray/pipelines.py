@@ -2049,6 +2049,71 @@ scored AS (
 )"""
 
 
+def _bm25_proximity_oracle(T: str) -> str:
+    """Pool-rescore oracle for q_bm25_proximity: BM25 top-pool under the
+    engine's rounded ranking key, positional self-join min distances for
+    the SAME adjacent pairs the Ray side boosts (shared
+    positions.adjacent_pairs), beta/min_dist additive boost, re-rank."""
+    from ciff_ray.positions import (
+        PROX_BETA,
+        PROX_POOL,
+        PROX_WINDOW,
+        PROXIMITY_QUERY_SET,
+        adjacent_pairs,
+    )
+
+    pair_vals = ", ".join(
+        f"({qid}, {pid}, '{a}', '{b}')"
+        for qid, q in enumerate(PROXIMITY_QUERY_SET)
+        for pid, (a, b) in enumerate(adjacent_pairs(q))
+    )
+    return f"""{T},
+{_bm25_scored_cte(queries=PROXIMITY_QUERY_SET).lstrip()},
+pool AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 9) DESC, doc_id ASC) AS prnk
+  FROM scored
+),
+p AS (SELECT query_id, doc_id, score FROM pool WHERE prnk <= {PROX_POOL}),
+tokl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM transcripts
+),
+tokpos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM tokl
+),
+pairs(query_id, pair_id, ta, tb) AS (VALUES {pair_vals}),
+dist AS (
+  SELECT pr.query_id, pr.pair_id, a.doc_id,
+         min(abs(a.pos - b.pos)) AS md
+  FROM pairs pr
+  JOIN p ON p.query_id = pr.query_id
+  JOIN tokpos a ON a.term = pr.ta AND a.doc_id = p.doc_id
+  JOIN tokpos b ON b.term = pr.tb AND b.doc_id = a.doc_id
+  GROUP BY pr.query_id, pr.pair_id, a.doc_id
+),
+boost AS (
+  SELECT query_id, doc_id,
+         SUM(CASE WHEN md <= {PROX_WINDOW} THEN {PROX_BETA} / md
+                  ELSE 0.0 END) AS bst
+  FROM dist GROUP BY query_id, doc_id
+),
+final AS (
+  SELECT p.query_id, p.doc_id, p.score + coalesce(b.bst, 0.0) AS fscore
+  FROM p LEFT JOIN boost b
+    ON b.query_id = p.query_id AND b.doc_id = p.doc_id
+)
+SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(fscore, 9) DESC, doc_id ASC) AS rnk
+  FROM final
+) WHERE rnk <= {TOPK_K}"""
+
+
 def oracle_sqls() -> dict[str, str]:
     from ciff_ray.synth import TURNS_PER_CONV_FROM_DOCS as _TPC
 
@@ -2189,6 +2254,10 @@ d AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
        CAST(min_dist AS BIGINT) AS min_dist
 FROM d WHERE min_dist <= {_prox_window()}""",
+        # proximity-boosted ranking: identical BM25 pool (round-9 key),
+        # per-adjacent-pair min token distance over the pool docs via a
+        # positional self-join, additive beta/min_dist boost, re-rank
+        "bm25_proximity": _bm25_proximity_oracle(T),
         # the positional-index phrase path must produce the exact same
         # match set as the text-regex semantics (ciff_ray.positions
         # docstring: filtered-token adjacency == textual adjacency)

@@ -431,3 +431,130 @@ def q_proximity_pairs(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# proximity-boosted ranking (Büttcher et al. 2006-style bigram boost)
+
+# multi-term queries where term adjacency should matter, plus a no-hit
+# probe; the pool rescore is SQL-expressible so this entry carries a
+# full value-hash oracle
+PROXIMITY_QUERY_SET = [
+    "the fast key",
+    "merge join table",
+    "batch window stream",
+    "customer filter join order",
+    "zzznotaterm key",
+]
+PROX_POOL = 50  # BM25 pool size rescored with the proximity boost
+PROX_BETA = 2.0  # boost weight: beta / min_dist per adjacent pair
+
+
+def adjacent_pairs(query: str) -> list[tuple[str, str]]:
+    """Ordered-unique adjacent token pairs of ``query`` (self-pairs
+    dropped: min|posA-posB| of a term with itself is degenerate and the
+    SQL side would divide by zero).  Shared by the Ray entry and the
+    oracle generator so both sides boost the exact same pairs."""
+    from ciff_ray.oracle import tokenize
+
+    toks = tokenize(query)
+    seen: set[tuple[str, str]] = set()
+    out: list[tuple[str, str]] = []
+    for a, b in zip(toks, toks[1:]):
+        if a != b and (a, b) not in seen:
+            seen.add((a, b))
+            out.append((a, b))
+    return out
+
+
+class _ProximityRescoreActor:
+    """map_batches callable over (query_id, query) rows: BM25 top-pool
+    from the index, per-pair min token distances from the positional
+    store (reads bounded by the pool docs), additive beta/min_dist
+    boost, re-rank with the engine's own rounded key.  Index + store
+    handles load once per actor."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        store_root: str,
+        k: int,
+        pool: int = PROX_POOL,
+        window: int = PROX_WINDOW,
+        beta: float = PROX_BETA,
+    ):
+        from ciff_ray.query import LocalScorer
+
+        self.scorer = LocalScorer(index_dir)
+        self.store = PositionStore(store_root)
+        self.k, self.pool, self.window, self.beta = k, pool, window, beta
+
+    def _rescore(self, query: str) -> tuple[np.ndarray, np.ndarray]:
+        docs, scores = self.scorer.topk(query, self.pool)
+        if docs.size == 0:
+            return docs, scores
+        order = np.argsort(docs)
+        cand = docs[order]  # sorted view for the store lookups
+        boost = np.zeros(cand.size, dtype=np.float64)
+        for ta, tb in adjacent_pairs(query):
+            d, m = _min_dist_per_doc(
+                self.store.keys(ta, cand), self.store.keys(tb, cand)
+            )
+            keep = m <= self.window
+            if not keep.any():
+                continue
+            idx = np.searchsorted(cand, d[keep])
+            boost[idx] += self.beta / m[keep].astype(np.float64)
+        final = scores[order] + boost
+        from ciff_ray.query import LocalScorer
+
+        return LocalScorer._rank(cand, final, self.k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        for qid, q in zip(
+            batch["query_id"].to_pylist(), batch["query"].to_pylist()
+        ):
+            d, s = self._rescore(q)
+            qids.extend([qid] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            docs.extend(d.tolist())
+            scores.extend(s.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
+
+def q_bm25_proximity(sf_dir: str) -> ray.data.Dataset:
+    """Proximity-boosted retrieval: BM25 top-{PROX_POOL} pool, additive
+    {PROX_BETA}/min_dist boost per adjacent query-term pair within
+    PROX_WINDOW tokens (positions from the positional store — no
+    document text at query time), re-ranked top-k.  Oracle: the same
+    pool + positional self-join rescore in SQL."""
+    import ray
+
+    from ciff_ray.pipelines import TOPK_K, ensure_index
+
+    idx = ensure_index(sf_dir)
+    store = ensure_positions(sf_dir)
+    queries = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(
+                    range(len(PROXIMITY_QUERY_SET)), type=pa.int64()
+                ),
+                "query": pa.array(PROXIMITY_QUERY_SET),
+            }
+        )
+    ).repartition(4)
+    return queries.map_batches(
+        _ProximityRescoreActor,
+        fn_constructor_args=(idx, store, TOPK_K),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).select_columns(["query_id", "rank", "doc_id"])

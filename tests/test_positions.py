@@ -139,3 +139,57 @@ def test_proximity_matches_bruteforce(ray_session):
         list(map(tuple, got[["query_id", "doc_id", "min_dist"]].values))
         == exp_rows
     )
+
+
+def test_bm25_proximity_matches_bruteforce_rescore(ray_session):
+    """q_bm25_proximity == pure-Python rescore of the BM25 pool (pool by
+    the engine's rounded key, beta/min_dist per adjacent pair from raw
+    text positions), and the boost genuinely reorders at least one
+    query vs plain BM25 — the entry must not be vacuously bm25_topk."""
+    from ciff_ray.oracle import tokenize
+    from ciff_ray.pipelines import TOPK_K, ensure_index
+    from ciff_ray.positions import (
+        PROX_BETA,
+        PROX_POOL,
+        PROX_WINDOW,
+        PROXIMITY_QUERY_SET,
+        adjacent_pairs,
+        q_bm25_proximity,
+    )
+    from ciff_ray.query import LocalScorer
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_bm25_proximity(sf)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    # internal docid == documents.doc_id and turn text == document text
+    # (synth.transcripts_from_documents is a deterministic reshape)
+    docs_tbl = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
+    text_by_doc = dict(
+        zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist())
+    )
+    scorer = LocalScorer(ensure_index(sf))
+    reordered = 0
+    for qid, q in enumerate(PROXIMITY_QUERY_SET):
+        docs, scores = scorer.topk(q, PROX_POOL)
+        final = scores.astype(np.float64).copy()
+        for i, d in enumerate(docs):
+            toks = tokenize(text_by_doc[int(d)])
+            for ta, tb in adjacent_pairs(q):
+                pa_pos = [j for j, t in enumerate(toks) if t == ta]
+                pb_pos = [j for j, t in enumerate(toks) if t == tb]
+                if not pa_pos or not pb_pos:
+                    continue
+                m = min(abs(x - y) for x in pa_pos for y in pb_pos)
+                if m <= PROX_WINDOW:
+                    final[i] += PROX_BETA / m
+        ed, _ = LocalScorer._rank(docs, final, TOPK_K)
+        sub = got[got.query_id == qid]
+        assert sub.doc_id.tolist() == ed.tolist(), q
+        bd, _ = LocalScorer._rank(docs, scores, TOPK_K)
+        reordered += bd.tolist() != ed.tolist()
+    assert reordered >= 1  # the boost changes at least one ranking
