@@ -86,6 +86,39 @@ class _SortedStrColumn:
         return lo, hi
 
 
+def _docmap_spans(
+    docmap_dir: str, num_docs: int
+) -> list[tuple[int, int, str]]:
+    """(docid-lo, docid-hi, path) spans of the docmap parquet files from
+    row-group min/max statistics — metadata reads only.  Validates the
+    dense-docid invariant's global row count."""
+    total = 0
+    spans: list[tuple[int, int, str]] = []
+    for f in sorted(os.listdir(docmap_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        path = os.path.join(docmap_dir, f)
+        md = pq.ParquetFile(path).metadata
+        total += md.num_rows
+        idx = md.schema.to_arrow_schema().names.index("doc_id")
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                lo, hi = 0, num_docs - 1  # no stats: file covers all
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if md.num_rows:
+            spans.append((int(lo), int(hi), path))
+    if total != num_docs:
+        raise ValueError(
+            f"docmap is not a dense docid map: {total} rows for "
+            f"{num_docs} docs"
+        )
+    return spans
+
+
 class DoclengthStore:
     """Doc-range-sharded doclength lookup over the docmap parquet dir.
 
@@ -102,33 +135,7 @@ class DoclengthStore:
 
     def __init__(self, docmap_dir: str, num_docs: int):
         self.num_docs = num_docs
-        self._files: list[str] = [
-            os.path.join(docmap_dir, f)
-            for f in sorted(os.listdir(docmap_dir))
-            if f.endswith(".parquet")
-        ]
-        total = 0
-        spans: list[tuple[int, int, str]] = []
-        for path in self._files:
-            md = pq.ParquetFile(path).metadata
-            total += md.num_rows
-            idx = md.schema.to_arrow_schema().names.index("doc_id")
-            lo, hi = None, None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    lo, hi = 0, num_docs - 1  # no stats: file covers all
-                    break
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-            if md.num_rows:
-                spans.append((int(lo), int(hi), path))
-        if total != num_docs:
-            raise ValueError(
-                f"docmap is not a dense docid map: {total} rows for "
-                f"{num_docs} docs"
-            )
-        self._spans = spans
+        self._spans = _docmap_spans(docmap_dir, num_docs)
         self._shards: dict[int, np.ndarray] = {}
 
     def _load_shard(self, s: int) -> np.ndarray:
@@ -190,6 +197,78 @@ class DoclengthStore:
             if m.any():
                 out[m] = self._shard(s)[docs[m] - (s << self.SHARD_BITS)]
         return out
+
+
+class TitleStore:
+    """Doc-range-sharded collection_docid (title) lookup over the
+    docmap parquet dir — the decoration-path sibling of
+    :class:`DoclengthStore`.  Decorating k results must load only the
+    O(k) shards the result docids touch: at 10^12 docs a full docmap
+    read on the CLI path would dwarf the query itself.  Loaded shards
+    are cached (the query mix usually revisits hot doc ranges);
+    ``shard_loads`` counts materializations so tests (and scale audits)
+    can assert no full-docmap read happens."""
+
+    SHARD_BITS = DoclengthStore.SHARD_BITS
+
+    def __init__(self, docmap_dir: str, num_docs: int):
+        self.num_docs = num_docs
+        self._spans = _docmap_spans(docmap_dir, num_docs)
+        self._shards: dict[int, np.ndarray] = {}
+        self.shard_loads = 0
+
+    def _load_shard(self, s: int) -> np.ndarray:
+        self.shard_loads += 1
+        base = s << self.SHARD_BITS
+        end = min(base + (1 << self.SHARD_BITS), self.num_docs)
+        parts = [
+            pq.read_table(
+                path,
+                columns=["doc_id", "collection_docid"],
+                filters=[("doc_id", ">=", base), ("doc_id", "<", end)],
+            )
+            for lo, hi, path in self._spans
+            if not (hi < base or lo >= end)
+        ]
+        ids = (
+            np.concatenate(
+                [p["doc_id"].to_numpy(zero_copy_only=False) for p in parts]
+            )
+            if parts
+            else np.empty(0, dtype=np.int64)
+        )
+        if ids.size != end - base:
+            raise ValueError(
+                f"docmap shard {s} is not dense: {ids.size} rows for "
+                f"docs [{base}, {end})"
+            )
+        titles = np.concatenate(
+            [
+                p["collection_docid"].to_numpy(zero_copy_only=False)
+                for p in parts
+            ]
+        )
+        order = np.argsort(ids)
+        if not np.array_equal(ids[order], np.arange(base, end)):
+            raise ValueError(f"docmap shard {s} has gaps or duplicates")
+        return titles[order]
+
+    def _shard(self, s: int) -> np.ndarray:
+        arr = self._shards.get(s)
+        if arr is None:
+            arr = self._shards[s] = self._load_shard(s)
+        return arr
+
+    def lookup(self, docs: np.ndarray) -> list[str]:
+        docs = np.asarray(docs, dtype=np.int64)
+        if docs.size == 0:
+            return []
+        out = np.empty(docs.shape, dtype=object)
+        shard_of = docs >> self.SHARD_BITS
+        for s in np.unique(shard_of):
+            m = shard_of == s
+            out[m] = self._shard(int(s))[docs[m] - (int(s) << self.SHARD_BITS)]
+        return out.tolist()
 
 
 class GlobalStats:
@@ -319,7 +398,7 @@ class LocalScorer:
         else:
             self._dead = np.empty(0, dtype=np.int64)
         self._segments: dict[int, tuple[pa.Table, _SortedStrColumn, np.ndarray, np.ndarray]] = {}
-        self._doc_titles: pa.Table | None = None
+        self._doc_titles: TitleStore | None = None
         # decoded-postings cache: hot (stopword-scale) lists decode once
         # per scorer, bounded by total cached postings
         self._plist_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -990,13 +1069,13 @@ class LocalScorer:
     # -- result decoration ------------------------------------------------
 
     def collection_docids(self, doc_ids: np.ndarray) -> list[str]:
+        # doc-range-sharded: decorating k results loads only the O(k)
+        # title shards those docids fall in, never the whole docmap
         if self._doc_titles is None:
-            dm = pq.read_table(
-                self.paths.docmap_dir, columns=["doc_id", "collection_docid"]
+            self._doc_titles = TitleStore(
+                self.paths.docmap_dir, self.manifest.num_docs
             )
-            order = pc.sort_indices(dm["doc_id"].combine_chunks())
-            self._doc_titles = dm["collection_docid"].combine_chunks().take(order)
-        return self._doc_titles.take(pa.array(doc_ids)).to_pylist()
+        return self._doc_titles.lookup(np.asarray(doc_ids))
 
 
 class ScorerActor:

@@ -377,3 +377,31 @@ def test_bitpacked_slices_engage_and_score_identically(tmp_path):
             d, s = eng.topk(q, k=20, mode=mode)
             assert d.tolist() == [x for x, _ in exp], (q, mode)
             assert s.tolist() == [x for _, x in exp], (q, mode)
+
+
+def test_title_store_loads_only_touched_shards(engine_and_oracle, monkeypatch):
+    """Result decoration must be doc-range-sharded like doclengths: with
+    tiny shards forced, translating a handful of docids materializes
+    exactly the shards they fall in — never the whole docmap."""
+    import math
+
+    import numpy as np
+
+    from ciff_ray.query import TitleStore
+
+    engine, oracle = engine_and_oracle
+    num_docs = engine.manifest.num_docs
+    monkeypatch.setattr(TitleStore, "SHARD_BITS", 4)  # 16-doc shards
+    store = TitleStore(
+        engine._local.paths.docmap_dir, num_docs
+    )
+    n_shards = math.ceil(num_docs / 16)
+    assert n_shards > 4  # the test corpus really spans many shards
+    docs = np.array([0, 1, 17, num_docs - 1], dtype=np.int64)
+    titles = store.lookup(docs)
+    assert titles == [oracle.collection_docids[d] for d in docs.tolist()]
+    touched = len({int(d) >> 4 for d in docs})
+    assert store.shard_loads == touched < n_shards
+    # cache: a second lookup of the same docs loads nothing new
+    assert store.lookup(docs) == titles
+    assert store.shard_loads == touched
