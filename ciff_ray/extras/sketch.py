@@ -302,18 +302,23 @@ def q_top_terms(sf_dir: str) -> pa.Table:
     # lexicographically-smaller tie would belong in the top-K
     certified = len(top) == TOPK_TERMS and top[-1][1] > budget
     if not certified:
-        # exact fallback: full (term, cf) aggregation — same result
-        # contract, no screen
+        # exact fallback: full (term, cf) aggregation, STREAMED top-K —
+        # after groupby every term lives in exactly one output block, so
+        # a per-block top-K under the final (cf desc, term asc) key is a
+        # superset of the global top-K (classic distributed top-k); the
+        # driver merges <= K rows per block, never the vocabulary
         from ray.data.aggregate import Sum
 
-        full = (
+        parts = (
             docs.map_batches(_exact_tf_rows, batch_format="pyarrow")
             .groupby("term")
             .aggregate(Sum("cf", alias_name="cf"))
+            .map_batches(_block_top_terms, batch_format="pyarrow")
             .take_all()
         )
+        _DIAG["fallback_rows"] = len(parts)  # driver-merge size audit
         ranked = sorted(
-            ((r["term"], int(r["cf"])) for r in full),
+            ((r["term"], int(r["cf"])) for r in parts),
             key=lambda kv: (-kv[1], kv[0]),
         )
         top = ranked[:TOPK_TERMS]
@@ -324,6 +329,30 @@ def q_top_terms(sf_dir: str) -> pa.Table:
             ),
             "term": pa.array([t for t, _ in top], type=pa.string()),
             "cf": pa.array([c for _, c in top], type=pa.int64()),
+        }
+    )
+
+
+# diagnostics for tests / scale audits: how many rows the exact
+# fallback's driver merge actually received (must be ~TOPK_TERMS x
+# blocks, never the vocabulary)
+_DIAG: dict[str, int | None] = {"fallback_rows": None}
+
+
+def _block_top_terms(batch: pa.Table) -> pa.Table:
+    """Per-block top-{TOPK_TERMS} (term, cf) rows under the final
+    (cf desc, term asc) key.  Exact: each term appears in one block
+    post-groupby, and a global-top-K row is in the top-K of ANY set
+    containing it, so it survives its own block's cut."""
+    if batch.num_rows <= TOPK_TERMS:
+        return batch.select(["term", "cf"])
+    cf = batch["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    terms = np.array(batch["term"].to_pylist(), dtype=object)
+    keep = np.lexsort((terms, -cf))[:TOPK_TERMS]
+    return pa.table(
+        {
+            "term": pa.array(terms[keep].tolist(), type=pa.string()),
+            "cf": pa.array(cf[keep], type=pa.int64()),
         }
     )
 

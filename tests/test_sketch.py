@@ -118,13 +118,81 @@ def test_top_terms_matches_exact(ray_session):
 
 def test_top_terms_fallback_exactness(ray_session, monkeypatch):
     """Force the certificate to fail (cap K at a huge budget) — the
-    fallback full aggregation must produce the identical result."""
+    fallback full aggregation must produce the identical result, and
+    the per-block screen must bound what reaches the driver (no
+    vocabulary-sized take_all)."""
     import ciff_ray.extras.sketch as sk
 
     normal = sk.q_top_terms("/root/testdata/sf0.001").to_pandas()
     monkeypatch.setattr(sk, "MG_CAP", 1)  # budget explodes -> fallback
+    sk._DIAG["fallback_rows"] = None
     fell_back = sk.q_top_terms("/root/testdata/sf0.001").to_pandas()
     assert normal.equals(fell_back)
+    assert sk._DIAG["fallback_rows"] is not None, "fallback did not run"
+
+
+def test_top_terms_fallback_streams_bounded_rows(
+    ray_session, monkeypatch, tmp_path
+):
+    """On a corpus whose vocabulary dwarfs K x blocks, the forced
+    fallback's driver merge must receive a bounded row count (per-block
+    top-K screen), not the vocabulary — and still be exact vs SQL."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ciff_ray.extras.sketch as sk
+
+    # 400 docs x 24 tokens over a ~900-term vocab with a Zipf-ish head
+    texts = []
+    for i in range(400):
+        toks = [f"w{(i * 24 + j) % 900:03d}" for j in range(20)]
+        toks += [f"h{(i + j) % 7}" for j in range(4)]  # heavy head
+        texts.append(" ".join(toks))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(400), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    monkeypatch.setattr(sk, "MG_CAP", 1)  # force the fallback
+    sk._DIAG["fallback_rows"] = None
+    got = sk.q_top_terms(str(tmp_path)).to_pandas()
+    rows = sk._DIAG["fallback_rows"]
+    assert rows is not None, "fallback did not run"
+    vocab = 900 + 7
+    assert rows < vocab / 4, (rows, vocab)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(sk.TOP_TERMS_SQL).df()
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["cf"].tolist() == want["cf"].tolist()
+
+
+def test_block_top_terms_kernel():
+    """Per-block cut applies the exact final key (cf desc, term asc)."""
+    import pyarrow as pa
+
+    from ciff_ray.extras.sketch import TOPK_TERMS, _block_top_terms
+
+    n = TOPK_TERMS + 7
+    batch = pa.table(
+        {
+            "term": pa.array([f"t{i:03d}" for i in range(n)]),
+            "cf": pa.array([5] * 4 + list(range(6, 6 + n - 4))[::-1]),
+        }
+    )
+    out = _block_top_terms(batch)
+    assert out.num_rows == TOPK_TERMS
+    pairs = list(zip(out["cf"].to_pylist(), out["term"].to_pylist()))
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+    assert min(out["cf"].to_pylist()) >= 5
 
 
 # ---------------------------------------------------------------------------
