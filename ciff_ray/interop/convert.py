@@ -172,6 +172,11 @@ class CiffWriter:
     def write_doc_record(self, rec: CiffDocRecord) -> None:
         write_delimited(self._fh, rec.serialize())
 
+    def write_serialized(self, payload: bytes) -> None:
+        """Append pre-framed message bytes (e.g. a
+        proto.serialize_doc_records batch) verbatim."""
+        self._fh.write(payload)
+
     def close(self) -> None:
         self._fh.close()
 

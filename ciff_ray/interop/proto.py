@@ -353,3 +353,117 @@ def write_delimited(fh, msg_bytes: bytes) -> None:
     write_varint(out, len(msg_bytes))
     fh.write(out)
     fh.write(msg_bytes)
+
+
+# -- batch-vectorized DocRecord serialization --------------------------------
+
+
+def _varint_matrix(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varint encode: (n,) uint64 -> ((n, 10) uint8 byte
+    matrix, (n,) byte lengths).  Row i's first lengths[i] bytes are the
+    wire encoding of vals[i] (continuation bits set)."""
+    v = np.asarray(vals, dtype=np.uint64)
+    shifts = np.uint64(7) * np.arange(10, dtype=np.uint64)
+    chunks = (v[:, None] >> shifts[None, :]) & np.uint64(0x7F)
+    nz = chunks != 0
+    lengths = np.where(
+        v == 0, 1, 10 - np.argmax(nz[:, ::-1], axis=1)
+    ).astype(np.int64)
+    cont = np.arange(10)[None, :] < (lengths[:, None] - 1)
+    mat = (chunks | (cont.astype(np.uint64) << np.uint64(7))).astype(np.uint8)
+    return mat, lengths
+
+
+def _scatter_varints(
+    out: np.ndarray,
+    offs: np.ndarray,
+    mat: np.ndarray,
+    lens: np.ndarray,
+    mask: np.ndarray | None = None,
+) -> None:
+    """Write varint rows (mat/lens) into ``out`` at per-row offsets."""
+    if mask is not None:
+        offs, mat, lens = offs[mask], mat[mask], lens[mask]
+    if offs.size == 0:
+        return
+    col = np.arange(mat.shape[1])
+    sel = col[None, :] < lens[:, None]
+    pos = offs[:, None] + col[None, :]
+    out[pos[sel]] = mat[sel]
+
+
+def _ragged_arange(lens: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(lens)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
+
+
+def serialize_doc_records(
+    docids: np.ndarray, collection_docids, doclengths: np.ndarray
+) -> bytes:
+    """Length-delimited wire bytes of a BATCH of DocRecords —
+    byte-identical to ``write_delimited(fh, CiffDocRecord(...).serialize())``
+    per row, but fully vectorized (varint byte matrices + one scatter
+    per field; the per-record Python loop was the CIFF export's long
+    pole at ~500k docs).  ``collection_docids`` is an Arrow string
+    array; proto3 default-omission (docid 0 / empty string /
+    doclength 0) is preserved."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    did = np.asarray(docids, dtype=np.int64)
+    dl = np.asarray(doclengths, dtype=np.int64)
+    if (did < 0).any() or (dl < 0).any():
+        raise ValueError("negative docid/doclength in DocRecord batch")
+    col = collection_docids
+    if isinstance(col, _pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = _pc.cast(col, _pa.large_binary())
+    if enc.null_count:
+        raise ValueError("null collection_docid in DocRecord batch")
+    n = len(did)
+    soff = np.frombuffer(
+        enc.buffers()[1], dtype=np.int64, count=n + 1, offset=enc.offset * 8
+    )
+    data_buf = enc.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    slen = np.diff(soff)
+
+    m1, l1 = _varint_matrix(did.astype(np.uint64))
+    m2, l2 = _varint_matrix(slen.astype(np.uint64))
+    m3, l3 = _varint_matrix(dl.astype(np.uint64))
+    has1, has2, has3 = did != 0, slen != 0, dl != 0
+    f1 = np.where(has1, 1 + l1, 0)
+    f2 = np.where(has2, 1 + l2 + slen, 0)
+    f3 = np.where(has3, 1 + l3, 0)
+    inner = f1 + f2 + f3
+    m0, l0 = _varint_matrix(inner.astype(np.uint64))
+
+    total = int((l0 + inner).sum())
+    out = np.zeros(total, dtype=np.uint8)
+    rec = np.concatenate(([0], np.cumsum(l0 + inner)[:-1])).astype(np.int64)
+    _scatter_varints(out, rec, m0, l0)  # outer length frame
+    p = rec + l0
+    out[p[has1]] = (1 << 3) | _WT_VARINT  # 0x08
+    _scatter_varints(out, p + 1, m1, l1, has1)
+    p = p + f1
+    out[p[has2]] = (2 << 3) | _WT_LEN  # 0x12
+    _scatter_varints(out, p + 1, m2, l2, has2)
+    sp = (p + 1 + l2)[has2]
+    sl = slen[has2]
+    if sl.size:
+        ra = _ragged_arange(sl)
+        dst = np.repeat(sp, sl) + ra
+        src = np.repeat(soff[:-1][has2], sl) + ra
+        out[dst] = data[src]
+    p = p + f2
+    out[p[has3]] = (3 << 3) | _WT_VARINT  # 0x18
+    _scatter_varints(out, p + 1, m3, l3, has3)
+    return out.tobytes()

@@ -122,3 +122,39 @@ def test_ciff_header_parse_round_trips_or_rejects(buf):
         return
     h2 = CiffHeader.parse(h.serialize())
     assert vars(h2) == vars(h)
+
+
+# -- batch DocRecord serialization ------------------------------------------
+
+
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2**50),
+        st.text(max_size=40),
+        st.integers(min_value=0, max_value=2**40),
+    ),
+    max_size=60,
+))
+def test_serialize_doc_records_byte_identical(recs):
+    """Vectorized batch encode == per-record serialize + frame, byte for
+    byte (incl. proto3 default omission and unicode payloads)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ciff_ray.interop.proto import (
+        CiffDocRecord,
+        serialize_doc_records,
+        write_varint,
+    )
+
+    want = bytearray()
+    for d, c, l in recs:
+        b = CiffDocRecord(d, c, l).serialize()
+        write_varint(want, len(b))
+        want += b
+    got = serialize_doc_records(
+        np.array([r[0] for r in recs], dtype=np.int64),
+        pa.array([r[1] for r in recs], type=pa.string()),
+        np.array([r[2] for r in recs], dtype=np.int64),
+    )
+    assert got == bytes(want)
