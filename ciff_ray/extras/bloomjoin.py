@@ -91,39 +91,77 @@ def _bloom_m_bits(n_keys: int) -> int:
     return 1 << int(np.ceil(np.log2(bits)))
 
 
+def _estimate_filtered_keys(path: str) -> int:
+    """Cheap upstream estimate of the filtered-dimension key count: the
+    file's total row count (parquet metadata only) scaled by the
+    selectivity observed on the FIRST row group, with a 2x safety
+    factor.  Sizing from total rows alone would over-allocate the
+    broadcast 1/selectivity-fold (~5x here; GBs at 10^9 orders), and an
+    exact count would cost a full extra dimension scan — the estimate
+    plus the rebuild-if-undersized check below gets both."""
+    pf = pq.ParquetFile(path)
+    total = pf.metadata.num_rows
+    if total == 0 or pf.metadata.num_row_groups == 0:
+        return 0
+    rg = pf.read_row_group(0, columns=["o_orderpriority"])
+    sel = pc.sum(
+        pc.equal(rg["o_orderpriority"], SEMI_PRIORITY)
+    ).as_py() or 0
+    frac = sel / max(1, rg.num_rows)
+    return int(total * max(frac, 1.0 / max(1, rg.num_rows)) * 2)
+
+
 def build_filtered_bloom(sf_dir: str) -> tuple[object, int]:
     """Distributed build over the filtered orders: per-block partial
-    bitmaps, OR-merged, placed in the object store once (`ray.put`).
-    Returns (bitmap ref, m_bits).  Sizing counts the FILTERED keys
-    (one cheap single-column pass over the dimension side — sizing from
-    the table's total row count would over-allocate 1/selectivity-fold,
-    ~5x here, and at 10^9 orders the broadcast would be GBs where
-    hundreds of MB meet the bits/key design point)."""
+    bitmaps + key counts in ONE pass, OR-merged, placed in the object
+    store once (`ray.put`).  Returns (bitmap ref, m_bits).
+
+    Sizing: m is chosen from a metadata+first-row-group selectivity
+    estimate (no dedicated counting scan of the dimension); the pass
+    also returns the exact filtered-key count, and only if the estimate
+    was far off — actual bits/key fell below half the design point, so
+    the FP rate is materially worse than designed — is the filter
+    rebuilt at the now-exact size.  Deterministic corpora hit the
+    rebuild never; adversarially skewed priority placement costs one
+    extra pass instead of silently degrading exactness-restoring
+    verify-exchange volume."""
     path = os.path.join(sf_dir, "orders.parquet")
-    n_keys = ray.data.read_parquet(
-        path,
-        columns=["o_orderkey"],
-        filter=(pc.field("o_orderpriority") == SEMI_PRIORITY),
-    ).count()
-    m_bits = _bloom_m_bits(n_keys)
+    m_bits = _bloom_m_bits(_estimate_filtered_keys(path))
 
-    def part(batch: pa.Table) -> pa.Table:
-        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        w = bloom_build(keys, m_bits)
-        return pa.table({"words": pa.array([w], type=pa.large_list(pa.uint64()))})
+    def build_pass(m: int) -> tuple[np.ndarray, int]:
+        def part(batch: pa.Table) -> pa.Table:
+            keys = (
+                batch["o_orderkey"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            w = bloom_build(keys, m)
+            return pa.table(
+                {
+                    "words": pa.array([w], type=pa.large_list(pa.uint64())),
+                    "n": pa.array([keys.size], type=pa.int64()),
+                }
+            )
 
-    parts = (
-        ray.data.read_parquet(
-            path,
-            columns=["o_orderkey"],
-            filter=(pc.field("o_orderpriority") == SEMI_PRIORITY),
+        parts = (
+            ray.data.read_parquet(
+                path,
+                columns=["o_orderkey"],
+                filter=(pc.field("o_orderpriority") == SEMI_PRIORITY),
+            )
+            .map_batches(part, batch_format="pyarrow")
+            .take_all()
         )
-        .map_batches(part, batch_format="pyarrow")
-        .take_all()
-    )
-    words = np.zeros(m_bits // 64, dtype=np.uint64)
-    for r in parts:  # driver OR: m/8 bytes per partial, tree-reduce at scale
-        words |= np.asarray(r["words"], dtype=np.uint64)
+        words = np.zeros(m // 64, dtype=np.uint64)
+        n_keys = 0
+        for r in parts:  # driver OR: m/8 bytes per partial; tree at scale
+            words |= np.asarray(r["words"], dtype=np.uint64)
+            n_keys += int(r["n"])
+        return words, n_keys
+
+    words, n_keys = build_pass(m_bits)
+    if n_keys * (BLOOM_BITS_PER_KEY // 2) > m_bits:
+        m_bits = _bloom_m_bits(n_keys)  # rare: estimate was >2x under
+        words, _ = build_pass(m_bits)
     return ray.put(words), m_bits
 
 

@@ -909,18 +909,35 @@ class BlockPairScorer:
         )
 
 
+# q_dedup_embedding is the EXACTNESS PIN, not the scale path: beyond
+# this many vectors the Theta(N^2) FLOPs are a mistake (use
+# q_dedup_embedding_ann) and the entry refuses to run unless forced
+EMB_EXACT_MAX_ROWS = 2_000_000
+
+
 def q_dedup_embedding(
-    sf_dir: str, block_rows: int = EMB_BLOCK_ROWS
+    sf_dir: str, block_rows: int = EMB_BLOCK_ROWS, force: bool = False
 ) -> ray.data.Dataset:
     """Exact near-dup embedding pairs (a < b, cosine >= COSINE_TAU) via
     a distributed block-pair sweep: N vectors -> ceil(N/block_rows) row
     blocks -> one task per upper-triangle (block_i, block_j) cell.
     Exactness forces Theta(N^2) FLOPs (see module docstring: isotropic
     data + tau=0.4 defeats any recall-1 bucketing), but memory per task
-    is O(block^2) and nothing materializes the whole matrix."""
+    is O(block^2) and nothing materializes the whole matrix.
+
+    Guarded: this is the driver-scale exactness contract; past
+    EMB_EXACT_MAX_ROWS it raises (pass force=True to override) and
+    points at q_dedup_embedding_ann, the recall-pinned scale path."""
     path = os.path.join(sf_dir, "embeddings.parquet")
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     n = ds.count()
+    if n > EMB_EXACT_MAX_ROWS and not force:
+        raise ValueError(
+            f"q_dedup_embedding is Theta(N^2) and {n} vectors exceed "
+            f"EMB_EXACT_MAX_ROWS={EMB_EXACT_MAX_ROWS}; use "
+            "q_dedup_embedding_ann (recall-pinned ANN path) or pass "
+            "force=True if you really mean to pay N^2 FLOPs"
+        )
     nblocks = max(1, -(-n // block_rows))
     block_refs = ds.repartition(nblocks).materialize().to_arrow_refs()
     cells = [

@@ -324,3 +324,27 @@ def test_chunk_docs_pipeline(ray_session):
     assert (out.n_tokens >= 1).all() and (out.n_tokens <= CHUNK_TOKENS).all()
     # every chunk's text has exactly n_tokens whitespace tokens
     assert (out.chunk_text.str.split().str.len() == out.n_tokens).all()
+
+
+def test_bloom_sizing_single_pass_estimate(ray_session):
+    """The sizing estimate must land within the design band (no full
+    counting pre-scan): actual filtered keys get >= half the design
+    bits/key from the first build pass on the driver corpus."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ciff_ray.extras.bloomjoin import (
+        BLOOM_BITS_PER_KEY,
+        SEMI_PRIORITY,
+        _estimate_filtered_keys,
+    )
+
+    path = "/root/testdata/sf0.01/orders.parquet"
+    est = _estimate_filtered_keys(path)
+    actual = pc.sum(
+        pc.equal(pq.read_table(path, columns=["o_orderpriority"])[
+            "o_orderpriority"
+        ], SEMI_PRIORITY)
+    ).as_py()
+    assert est >= actual  # 2x safety factor covers row-group variance
+    assert est <= actual * 8  # and does not blow the broadcast budget

@@ -394,3 +394,18 @@ def test_window_hash_kernel_boundaries(ray_session):
     assert counts.tolist() == [6, 0, SUBSTR_L + 1]
     # all 6 windows of doc 0 are the same string -> same hash
     assert np.unique(h[parents == 0]).size == 1
+
+
+def test_dedup_embedding_exact_scale_guard(ray_session, monkeypatch):
+    """The exact Theta(N^2) entry must refuse to run past the row
+    guard (pointing at the ANN path) unless forced."""
+    import pytest as _pytest
+
+    import ciff_ray.extras.dedup as dd
+
+    monkeypatch.setattr(dd, "EMB_EXACT_MAX_ROWS", 10)  # testdata exceeds
+    with _pytest.raises(ValueError, match="dedup_embedding_ann"):
+        dd.q_dedup_embedding("/root/testdata/sf0.001")
+    # force=True overrides and still runs the real sweep
+    out = dd.q_dedup_embedding("/root/testdata/sf0.001", force=True)
+    assert out.count() >= 0
