@@ -85,7 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosted": p.q_bm25_boosted,
         "bm25_fuzzy": p.q_bm25_fuzzy,
         "bm25_facets": p.q_bm25_facets,
-        "bm25_topk_stemmed": p.q_bm25_topk_stemmed,  # rows-only (stemmer)
+        "bm25_topk_stemmed": p.q_bm25_topk_stemmed,
         "bm25_snippets": p.q_bm25_snippets,
         "boolean_and": p.q_boolean_and,
         "phrase_match": p.q_phrase_match,

@@ -561,8 +561,10 @@ def q_bm25_topk(sf_dir: str) -> ray.data.Dataset:
 
 def q_bm25_topk_stemmed(sf_dir: str) -> ray.data.Dataset:
     """Top-k over a Porter-STEMMED index (the analyzer hook end to
-    end): morphological query variants land on merged stems.  Rows-only
-    by design — SQL cannot stem — correctness is pinned by
+    end): morphological query variants land on merged stems.  SQL
+    cannot run Porter directly, but the testdata vocabulary is small
+    and closed, so _stemmed_oracle_entry inlines an exact (raw, stem)
+    map into the oracle; correctness is additionally pinned by
     tests/test_analyzer_index.py (postings vs an independent
     reconstruction) and the invariant tests below it."""
     idx = ensure_index(sf_dir, analyzer="porter")
@@ -2049,6 +2051,93 @@ scored AS (
 )"""
 
 
+def _stemmed_oracle_entry(T: str) -> dict[str, str]:
+    """SQL oracle for q_bm25_topk_stemmed: standard BM25 over a
+    Porter-STEMMED token view.  SQL cannot run Porter, but the driver
+    corpora share one small fixed token pool, so the stemmer is
+    EXACTLY representable as an inline (raw, stem) VALUES map built
+    from the union vocabulary of the testdata dirs (our own
+    analysis.porter_stem, applied at oracle-generation time); query
+    terms are stemmed the same way, deduped AFTER stemming exactly as
+    LocalScorer._query_terms does.  Returns {} (entry stays rows-only)
+    when no testdata is visible."""
+    import glob as _glob
+
+    from ciff_ray.analysis import porter_stem
+    from ciff_ray.tokenizer import token_ids
+
+    root = os.environ.get("CIFF_RAY_TESTDATA_ROOT", "/root/testdata")
+    vocab: set[str] = set()
+    for path in sorted(_glob.glob(os.path.join(root, "sf*", "documents.parquet"))):
+        import pyarrow.parquet as _pq
+
+        term_dict, _, _ = token_ids(_pq.read_table(path, columns=["text"])["text"])
+        vocab.update(term_dict.to_pylist())
+    vocab.discard("")
+    if not vocab:
+        return {}
+    changed = sorted(
+        (w, porter_stem(w)) for w in vocab if porter_stem(w) != w
+    )
+    if not changed:  # degenerate pool: stemming is identity, plain BM25
+        sm_cte = ""
+        tok_cte = """tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM transcripts
+),"""
+    else:
+        sm_vals = ", ".join(f"('{w}', '{s}')" for w, s in changed)
+        sm_cte = f"sm(raw, stem) AS (VALUES {sm_vals}),\n"
+        tok_cte = """tok0 AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS raw
+  FROM transcripts
+),
+tok AS (
+  SELECT tok0.doc_id AS doc_id, coalesce(sm.stem, tok0.raw) AS term
+  FROM tok0 LEFT JOIN sm ON tok0.raw = sm.raw
+),"""
+    q_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in enumerate(QUERY_SET)
+        for t in sorted({porter_stem(w) for w in tokenize(q)})
+    )
+    sql = f"""{T},
+{sm_cte}{tok_cte}
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok WHERE term <> '' GROUP BY doc_id
+),
+stats AS (
+  SELECT (SELECT count(*) FROM transcripts) AS n_docs,
+         (SELECT count(*) FROM tok WHERE term <> '') * 1.0
+           / (SELECT count(*) FROM transcripts) AS avgdl
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {q_vals}),
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id AS doc_id,
+         SUM(
+           {_BM25_CONTRIB_SQL}
+         ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {TOPK_K}"""
+    return {"bm25_topk_stemmed": sql}
+
+
 def _bm25_proximity_oracle(T: str) -> str:
     """Pool-rescore oracle for q_bm25_proximity: BM25 top-pool under the
     engine's rounded ranking key, positional self-join min distances for
@@ -2620,4 +2709,5 @@ SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
                             ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
   FROM scored
 ) WHERE rnk <= {TOPK_K}""",
+        **_stemmed_oracle_entry(T),
     }
