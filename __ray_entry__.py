@@ -44,13 +44,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "term_freq_cms", "clean_corpus",
     # -- new round-4 entries ----------------------------------------------
     "bm25_topk_tiered", "bm25_proximity", "bm25_topk_stemmed",
-    # -- engine north_rule gates (fill the window to 50) -------------------
+    "bm25_topk_bulk", "bm25f_topk",
+    # -- engine north_rule gates (fill the window to 50; doc_fingerprint
+    # [no_oracle row] and chunk_docs [green r1-r3] rotate out) ------------
     "tokenize_tf", "postings_stats", "docmap", "collection_stats",
     "postings_lists", "bm25_scores", "bm25_topk", "bm25_topk_merged",
     "bm25_topk_sharded", "bm25_topk_compacted", "bm25_topk_pruned",
     "bm25_topk_filtered", "conv_topk", "phrase_match_positional",
-    "proximity_pairs", "hybrid_rrf", "ranking_eval", "doc_fingerprint",
-    "chunk_docs",
+    "proximity_pairs", "hybrid_rrf", "ranking_eval",
 ]
 
 
@@ -80,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_compacted": p.q_bm25_topk_compacted,
         "bm25_topk_pruned": p.q_bm25_topk_pruned,
         "bm25_topk_tiered": p.q_bm25_topk_tiered,
+        "bm25_topk_bulk": p.q_bm25_topk_bulk,
+        "bm25f_topk": p.q_bm25f_topk,
         "bm25_topk_filtered": p.q_bm25_topk_filtered,
         "bm25_feedback": p.q_bm25_feedback,
         "bm25_boosted": p.q_bm25_boosted,

@@ -52,6 +52,24 @@ PRUNED_QUERY_SET = [
 ]
 PRUNE_LAMBDA = 64
 
+# Offline bulk-retrieval workload (ciff_ray.bulk): a query LOG, not a
+# serving request — deliberately larger than QUERY_SET and built as the
+# cross product of two fixed word lists over the documents vocabulary
+# (plus QUERY_SET itself and pure-miss rows), so hot terms appear in
+# many queries and the fan-out/pre-aggregate path is actually exercised.
+BULK_QUERY_SET = QUERY_SET + [
+    f"{a} {b}"
+    for a in ("scan", "column", "sort", "group", "query", "row")
+    for b in ("merge", "stream", "filter", "key", "zzznotaterm")
+] + [
+    "hash join order key",
+    "slow scan big table row",
+    "value line part",
+    "data small fast",
+    "dup dup dup",
+    "zzzmiss1 zzzmiss2",
+]
+
 
 def transcripts_dataset(sf_dir: str) -> ray.data.Dataset:
     docs = ray.data.read_parquet(
@@ -811,6 +829,33 @@ def q_bm25_topk_tiered(sf_dir: str) -> ray.data.Dataset:
         )
         .select_columns(["query_id", "rank", "doc_id"])
     )
+
+
+def q_bm25_topk_bulk(sf_dir: str) -> ray.data.Dataset:
+    """Offline BULK retrieval (ciff_ray.bulk): the whole
+    BULK_QUERY_SET workload scored in one Dataset pass over the
+    posting SEGMENTS (pushed-down `term IN workload` read, slice
+    decode + fan-out + in-batch combine in an actor pool, one
+    (query, doc) shuffle, per-query map_groups rank) — no serving
+    actors.  Rank-identical to the same monolithic BM25 oracle as
+    bm25_topk, just over the larger workload."""
+    from ciff_ray.bulk import bulk_topk
+
+    idx = ensure_index(sf_dir)
+    return bulk_topk(idx, BULK_QUERY_SET, k=TOPK_K, concurrency=(1, 8))
+
+
+def q_bm25f_topk(sf_dir: str) -> ray.data.Dataset:
+    """Conversation-level BM25F (ciff_ray.fielded): role-weighted
+    fielded retrieval over the TURN index — per-role field lengths and
+    collection stats from one docmap pass, posting-slice decode +
+    (term, conv, role) aggregation, wtf combine, conv-level idf, exact
+    (round(score, 9) desc, conv asc) rank.  Oracle: the same BM25F
+    formula spelled out in SQL over the derived transcripts."""
+    from ciff_ray.fielded import bm25f_topk
+
+    idx = ensure_index(sf_dir)
+    return bm25f_topk(idx, QUERY_SET, k=TOPK_K, concurrency=(1, 8))
 
 
 def q_bm25_topk_merged(sf_dir: str) -> ray.data.Dataset:
@@ -2203,6 +2248,66 @@ SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
 ) WHERE rnk <= {TOPK_K}"""
 
 
+def _bm25f_oracle_sql(T: str) -> str:
+    """Conversation-level BM25F spelled out in SQL (mirrors
+    ciff_ray.fielded: W = 2.0/1.0/0.5/0.5 by role_idx = doc_id % 4,
+    B = 0.4, K1 = 0.9, avglen_f = Σ len / n_convs with field-absent
+    convs counted as 0, conv-level floored idf, round(score, 9) rank)."""
+    from ciff_ray.fielded import BM25F_B, BM25F_K1, TOPK_K as _FK
+    from ciff_ray.synth import TURNS_PER_CONV_FROM_DOCS as _TPC
+
+    q_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in enumerate(QUERY_SET)
+        for t in sorted(set(tokenize(q)))
+    )
+    return f"""{T},
+ftok AS (
+  SELECT doc_id // {_TPC} AS conv, CAST(doc_id % 4 AS BIGINT) AS role_idx,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM transcripts
+),
+ftf AS (
+  SELECT conv, role_idx, term, count(*) AS tf FROM ftok WHERE term <> ''
+  GROUP BY 1, 2, 3
+),
+flen AS (
+  SELECT conv, role_idx, count(*) AS fl FROM ftok WHERE term <> ''
+  GROUP BY 1, 2
+),
+fstats AS (SELECT count(DISTINCT doc_id // {_TPC}) AS n_convs FROM transcripts),
+favg AS (
+  SELECT role_idx, sum(fl) * 1.0 / (SELECT n_convs FROM fstats) AS avglen
+  FROM flen GROUP BY role_idx
+),
+fwtf AS (
+  SELECT ftf.term AS term, ftf.conv AS conv,
+         SUM((CASE ftf.role_idx WHEN 0 THEN 2.0 WHEN 1 THEN 1.0 ELSE 0.5 END)
+             * ftf.tf
+             / (1.0 - {BM25F_B} + {BM25F_B} * flen.fl / favg.avglen)) AS wtf
+  FROM ftf
+  JOIN flen ON ftf.conv = flen.conv AND ftf.role_idx = flen.role_idx
+  JOIN favg ON ftf.role_idx = favg.role_idx
+  GROUP BY 1, 2
+),
+fdf AS (SELECT term, count(*) AS dfc FROM fwtf GROUP BY term),
+fq(query_id, term) AS (VALUES {q_vals}),
+fscored AS (
+  SELECT CAST(fq.query_id AS BIGINT) AS query_id, fwtf.conv AS conv,
+         SUM(greatest(ln(((SELECT n_convs FROM fstats) - fdf.dfc + 0.5)
+                         / (fdf.dfc + 0.5)), {EPS_IDF})
+             * fwtf.wtf * ({BM25F_K1} + 1.0) / ({BM25F_K1} + fwtf.wtf)) AS score
+  FROM fq JOIN fwtf USING (term) JOIN fdf USING (term)
+  GROUP BY 1, 2
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, conv FROM (
+  SELECT query_id, conv,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 9) DESC, conv ASC) AS rnk
+  FROM fscored
+) WHERE rnk <= {_FK}"""
+
+
 def oracle_sqls() -> dict[str, str]:
     from ciff_ray.synth import TURNS_PER_CONV_FROM_DOCS as _TPC
 
@@ -2463,6 +2568,16 @@ SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
         # under the very same monolithic BM25 oracle as bm25_topk
         "bm25_topk_tiered": f"""{T},
 {_bm25_scored_cte().lstrip()}
+SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {TOPK_K}""",
+        "bm25f_topk": _bm25f_oracle_sql(T),
+        # bulk path: same scored CTE, larger workload
+        "bm25_topk_bulk": f"""{T},
+{_bm25_scored_cte(queries=BULK_QUERY_SET).lstrip()}
 SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id
