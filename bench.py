@@ -253,6 +253,64 @@ def run_serve_bench(sf_dir: str, num_cpus: int, n_queries: int = 4096) -> dict:
     }
 
 
+def run_bulk_bench(sf_dir: str, num_cpus: int, n_queries: int = 1024) -> dict:
+    """Offline bulk retrieval (ciff_ray.bulk): one Dataset pass scores a
+    DISTINCT-query workload via the doc-range-partitioned layout flip.
+    The number to watch next to --serve: the postings shuffle is
+    workload-size-independent, so queries/sec RISES with workload size
+    (128 → 1024 queries costs ~1 extra second), whereas the actor pool's
+    qps is flat — bulk is the right path whenever the workload, not the
+    latency, is the product."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ciff_ray.build import BuildParams, build_index
+    from ciff_ray.bulk import bulk_topk
+    from ciff_ray.synth import _WORDS
+
+    sf = _sf_label(sf_dir)
+    tpath = _transcripts_path(sf)
+    idx_dir = f"/tmp/ciff_bench/idx_serve_{sf}"
+    if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        ds = ray.data.read_parquet(tpath, columns=["conv_id", "turn_idx", "text"])
+        build_index(ds, idx_dir, BuildParams(num_partitions=32, sample_frac=0.25))
+
+    rng = np.random.default_rng(5)
+    words = np.array(_WORDS)
+    qs = [
+        " ".join(rng.choice(words, size=rng.integers(2, 4), replace=False))
+        for _ in range(n_queries)
+    ]
+    n_actors = max(2, num_cpus // 4)
+    # warm pass (page cache + Ray worker startup), then the timed pass
+    bulk_topk(
+        idx_dir, qs[:32], k=10, concurrency=(n_actors, n_actors),
+        range_docs=16_384,
+    ).materialize()
+    t0 = time.monotonic()
+    out = bulk_topk(
+        idx_dir, qs, k=10, concurrency=(n_actors, n_actors), range_docs=16_384
+    ).materialize()
+    wall = time.monotonic() - t0
+    return {
+        "bulk_queries": n_queries,
+        "bulk_sec": round(wall, 3),
+        "bulk_queries_per_sec": round(n_queries / wall, 1),
+        "result_rows": out.count(),
+    }
+
+
 def _host_probe(n_procs: int) -> dict:
     """Host-health context (tools/overcommit_probe.py): the same code
     measured 7.3 s and 31-39 s for the identical sf0.1 build on two
@@ -287,6 +345,25 @@ def _host_probe(n_procs: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--bulk" in sys.argv:
+        r = run_bulk_bench(sf_dir, num_cpus)
+        print(
+            json.dumps(
+                {
+                    "metric": "offline bulk retrieval throughput",
+                    "value": r["bulk_queries_per_sec"],
+                    "unit": "queries/sec",
+                    "queries": r,
+                    "sf": _sf_label(sf_dir),
+                    "num_cpus": num_cpus,
+                }
+            )
+        )
+        import ray
+
+        ray.shutdown()
+        return
 
     if "--serve" in sys.argv:
         r = run_serve_bench(sf_dir, num_cpus)

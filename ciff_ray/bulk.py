@@ -7,33 +7,46 @@ analogue: the per-query PISA search loop) answers one query at a time
 over an actor pool.  Training-data pipelines ask the transposed
 question: "for these 10^6 mined queries, give me the top-k docs each" —
 a THROUGHPUT problem where the right unit of work is a posting-list
-slice, not a query.  This module is that path, expressed purely in
-Dataset operators so the streaming executor pipelines decode → score →
-shuffle → rank with backpressure:
+slice, not a query.
+
+Design — DOC-RANGE-PARTITIONED scoring (the classical offline layout
+flip: the index is term-partitioned for serving, so bulk scoring
+re-partitions decoded postings by docID range once, then every range
+scores ALL queries locally):
 
 1. driver: resolve the workload's distinct analyzed terms against
    term_stats with a pushed-down ``term IN workload`` filter (rows =
    touched terms, never the vocabulary) → per-term idf; broadcast the
-   small (term → query_ids) expansion + idf map once via ``ray.put``.
+   small term→(term_id, idf) and term_id→query_ids maps via ray.put.
 2. ``read_parquet(segments, filter=term IN workload)`` — only touched
-   posting slices leave storage (row-group pruning on the term-sorted
-   segment files).
-3. actor-pool ``map_batches``: decode slices vectorized (same codecs as
-   the engine), compute the per-posting BM25 contribution with a
-   shard-lazy DoclengthStore, fan out to the queries containing the
-   term, and PRE-AGGREGATE (query_id, doc_id) partials inside the batch
-   so the shuffle moves combined rows, not raw postings × queries.
-4. ``groupby(query_id, doc_id).sum`` → exact scores;
-   ``groupby(query_id).map_groups`` → top-k with the engine's exact
-   (round(score, 9) desc, doc_id asc) tie-break (query.py _rank).
+   posting slices leave storage.
+3. actor-pool ``map_batches``: decode slices vectorized, compute each
+   posting's QUERY-INDEPENDENT BM25 contribution (DoclengthStore
+   shard-lazy in __init__, tombstones masked), emit slim
+   (part_id, term_id, doc_id, contrib) rows.  CRITICALLY there is no
+   query fan-out here: the exchanged row count is Σ_t df(t) — the size
+   of the touched postings — INDEPENDENT of how many queries share
+   those terms.  (A first cut fanned out (query, doc, contrib) rows
+   before the shuffle; at 128 queries over Zipf terms that was 21M rows
+   and two 200s all-to-alls.  This layout moves 8M slim rows once.)
+4. ``groupby(part_id).map_groups``: one group = one docID range with
+   every workload term's postings for it.  Scoring is dense vector
+   arithmetic: per distinct term a contribution vector over the local
+   range (one scatter), per query the sum of its ≤ |q| term vectors,
+   then a per-(query, range) PARTIAL top-k under the engine's exact
+   (round(score, 9) desc, docID asc) key.  Docs live in exactly one
+   range, so local scores are complete and the global top-k under the
+   same key is contained in the union of the partials.
+5. final ``groupby(query_id).map_groups`` rank over ≤ parts × k rows
+   per query — trivially small.
 
-Scale notes (10^12 turns, 10^6+ queries): stage 3's output is bounded
-by Σ_t df(t) × |queries(t)| — the same work a per-query engine would do,
-but batched into one shuffle whose key space (query, doc) is uniformly
-hash-partitioned, so stopword-scale posting lists spread across the
-cluster instead of serializing one actor.  The broadcast side is
-O(workload terms), far under the documented ray.put ceiling; the final
-per-query rank groups are ≤ candidate-doc-count rows, never the corpus.
+Scale notes (10^12 turns, 10^6+ queries): the one shuffle carries the
+touched postings only (24 B/row), hash-partitioned by docID range, so
+stopword-scale lists spread across the cluster instead of serializing
+one reducer; per-range scoring is embarrassingly parallel and its
+output is bounded by ranges × queries × k.  avg docs-per-range is a
+tunable (``range_docs``) — size it so a range's per-query dense vector
+(8 B × range) and the workload loop fit a worker's heap.
 
 Float determinism: per-(term, doc) contributions are bit-identical to
 LocalScorer._contrib; only the ADDITION ORDER across a query's terms
@@ -47,7 +60,6 @@ import os
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray
@@ -59,6 +71,10 @@ from ciff_ray.oracle import EPS_IDF, tokenize
 from ciff_ray.query import DoclengthStore
 
 TOPK_K = 10
+# docs per score-range: 64k ⇒ a query's dense vector is 512 KiB and a
+# 10^12-doc corpus yields ~15M ranges — far above any realistic task
+# count, so parallelism is set by the cluster, not the layout
+RANGE_DOCS_DEFAULT = 65_536
 
 
 def workload_term_index(
@@ -97,18 +113,15 @@ def workload_term_index(
     )
 
 
-class _BulkScoreActor:
-    """Decode posting slices → per-posting BM25 contribution → fan out
-    to the queries containing the term → in-batch (query, doc) combine.
+class _ContribActor:
+    """Posting slices → slim (part_id, term_id, doc_id, contrib) rows.
+    No query fan-out: output row count is the touched-postings count."""
 
-    One actor init pays the DoclengthStore + broadcast deref once; each
-    __call__ is vectorized per slice (the slice IS the batch's natural
-    work unit — decode is one numpy pass, fan-out one np.repeat)."""
-
-    def __init__(self, index_dir: str, bcast_ref) -> None:
+    def __init__(self, index_dir: str, bcast_ref, range_docs: int) -> None:
         b = ray.get(bcast_ref)
-        self._qmap: dict[str, np.ndarray] = b["qmap"]
-        self._idf: dict[str, float] = b["idf"]
+        self._tid: dict[str, int] = b["tid"]
+        self._idf: np.ndarray = b["idf_by_tid"]
+        self._range = range_docs
         paths = IndexPaths(index_dir)
         m = Manifest.read(paths.manifest)
         self._k1, self._b = m.k1, m.b
@@ -124,7 +137,7 @@ class _BulkScoreActor:
             self._dead = np.empty(0, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_q: list[np.ndarray] = []
+        out_t: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
         out_c: list[np.ndarray] = []
         terms = batch["term"].to_pylist()
@@ -132,24 +145,22 @@ class _BulkScoreActor:
         firsts = batch["first_doc"].to_numpy(zero_copy_only=False)
         dcodec = batch["doc_codec"].to_numpy(zero_copy_only=False)
         tcodec = batch["tf_codec"].to_numpy(zero_copy_only=False)
-        doc_bytes = batch["doc_bytes"]
-        tf_bytes = batch["tf_bytes"]
         for i, term in enumerate(terms):
-            qids = self._qmap.get(term)
-            if qids is None:
+            tid = self._tid.get(term)
+            if tid is None:
                 continue
             df = int(dfs[i])
             gaps = codecs.decode(
-                doc_bytes[i].as_py(), df - 1, int(dcodec[i])
+                batch["doc_bytes"][i].as_py(), df - 1, int(dcodec[i])
             ).astype(np.int64)
             docs = np.empty(df, dtype=np.int64)
             docs[0] = int(firsts[i])
             if df > 1:
                 np.cumsum(gaps, out=docs[1:])
                 docs[1:] += docs[0]
-            tfs = codecs.decode(tf_bytes[i].as_py(), df, int(tcodec[i])).astype(
-                np.float64
-            )
+            tfs = codecs.decode(
+                batch["tf_bytes"][i].as_py(), df, int(tcodec[i])
+            ).astype(np.float64)
             if self._dead.size:
                 pos = np.searchsorted(self._dead, docs)
                 hit = (pos < self._dead.size) & (
@@ -161,53 +172,110 @@ class _BulkScoreActor:
                         continue
             dl = self._dl[docs].astype(np.float64)
             contrib = (
-                self._idf[term]
+                self._idf[tid]
                 * tfs
                 * (self._k1 + 1.0)
                 / (tfs + self._k1 * (1.0 - self._b + self._b * dl / self._avgdl))
             )
-            # fan out to every query containing the term
-            out_q.append(np.repeat(qids, docs.size))
-            out_d.append(np.tile(docs, qids.size))
-            out_c.append(np.tile(contrib, qids.size))
-        if not out_q:
+            out_t.append(np.full(docs.size, tid, dtype=np.int32))
+            out_d.append(docs)
+            out_c.append(contrib)
+        if not out_t:
             return pa.table(
                 {
-                    "query_id": pa.array([], type=pa.int64()),
+                    "part_id": pa.array([], type=pa.int64()),
+                    "term_id": pa.array([], type=pa.int32()),
                     "doc_id": pa.array([], type=pa.int64()),
                     "contrib": pa.array([], type=pa.float64()),
                 }
             )
-        q = np.concatenate(out_q)
         d = np.concatenate(out_d)
-        c = np.concatenate(out_c)
-        # in-batch combine: the same (query, doc) hit by several of this
-        # batch's terms collapses to one partial before the shuffle
-        order = np.lexsort((d, q))
-        q, d, c = q[order], d[order], c[order]
-        new = np.empty(q.size, dtype=bool)
-        new[0] = True
-        np.not_equal(q[1:], q[:-1], out=new[1:])
-        np.logical_or(new[1:], d[1:] != d[:-1], out=new[1:])
-        starts = np.flatnonzero(new)
-        sums = np.add.reduceat(c, starts)
         return pa.table(
             {
-                "query_id": pa.array(q[starts], type=pa.int64()),
-                "doc_id": pa.array(d[starts], type=pa.int64()),
-                "contrib": pa.array(sums, type=pa.float64()),
+                "part_id": pa.array(d // self._range, type=pa.int64()),
+                "term_id": pa.array(np.concatenate(out_t), type=pa.int32()),
+                "doc_id": pa.array(d, type=pa.int64()),
+                "contrib": pa.array(np.concatenate(out_c), type=pa.float64()),
             }
         )
 
 
-def _topk_group(group: pa.Table, k: int = TOPK_K) -> pa.Table:
-    """One query's (doc, score) rows → top-k by the engine's exact rank
-    key: round(score, 9) desc, doc_id asc (query.py _rank)."""
+def _score_range(
+    group: pa.Table,
+    qterms_ref,
+    k: int,
+    range_docs: int,
+) -> pa.Table:
+    """One docID range (all workload terms' postings for it) → exact
+    local scores for EVERY query, partial top-k each under the
+    (round(score, 9) desc, doc asc) key."""
+    qterms: list[np.ndarray] = ray.get(qterms_ref)
+    docs = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tids = group["term_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    contrib = group["contrib"].to_numpy(zero_copy_only=False)
+    lo = int(group["part_id"][0].as_py()) * range_docs
+    off = docs - lo
+    width = int(off.max()) + 1
+
+    # dense contribution vector per distinct term present in this range
+    vecs: dict[int, np.ndarray] = {}
+    order = np.argsort(tids, kind="stable")
+    bounds = np.flatnonzero(np.diff(tids[order])) + 1
+    for chunk in np.split(order, bounds):
+        v = np.zeros(width, dtype=np.float64)
+        v[off[chunk]] = contrib[chunk]  # one doc appears once per term
+        vecs[int(tids[chunk[0]])] = v
+
+    out_q: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    for qid, tlist in enumerate(qterms):
+        present = [vecs[t] for t in tlist if t in vecs]
+        if not present:
+            continue
+        s = present[0].copy()
+        for v in present[1:]:
+            s += v
+        cand = np.flatnonzero(s > 0.0)
+        if cand.size == 0:
+            continue
+        key = np.round(s[cand], 9)
+        if cand.size > k:
+            # top-k under (key desc, doc asc): value cut by argpartition,
+            # boundary ties resolved by ascending doc
+            part = np.argpartition(-key, k - 1)[:k]
+            kth = key[part].min()
+            sel = np.flatnonzero(key > kth)
+            tied = np.flatnonzero(key == kth)[: k - sel.size]
+            cand = cand[np.concatenate([sel, tied])]
+            key = np.round(s[cand], 9)
+        out_q.append(np.full(cand.size, qid, dtype=np.int64))
+        out_d.append(cand + lo)
+        out_s.append(s[cand])
+    if not out_q:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d), type=pa.int64()),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+        }
+    )
+
+
+def _rank_group(group: pa.Table, k: int) -> pa.Table:
+    """One query's ≤ ranges × k partials → final top-k by the engine's
+    exact rank key: round(score, 9) desc, doc_id asc (query.py _rank)."""
     docs = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     scores = group["score"].to_numpy(zero_copy_only=False)
     qid = int(group["query_id"][0].as_py())
-    key = np.round(scores, 9)
-    order = np.lexsort((docs, -key))[:k]
+    order = np.lexsort((docs, -np.round(scores, 9)))[:k]
     return pa.table(
         {
             "query_id": pa.array(np.full(order.size, qid), type=pa.int64()),
@@ -222,11 +290,34 @@ def bulk_topk(
     queries: list[str],
     k: int = TOPK_K,
     concurrency=(1, 8),
+    range_docs: int = RANGE_DOCS_DEFAULT,
 ) -> ray.data.Dataset:
     """Distributed top-k for a whole query workload (see module doc)."""
     qmap, idf = workload_term_index(index_dir, queries)
-    bcast = ray.put({"qmap": qmap, "idf": idf})
+    terms = sorted(qmap)
+    tid = {t: i for i, t in enumerate(terms)}
+    idf_by_tid = np.array([idf.get(t, 0.0) for t in terms], dtype=np.float64)
+
     paths = IndexPaths(index_dir)
+    manifest = Manifest.read(paths.manifest)
+    from ciff_ray.analysis import get_analyzer
+
+    analyze = get_analyzer(getattr(manifest, "analyzer", ""))
+    # per-query term-id lists (query order preserved for the scorer loop)
+    qterms: list[np.ndarray] = []
+    for q in queries:
+        toks = tokenize(q)
+        if analyze is not None:
+            toks = [analyze(t) for t in toks]
+        qterms.append(
+            np.asarray(
+                sorted({tid[t] for t in toks if t in tid}), dtype=np.int64
+            )
+        )
+
+    bcast = ray.put({"tid": tid, "idf_by_tid": idf_by_tid})
+    qterms_ref = ray.put(qterms)
+
     segs = ray.data.read_parquet(
         paths.segments_dir,
         file_extensions=["parquet"],  # skip the .done.json resume markers
@@ -239,19 +330,20 @@ def bulk_topk(
             "doc_bytes",
             "tf_bytes",
         ],
-        filter=pads.field("term").isin(sorted(qmap)),
+        filter=pads.field("term").isin(terms),
     )
-    from ray.data.aggregate import Sum
-
     return (
         segs.map_batches(
-            _BulkScoreActor,
-            fn_constructor_args=(index_dir, bcast),
+            _ContribActor,
+            fn_constructor_args=(index_dir, bcast, range_docs),
             batch_format="pyarrow",
             concurrency=concurrency,
         )
-        .groupby(["query_id", "doc_id"])
-        .aggregate(Sum("contrib", alias_name="score"))
+        .groupby("part_id")
+        .map_groups(
+            lambda g: _score_range(g, qterms_ref, k, range_docs),
+            batch_format="pyarrow",
+        )
         .groupby("query_id")
-        .map_groups(lambda g: _topk_group(g, k), batch_format="pyarrow")
+        .map_groups(lambda g: _rank_group(g, k), batch_format="pyarrow")
     )
