@@ -128,6 +128,25 @@ def cmd_compact(args) -> None:
                       "output": args.output}))
 
 
+def cmd_fsck(args) -> None:
+    _ray_session()
+    import sys as _sys
+
+    from ciff_ray.fsck import check_index
+
+    t = check_index(args.index)
+    for r in t.to_pylist():
+        print(json.dumps(r))
+    print(
+        json.dumps(
+            {"index": args.index, "findings": t.num_rows,
+             "clean": t.num_rows == 0}
+        )
+    )
+    if t.num_rows:
+        _sys.exit(1)
+
+
 def cmd_prune(args) -> None:
     _ray_session()
     from ciff_ray.pruned import prune_index
@@ -293,6 +312,10 @@ def main(argv=None) -> None:
     pr.add_argument("output")
     pr.add_argument("--top", type=int, default=64)
     pr.set_defaults(fn=cmd_prune)
+
+    fs = sub.add_parser("fsck", help="distributed index integrity check")
+    fs.add_argument("index")
+    fs.set_defaults(fn=cmd_fsck)
 
     pub = sub.add_parser("publish", help="register an index as the catalog's next generation")
     pub.add_argument("catalog")

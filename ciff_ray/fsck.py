@@ -1,0 +1,371 @@
+"""Index integrity checker ("fsck" for a ciff_ray index directory).
+
+At 100 TB an index is thousands of Parquet segments produced across
+node failures, resumes, merges, compactions and deletes; an operator
+needs a cheap way to answer "is this index internally consistent?"
+before serving it.  The reference scatters its guards through the read
+paths (e.g. the negative-docID / ascending checks,
+/root/reference/src/binary_collection.rs element iteration); this
+module concentrates them into ONE distributed validation pass that
+returns a findings table (empty ⇒ clean).
+
+Checks, all expressed as Dataset ops so they stream at index scale:
+
+segments (map_batches actor pool, one pass):
+  * slice decode round-trip: docIDs strictly ascending, first_doc ≥ 0,
+    last doc < num_docs, every tf ≥ 1
+  * stored df / cf / max_tf equal the decoded count / Σtf / max tf
+  * block metadata: block_last_doc ascending with the final entry equal
+    to the slice's last doc, block count = ceil(df / block_size)
+  * block_max_score is a VALID UPPER BOUND of the idf-independent
+    contribution recomputed in float64 from the docmap doclengths
+    (build.py stores the one-ulp-up float32, so `stored ≥ recomputed`
+    is exact, no tolerance) — an invalid bound silently corrupts
+    MaxScore/BMW results, the worst failure mode to detect late
+  * per-batch (term, df, cf) partials are emitted alongside findings
+
+term_stats cross-check (shuffle of vocabulary-sized slim rows):
+  * segment-derived Σdf / Σcf per term vs the stored term_stats rows,
+    via a signed union (+1 segments, −1 stats) → groupby(term).sum →
+    any nonzero row is a finding; no driver-side vocabulary
+
+docmap (map_batches, one pass):
+  * global count / min / max / Σ / Σ² match the dense 0..N−1 moments
+    (sound against corruption, documented as not adversarial-proof;
+    rows within a docmap file are NOT required to be sorted)
+  * Σ doclength == manifest.total_terms_in_collection,
+    avgdl == Σ / N, doclength ≥ 0
+
+manifest / layout:
+  * every partition's segment + done marker present, fingerprints match
+  * tombstones (if any) within [0, num_docs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ciff_ray import codecs
+from ciff_ray.layout import IndexPaths, Manifest
+from ciff_ray.query import DoclengthStore
+
+_FINDING_SCHEMA = pa.schema(
+    [
+        ("check", pa.string()),
+        ("scope", pa.string()),
+        ("detail", pa.string()),
+    ]
+)
+
+
+def _findings(rows: list[tuple[str, str, str]]) -> pa.Table:
+    return pa.table(
+        {
+            "check": pa.array([r[0] for r in rows], type=pa.string()),
+            "scope": pa.array([r[1] for r in rows], type=pa.string()),
+            "detail": pa.array([r[2] for r in rows], type=pa.string()),
+        },
+        schema=_FINDING_SCHEMA,
+    )
+
+
+class _SegmentChecker:
+    """One pass over segment slices: structural checks + signed
+    (term, df, cf) partials for the term_stats cross-check."""
+
+    def __init__(self, index_dir: str) -> None:
+        self._paths = IndexPaths(index_dir)
+        m = Manifest.read(self._paths.manifest)
+        self._n_docs = m.num_docs
+        self._bs = m.block_size
+        self._k1, self._b = m.k1, m.b
+        self._avgdl = m.average_doclength
+        self._dl = DoclengthStore(self._paths.docmap_dir, m.num_docs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bad: list[tuple[str, str, str]] = []
+        terms = batch["term"].to_pylist()
+        salts = batch["salt"].to_numpy(zero_copy_only=False)
+        dfs = batch["df"].to_numpy(zero_copy_only=False)
+        cfs = batch["cf"].to_numpy(zero_copy_only=False)
+        firsts = batch["first_doc"].to_numpy(zero_copy_only=False)
+        maxtf = batch["max_tf"].to_numpy(zero_copy_only=False)
+        dcodec = batch["doc_codec"].to_numpy(zero_copy_only=False)
+        tcodec = batch["tf_codec"].to_numpy(zero_copy_only=False)
+        for i, term in enumerate(terms):
+            scope = f"{term!r}/salt={int(salts[i])}"
+            df = int(dfs[i])
+            if df <= 0 or int(firsts[i]) < 0:
+                bad.append(("slice_header", scope, f"df={df} first={firsts[i]}"))
+                continue
+            try:
+                gaps = codecs.decode(
+                    batch["doc_bytes"][i].as_py(), df - 1, int(dcodec[i])
+                ).astype(np.int64)
+                tfs = codecs.decode(
+                    batch["tf_bytes"][i].as_py(), df, int(tcodec[i])
+                ).astype(np.int64)
+            except Exception as e:  # noqa: BLE001 — corrupt payloads land here
+                bad.append(("slice_decode", scope, f"{type(e).__name__}: {e}"))
+                continue
+            docs = np.empty(df, dtype=np.int64)
+            docs[0] = int(firsts[i])
+            if df > 1:
+                np.cumsum(gaps, out=docs[1:])
+                docs[1:] += docs[0]
+            if df > 1 and (gaps <= 0).any():
+                bad.append(("docids_ascending", scope, "non-positive d-gap"))
+            if int(docs[-1]) >= self._n_docs:
+                bad.append(
+                    ("docid_range", scope, f"last={docs[-1]} >= N={self._n_docs}")
+                )
+                continue
+            if (tfs < 1).any():
+                bad.append(("tf_positive", scope, f"min tf={int(tfs.min())}"))
+            if int(tfs.sum()) != int(cfs[i]):
+                bad.append(("cf_mismatch", scope, f"{tfs.sum()} != {cfs[i]}"))
+            if int(tfs.max()) != int(maxtf[i]):
+                bad.append(("max_tf_mismatch", scope, f"{tfs.max()} != {maxtf[i]}"))
+            last = batch["block_last_doc"][i].as_py()
+            bmax = np.asarray(batch["block_max_score"][i].as_py(), np.float64)
+            nblk = -(-df // self._bs)
+            if len(last) != nblk or bmax.size != nblk:
+                bad.append(
+                    ("block_count", scope, f"{len(last)}/{bmax.size} != {nblk}")
+                )
+                continue
+            if last[-1] != int(docs[-1]) or (np.diff(last) <= 0).any():
+                bad.append(("block_last_doc", scope, "not ascending to last doc"))
+            dl = self._dl[docs].astype(np.float64)
+            contrib = (
+                tfs
+                * (self._k1 + 1.0)
+                / (tfs + self._k1 * (1.0 - self._b + self._b * dl / self._avgdl))
+            )
+            bstart = np.arange(nblk, dtype=np.int64) * self._bs
+            actual = np.maximum.reduceat(contrib, bstart)
+            if (bmax < actual).any():
+                j = int(np.argmax(bmax < actual))
+                bad.append(
+                    (
+                        "block_max_bound",
+                        scope,
+                        f"block {j}: stored {bmax[j]} < actual {actual[j]}",
+                    )
+                )
+        # one output table carries BOTH row kinds (typed, null-free):
+        # findings (check/scope/detail set) and signed (term, df, cf)
+        # partials for the term_stats cross-check — so the expensive
+        # slice decode happens exactly once
+        nf, np_ = len(bad), batch.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(["finding"] * nf + ["partial"] * np_),
+                "check": pa.array(
+                    [r[0] for r in bad] + [""] * np_, type=pa.string()
+                ),
+                "scope": pa.array(
+                    [r[1] for r in bad] + [""] * np_, type=pa.string()
+                ),
+                "detail": pa.array(
+                    [r[2] for r in bad] + [""] * np_, type=pa.string()
+                ),
+                "term": pa.concat_arrays(
+                    [
+                        pa.array([""] * nf, type=pa.string()),
+                        batch["term"].combine_chunks().cast(pa.string()),
+                    ]
+                ),
+                "df_s": pa.concat_arrays(
+                    [
+                        pa.array([0] * nf, type=pa.int64()),
+                        batch["df"].combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+                "cf_s": pa.concat_arrays(
+                    [
+                        pa.array([0] * nf, type=pa.int64()),
+                        batch["cf"].combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+
+def check_index(index_dir: str, concurrency=(1, 8)) -> pa.Table:
+    """Run every check; returns the findings table (0 rows ⇒ clean)."""
+    paths = IndexPaths(index_dir)
+    findings: list[tuple[str, str, str]] = []
+
+    # ---- manifest / layout (driver-side, O(partitions)) -----------------
+    try:
+        m = Manifest.read(paths.manifest)
+    except Exception as e:  # noqa: BLE001
+        return _findings([("manifest", index_dir, f"unreadable: {e}")])
+    for pid in range(m.num_partitions):
+        if not os.path.exists(paths.segment(pid)):
+            findings.append(("segment_missing", f"part-{pid:05d}", ""))
+        done = paths.segment_done(pid)
+        if not os.path.exists(done):
+            findings.append(("done_marker_missing", f"part-{pid:05d}", ""))
+        else:
+            try:
+                mk = json.load(open(done))
+                if (
+                    m.input_fingerprint
+                    and mk.get("fingerprint")
+                    and mk["fingerprint"] != m.input_fingerprint
+                ):
+                    findings.append(
+                        (
+                            "fingerprint_mismatch",
+                            f"part-{pid:05d}",
+                            f"{mk['fingerprint']} != {m.input_fingerprint}",
+                        )
+                    )
+            except Exception as e:  # noqa: BLE001
+                findings.append(("done_marker_corrupt", f"part-{pid:05d}", str(e)))
+    if os.path.exists(paths.tombstones):
+        dead = pq.read_table(paths.tombstones)["doc_id"].to_numpy(
+            zero_copy_only=False
+        )
+        if dead.size and (int(dead.min()) < 0 or int(dead.max()) >= m.num_docs):
+            findings.append(
+                ("tombstone_range", "tombstones.parquet",
+                 f"[{dead.min()}, {dead.max()}] outside [0, {m.num_docs})")
+            )
+    if findings:
+        # structural damage: per-slice checks would just crash on it
+        return _findings(findings)
+
+    # ---- segments: one distributed pass ---------------------------------
+    mixed = ray.data.read_parquet(
+        paths.segments_dir,
+        file_extensions=["parquet"],
+        columns=[
+            "term", "salt", "df", "cf", "first_doc", "doc_codec",
+            "tf_codec", "doc_bytes", "tf_bytes", "max_tf",
+            "block_last_doc", "block_max_score",
+        ],
+    ).map_batches(
+        _SegmentChecker,
+        fn_constructor_args=(index_dir,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    mixed = mixed.materialize()  # findings + vocabulary-sized partials
+    import pyarrow.compute as pc
+
+    def _only_findings(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["kind"], "finding")).select(
+            ["check", "scope", "detail"]
+        )
+
+    for r in mixed.map_batches(_only_findings, batch_format="pyarrow").take_all():
+        findings.append((r["check"], r["scope"], r["detail"]))
+
+    # ---- term_stats cross-check: signed union, no driver vocabulary -----
+    from ray.data.aggregate import Sum
+
+    def _sign_partials(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["kind"], "partial")).select(
+            ["term", "df_s", "cf_s"]
+        )
+
+    seg_side = mixed.map_batches(_sign_partials, batch_format="pyarrow")
+
+    def _neg_stats(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": t["term"],
+                "df_s": pa.compute.multiply(t["df"], -1),
+                "cf_s": pa.compute.multiply(t["cf"], -1),
+            }
+        )
+
+    stats_side = ray.data.read_parquet(
+        paths.term_stats, file_extensions=["parquet"],
+        columns=["term", "df", "cf"],
+    ).map_batches(_neg_stats, batch_format="pyarrow")
+
+    def _nonzero(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.or_(pc.not_equal(t["df_d"], 0), pc.not_equal(t["cf_d"], 0))
+        )
+
+    residue = (
+        seg_side.union(stats_side)
+        .groupby("term")
+        .aggregate(Sum("df_s", alias_name="df_d"), Sum("cf_s", alias_name="cf_d"))
+        .map_batches(_nonzero, batch_format="pyarrow")
+        .take_all()
+    )
+    for r in residue:
+        findings.append(
+            ("term_stats_mismatch", repr(r["term"]),
+             f"df_delta={r['df_d']} cf_delta={r['cf_d']}")
+        )
+
+    # ---- docmap: density moments + doclength totals ----------------------
+    def _docmap_partials(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = t["doclength"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([d.size], type=pa.int64()),
+                "mn": pa.array([int(d.min()) if d.size else 0], type=pa.int64()),
+                "mx": pa.array([int(d.max()) if d.size else -1], type=pa.int64()),
+                "s": pa.array([int(d.sum())], type=pa.int64()),
+                "s2": pa.array([int((d * d).sum())], type=pa.int64()),
+                "dlsum": pa.array([int(dl.sum())], type=pa.int64()),
+                "dlneg": pa.array([int((dl < 0).sum())], type=pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            paths.docmap_dir,
+            file_extensions=["parquet"],
+            columns=["doc_id", "doclength"],
+        )
+        .map_batches(_docmap_partials, batch_format="pyarrow")
+        .take_all()
+    )
+    n = sum(p["n"] for p in parts)
+    mn = min(p["mn"] for p in parts)
+    mx = max(p["mx"] for p in parts)
+    s = sum(p["s"] for p in parts)
+    s2 = sum(p["s2"] for p in parts)
+    dlsum = sum(p["dlsum"] for p in parts)
+    dlneg = sum(p["dlneg"] for p in parts)
+    N = m.num_docs
+    if n != N:
+        findings.append(("docmap_count", "docmap", f"{n} rows != num_docs {N}"))
+    if N and (mn != 0 or mx != N - 1):
+        findings.append(("docmap_bounds", "docmap", f"[{mn}, {mx}] != [0, {N-1}]"))
+    if s != N * (N - 1) // 2 or s2 != (N - 1) * N * (2 * N - 1) // 6:
+        findings.append(
+            ("docmap_density_moments", "docmap",
+             "Σ/Σ² do not match dense 0..N-1")
+        )
+    if dlneg:
+        findings.append(("doclength_negative", "docmap", f"{dlneg} rows"))
+    if dlsum != m.total_terms_in_collection:
+        findings.append(
+            ("total_terms_mismatch", "docmap",
+             f"Σ doclength {dlsum} != manifest {m.total_terms_in_collection}")
+        )
+    if N and abs(dlsum / N - m.average_doclength) > 1e-9:
+        findings.append(
+            ("avgdl_mismatch", "manifest",
+             f"{dlsum / N} != {m.average_doclength}")
+        )
+
+    return _findings(findings)

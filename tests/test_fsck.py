@@ -1,0 +1,98 @@
+"""Index integrity checker: clean index ⇒ 0 findings; seeded
+corruptions (segment stats, docmap lengths, bound violations) ⇒ the
+matching finding — and ONLY while the corruption is present."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from ciff_ray.build import BuildParams, build_index
+from ciff_ray.fsck import check_index
+from ciff_ray.synth import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def clean_index(tmp_path_factory):
+    tbl = generate_transcripts(n_convs=40, max_turns=8, seed=17, mean_tokens=20)
+    out = str(tmp_path_factory.mktemp("fsckidx"))
+    build_index(
+        ray.data.from_arrow(tbl).repartition(3),
+        out,
+        BuildParams(
+            num_partitions=4, heavy_df_frac=0.3, num_salts=2, sample_frac=1.0
+        ),
+    )
+    return out
+
+
+def _copy(src: str, tmp_path) -> str:
+    dst = str(tmp_path / "idx")
+    shutil.copytree(src, dst)
+    return dst
+
+
+def test_clean_index_has_no_findings(clean_index):
+    t = check_index(clean_index)
+    assert t.num_rows == 0, t.to_pylist()
+
+
+def test_detects_segment_stat_corruption(clean_index, tmp_path):
+    idx = _copy(clean_index, tmp_path)
+    seg_path = sorted(glob.glob(os.path.join(idx, "segments", "*.parquet")))[0]
+    seg = pq.read_table(seg_path)
+    cf = seg["cf"].to_pylist()
+    cf[0] += 1  # stored cf no longer equals the decoded Σtf
+    seg = seg.set_column(
+        seg.schema.get_field_index("cf"), "cf", pa.array(cf, type=pa.int64())
+    )
+    pq.write_table(seg, seg_path)
+    checks = {r["check"] for r in check_index(idx).to_pylist()}
+    assert "cf_mismatch" in checks
+    assert "term_stats_mismatch" in checks  # Σcf no longer matches stats
+
+
+def test_detects_docmap_corruption(clean_index, tmp_path):
+    idx = _copy(clean_index, tmp_path)
+    dm_path = sorted(glob.glob(os.path.join(idx, "docmap", "*.parquet")))[0]
+    dm = pq.read_table(dm_path)
+    dl = dm["doclength"].to_pylist()
+    dl[0] += 5  # Σ doclength drifts from the manifest total
+    dm = dm.set_column(
+        dm.schema.get_field_index("doclength"),
+        "doclength",
+        pa.array(dl, type=pa.int32()),
+    )
+    pq.write_table(dm, dm_path)
+    checks = {r["check"] for r in check_index(idx).to_pylist()}
+    assert "total_terms_mismatch" in checks
+    assert "avgdl_mismatch" in checks
+
+
+def test_detects_invalid_block_bound(clean_index, tmp_path):
+    idx = _copy(clean_index, tmp_path)
+    seg_path = sorted(glob.glob(os.path.join(idx, "segments", "*.parquet")))[0]
+    seg = pq.read_table(seg_path)
+    bms = seg["block_max_score"].to_pylist()
+    bms[0] = [v / 2.0 for v in bms[0]]  # bound now UNDER the true max
+    col = pa.array(bms, type=pa.large_list(pa.float32()))
+    seg = seg.set_column(
+        seg.schema.get_field_index("block_max_score"), "block_max_score", col
+    )
+    pq.write_table(seg, seg_path)
+    checks = {r["check"] for r in check_index(idx).to_pylist()}
+    assert "block_max_bound" in checks
+
+
+def test_detects_missing_segment(clean_index, tmp_path):
+    idx = _copy(clean_index, tmp_path)
+    os.remove(sorted(glob.glob(os.path.join(idx, "segments", "*.parquet")))[0])
+    checks = {r["check"] for r in check_index(idx).to_pylist()}
+    assert "segment_missing" in checks
