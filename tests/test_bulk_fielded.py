@@ -176,3 +176,52 @@ def test_bm25f_matches_reference(tmp_path_factory):
     exp = _ref_bm25f(texts, queries, k=5)
     for qid in range(len(queries)):
         assert got.get(qid, []) == exp.get(qid, []), queries[qid]
+
+
+# -- randomized property: bulk == engine for ANY corpus/workload -------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    range_docs=st.sampled_from([7, 64, 10_000]),  # many tiny / mixed / one range
+    k=st.integers(1, 12),
+)
+def test_bulk_property_matches_engine(tmp_path_factory, seed, range_docs, k):
+    """For ANY seeded corpus, ANY doc-range width (including ranges far
+    smaller than a posting list and a single range covering the corpus),
+    and ANY k, bulk_topk equals the serving engine's exact mode."""
+    tbl = generate_transcripts(n_convs=20, max_turns=5, seed=seed, mean_tokens=15)
+    out = str(tmp_path_factory.mktemp("bulkprop"))
+    build_index(
+        ray.data.from_arrow(tbl).repartition(2),
+        out,
+        BuildParams(
+            num_partitions=3, heavy_df_frac=0.2, num_salts=2, sample_frac=1.0
+        ),
+    )
+    rng = np.random.default_rng(seed)
+    from ciff_ray.synth import _WORDS
+
+    words = np.array(_WORDS)
+    wl = [
+        " ".join(rng.choice(words, size=int(rng.integers(1, 5)), replace=True))
+        for _ in range(6)
+    ] + ["zzzz nothing"]
+    eng = QueryEngine(out)
+    rows = bulk_topk(out, wl, k=k, range_docs=range_docs).take_all()
+    got: dict[int, list[int]] = {}
+    for r in rows:
+        got.setdefault(int(r["query_id"]), []).append(
+            (int(r["rank"]), int(r["doc_id"]))
+        )
+    for qid, q in enumerate(wl):
+        docs, _ = eng.topk(q, k=k, mode="exact")
+        assert [d for _, d in sorted(got.get(qid, []))] == docs.tolist(), (q, k)
