@@ -240,7 +240,7 @@ def _score_range(
         if cand.size == 0:
             continue
         key = np.round(s[cand], 9)
-        if cand.size > k:
+        if k is not None and cand.size > k:
             # top-k under (key desc, doc asc): value cut by argpartition,
             # boundary ties resolved by ascending doc
             part = np.argpartition(-key, k - 1)[:k]
@@ -285,6 +285,24 @@ def _rank_group(group: pa.Table, k: int) -> pa.Table:
     )
 
 
+def bulk_scores(
+    index_dir: str,
+    queries: list[str],
+    concurrency=(1, 8),
+    range_docs: int = RANGE_DOCS_DEFAULT,
+) -> ray.data.Dataset:
+    """EVERY matching (query_id, doc_id, score) for the workload — the
+    relevance-labeling output (no top-k cut).  Same doc-range layout as
+    bulk_topk with the per-range partial top-k replaced by a full dump;
+    the result is candidate-sized (Σ_q Σ_{t∈q} df(t) upper bound), so
+    consume it as a Dataset (write_parquet / downstream transform), not
+    a driver take."""
+    return _bulk_pipeline(
+        index_dir, queries, k=None, concurrency=concurrency,
+        range_docs=range_docs,
+    )
+
+
 def bulk_topk(
     index_dir: str,
     queries: list[str],
@@ -293,6 +311,19 @@ def bulk_topk(
     range_docs: int = RANGE_DOCS_DEFAULT,
 ) -> ray.data.Dataset:
     """Distributed top-k for a whole query workload (see module doc)."""
+    return _bulk_pipeline(
+        index_dir, queries, k=k, concurrency=concurrency,
+        range_docs=range_docs,
+    )
+
+
+def _bulk_pipeline(
+    index_dir: str,
+    queries: list[str],
+    k: int | None,
+    concurrency,
+    range_docs: int,
+) -> ray.data.Dataset:
     qmap, idf = workload_term_index(index_dir, queries)
     terms = sorted(qmap)
     tid = {t: i for i, t in enumerate(terms)}
@@ -332,7 +363,7 @@ def bulk_topk(
         ],
         filter=pads.field("term").isin(terms),
     )
-    return (
+    scored = (
         segs.map_batches(
             _ContribActor,
             fn_constructor_args=(index_dir, bcast, range_docs),
@@ -344,6 +375,9 @@ def bulk_topk(
             lambda g: _score_range(g, qterms_ref, k, range_docs),
             batch_format="pyarrow",
         )
-        .groupby("query_id")
-        .map_groups(lambda g: _rank_group(g, k), batch_format="pyarrow")
+    )
+    if k is None:  # bulk_scores: the full (query, doc, score) dump
+        return scored
+    return scored.groupby("query_id").map_groups(
+        lambda g: _rank_group(g, k), batch_format="pyarrow"
     )

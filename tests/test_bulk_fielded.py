@@ -225,3 +225,25 @@ def test_bulk_property_matches_engine(tmp_path_factory, seed, range_docs, k):
     for qid, q in enumerate(wl):
         docs, _ = eng.topk(q, k=k, mode="exact")
         assert [d for _, d in sorted(got.get(qid, []))] == docs.tolist(), (q, k)
+
+
+def test_bulk_scores_full_dump(salted_index):
+    """bulk_scores returns EVERY matching (query, doc) with the score
+    the serving engine computes (same contributions, round-9 compare)."""
+    from ciff_ray.bulk import bulk_scores
+
+    eng = QueryEngine(salted_index)
+    wl = ["the of", "time people year"]
+    rows = bulk_scores(salted_index, wl).take_all()
+    got: dict[int, dict[int, float]] = {}
+    for r in rows:
+        got.setdefault(int(r["query_id"]), {})[int(r["doc_id"])] = float(
+            r["score"]
+        )
+    for qid, q in enumerate(wl):
+        docs, scores = eng._local.score_all(q)
+        exp = dict(zip(docs.tolist(), scores.tolist()))
+        g = got.get(qid, {})
+        assert set(g) == set(exp), q
+        for d in exp:
+            assert round(g[d], 9) == round(exp[d], 9), (q, d)
