@@ -192,8 +192,12 @@ def bm25f_topk(
     queries: list[str],
     k: int = TOPK_K,
     concurrency=(1, 8),
+    weights: tuple[float, float, float, float] = FIELD_WEIGHTS,
+    b: float = BM25F_B,
+    k1: float = BM25F_K1,
 ) -> pa.Table:
-    """Conversation-level BM25F top-k for a query workload (module doc)."""
+    """Conversation-level BM25F top-k for a query workload (module doc).
+    ``weights`` is per role_idx (user, assistant, system, tool)."""
     from ray.data.aggregate import Max, Sum
 
     from ciff_ray.oracle import tokenize
@@ -237,7 +241,7 @@ def bm25f_topk(
         )
     )
 
-    w_arr = np.asarray(FIELD_WEIGHTS, dtype=np.float64)
+    w_arr = np.asarray(weights, dtype=np.float64)
 
     def field_part(t: pa.Table) -> pa.Table:
         role = t["role_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -246,7 +250,7 @@ def bm25f_topk(
         part = (
             w_arr[role]
             * tf
-            / (1.0 - BM25F_B + BM25F_B * ln / avglen[role])
+            / (1.0 - b + b * ln / avglen[role])
         )
         return pa.table(
             {
@@ -303,7 +307,7 @@ def bm25f_topk(
         wtf_v = t["wtf"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(terms, return_inverse=True)
         idf_u = np.array([b["idf"][x] for x in uniq], dtype=np.float64)
-        contrib = idf_u[inv] * wtf_v * (BM25F_K1 + 1.0) / (BM25F_K1 + wtf_v)
+        contrib = idf_u[inv] * wtf_v * (k1 + 1.0) / (k1 + wtf_v)
         q_per_u = [b["qmap"][x] for x in uniq]
         qcat = np.concatenate(q_per_u)
         cu = np.array([a.size for a in q_per_u], dtype=np.int64)

@@ -845,6 +845,29 @@ def q_bm25_topk_bulk(sf_dir: str) -> ray.data.Dataset:
     return bulk_topk(idx, BULK_QUERY_SET, k=TOPK_K, concurrency=(1, 8))
 
 
+def q_bm25_scores_bulk(sf_dir: str) -> ray.data.Dataset:
+    """Relevance-labeling dump: EVERY matching (query_id, doc_id,
+    score_r) for the BULK workload through the doc-range bulk path
+    (ciff_ray.bulk.bulk_scores) — the full-score analogue of
+    bm25_scores, which serves the same shape via the actor pool."""
+    from ciff_ray.bulk import bulk_scores
+
+    idx = ensure_index(sf_dir)
+
+    def _round6(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "doc_id": t["doc_id"],
+                "score_r": pc.round(t["score"], ndigits=6),
+            }
+        )
+
+    return bulk_scores(idx, BULK_QUERY_SET, concurrency=(1, 8)).map_batches(
+        _round6, batch_format="pyarrow"
+    )
+
+
 def q_bm25f_topk(sf_dir: str) -> ray.data.Dataset:
     """Conversation-level BM25F (ciff_ray.fielded): role-weighted
     fielded retrieval over the TURN index — per-role field lengths and
@@ -2575,7 +2598,10 @@ SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   FROM scored
 ) WHERE rnk <= {TOPK_K}""",
         "bm25f_topk": _bm25f_oracle_sql(T),
-        # bulk path: same scored CTE, larger workload
+        # bulk paths: same scored CTE, larger workload
+        "bm25_scores_bulk": f"""{T},
+{_bm25_scored_cte(queries=BULK_QUERY_SET).lstrip()}
+SELECT query_id, doc_id, round(score, 6) AS score_r FROM scored""",
         "bm25_topk_bulk": f"""{T},
 {_bm25_scored_cte(queries=BULK_QUERY_SET).lstrip()}
 SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
