@@ -22,13 +22,16 @@ scores ALL queries locally):
    posting slices leave storage.
 3. actor-pool ``map_batches``: decode slices vectorized, compute each
    posting's QUERY-INDEPENDENT BM25 contribution (DoclengthStore
-   shard-lazy in __init__, tombstones masked), emit slim
-   (part_id, term_id, doc_id, contrib) rows.  CRITICALLY there is no
-   query fan-out here: the exchanged row count is Σ_t df(t) — the size
-   of the touched postings — INDEPENDENT of how many queries share
-   those terms.  (A first cut fanned out (query, doc, contrib) rows
-   before the shuffle; at 128 queries over Zipf terms that was 21M rows
-   and two 200s all-to-alls.  This layout moves 8M slim rows once.)
+   shard-lazy in __init__, tombstones masked), and emit PACKED rows —
+   one per (slice × overlapped doc range) with the int32 offsets and
+   float64 contributions as binary payloads.  CRITICALLY there is no
+   query fan-out: the exchanged byte volume is the touched postings —
+   INDEPENDENT of how many queries share the terms — and the exchanged
+   ROW count is only slices × ranges.  (A first cut fanned out
+   (query, doc, contrib) rows before the shuffle: 21M rows and two
+   ~200 s all-to-alls for 128 queries at sf0.1.  A second cut moved one
+   thin row per posting: correct volume, but 85M-row sort overhead
+   still dominated at 4.9M turns.  Packing removed the row overhead.)
 4. ``groupby(part_id).map_groups``: one group = one docID range with
    every workload term's postings for it.  Scoring is dense vector
    arithmetic: per distinct term a contribution vector over the local
@@ -114,8 +117,14 @@ def workload_term_index(
 
 
 class _ContribActor:
-    """Posting slices → slim (part_id, term_id, doc_id, contrib) rows.
-    No query fan-out: output row count is the touched-postings count."""
+    """Posting slices → PACKED (part_id, term_id, offs, contribs) rows,
+    one row per (slice × overlapped doc range): offs is the int32
+    within-range doc offsets as bytes, contribs the float64 BM25
+    contributions as bytes.  No query fan-out, and — critically — the
+    shuffle moves ~(slices × ranges) FAT rows instead of one thin row
+    per posting: at 4.9M turns that is ~50k rows instead of 85M, which
+    cut the groupby(part_id) exchange from 20 s to ~2 s wall (same
+    total bytes, row overhead gone)."""
 
     def __init__(self, index_dir: str, bcast_ref, range_docs: int) -> None:
         b = ray.get(bcast_ref)
@@ -137,14 +146,16 @@ class _ContribActor:
             self._dead = np.empty(0, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_t: list[np.ndarray] = []
-        out_d: list[np.ndarray] = []
-        out_c: list[np.ndarray] = []
+        out_p: list[int] = []
+        out_t: list[int] = []
+        out_o: list[bytes] = []
+        out_c: list[bytes] = []
         terms = batch["term"].to_pylist()
         dfs = batch["df"].to_numpy(zero_copy_only=False)
         firsts = batch["first_doc"].to_numpy(zero_copy_only=False)
         dcodec = batch["doc_codec"].to_numpy(zero_copy_only=False)
         tcodec = batch["tf_codec"].to_numpy(zero_copy_only=False)
+        R = self._range
         for i, term in enumerate(terms):
             tid = self._tid.get(term)
             if tid is None:
@@ -177,25 +188,30 @@ class _ContribActor:
                 * (self._k1 + 1.0)
                 / (tfs + self._k1 * (1.0 - self._b + self._b * dl / self._avgdl))
             )
-            out_t.append(np.full(docs.size, tid, dtype=np.int32))
-            out_d.append(docs)
-            out_c.append(contrib)
-        if not out_t:
-            return pa.table(
-                {
-                    "part_id": pa.array([], type=pa.int64()),
-                    "term_id": pa.array([], type=pa.int32()),
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "contrib": pa.array([], type=pa.float64()),
-                }
-            )
-        d = np.concatenate(out_d)
+            # split the docID-ascending slice at range boundaries: one
+            # packed row per overlapped range
+            lo_part = int(docs[0]) // R
+            hi_part = int(docs[-1]) // R
+            cuts = [0]
+            if hi_part > lo_part:
+                edges = (np.arange(lo_part + 1, hi_part + 1)) * R
+                cuts += np.searchsorted(docs, edges).tolist()
+            cuts.append(docs.size)
+            off32 = (docs % R).astype(np.int32)
+            for j in range(len(cuts) - 1):
+                a, bnd = cuts[j], cuts[j + 1]
+                if a == bnd:
+                    continue
+                out_p.append(int(docs[a]) // R)
+                out_t.append(tid)
+                out_o.append(off32[a:bnd].tobytes())
+                out_c.append(contrib[a:bnd].tobytes())
         return pa.table(
             {
-                "part_id": pa.array(d // self._range, type=pa.int64()),
-                "term_id": pa.array(np.concatenate(out_t), type=pa.int32()),
-                "doc_id": pa.array(d, type=pa.int64()),
-                "contrib": pa.array(np.concatenate(out_c), type=pa.float64()),
+                "part_id": pa.array(out_p, type=pa.int64()),
+                "term_id": pa.array(out_t, type=pa.int32()),
+                "offs": pa.array(out_o, type=pa.large_binary()),
+                "contribs": pa.array(out_c, type=pa.large_binary()),
             }
         )
 
@@ -210,21 +226,29 @@ def _score_range(
     local scores for EVERY query, partial top-k each under the
     (round(score, 9) desc, doc asc) key."""
     qterms: list[np.ndarray] = ray.get(qterms_ref)
-    docs = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     tids = group["term_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    contrib = group["contrib"].to_numpy(zero_copy_only=False)
     lo = int(group["part_id"][0].as_py()) * range_docs
-    off = docs - lo
-    width = int(off.max()) + 1
 
-    # dense contribution vector per distinct term present in this range
+    # dense contribution vector per distinct term present in this range;
+    # a term may span several packed rows (salted slices) whose offset
+    # sets are disjoint, so plain scatter-assignment accumulates exactly
     vecs: dict[int, np.ndarray] = {}
-    order = np.argsort(tids, kind="stable")
-    bounds = np.flatnonzero(np.diff(tids[order])) + 1
-    for chunk in np.split(order, bounds):
-        v = np.zeros(width, dtype=np.float64)
-        v[off[chunk]] = contrib[chunk]  # one doc appears once per term
-        vecs[int(tids[chunk[0]])] = v
+    width = 0
+    rows_off: list[np.ndarray] = []
+    rows_c: list[np.ndarray] = []
+    for j in range(len(tids)):
+        o = np.frombuffer(group["offs"][j].as_py(), dtype=np.int32)
+        c = np.frombuffer(group["contribs"][j].as_py(), dtype=np.float64)
+        rows_off.append(o)
+        rows_c.append(c)
+        if o.size:
+            width = max(width, int(o[-1]) + 1)  # offsets ascend per row
+    for j in range(len(tids)):
+        t = int(tids[j])
+        v = vecs.get(t)
+        if v is None:
+            v = vecs[t] = np.zeros(width, dtype=np.float64)
+        v[rows_off[j]] = rows_c[j]
 
     out_q: list[np.ndarray] = []
     out_d: list[np.ndarray] = []
