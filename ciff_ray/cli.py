@@ -128,6 +128,23 @@ def cmd_compact(args) -> None:
                       "output": args.output}))
 
 
+def cmd_bulk(args) -> None:
+    """Offline bulk retrieval: one query per line in the workload file,
+    results (query_id, rank, doc_id[, score]) to partitioned Parquet —
+    the resumable-output shape a labeling job consumes downstream."""
+    _ray_session()
+    from ciff_ray.bulk import bulk_scores, bulk_topk
+
+    with open(args.workload) as f:
+        queries = [line.strip() for line in f if line.strip()]
+    if args.scores:
+        ds = bulk_scores(args.index, queries)
+    else:
+        ds = bulk_topk(args.index, queries, k=args.k)
+    ds.write_parquet(args.output)
+    print(json.dumps({"queries": len(queries), "output": args.output}))
+
+
 def cmd_fsck(args) -> None:
     _ray_session()
     import sys as _sys
@@ -312,6 +329,19 @@ def main(argv=None) -> None:
     pr.add_argument("output")
     pr.add_argument("--top", type=int, default=64)
     pr.set_defaults(fn=cmd_prune)
+
+    bk = sub.add_parser(
+        "bulk", help="offline bulk retrieval: a query-workload file -> parquet"
+    )
+    bk.add_argument("index")
+    bk.add_argument("workload", help="text file, one query per line")
+    bk.add_argument("output", help="output parquet directory")
+    bk.add_argument("-k", type=int, default=10)
+    bk.add_argument(
+        "--scores", action="store_true",
+        help="emit EVERY matching (query, doc, score) instead of top-k",
+    )
+    bk.set_defaults(fn=cmd_bulk)
 
     fs = sub.add_parser("fsck", help="distributed index integrity check")
     fs.add_argument("index")

@@ -173,3 +173,41 @@ def test_cli_prune_chain(tmp_path, capsys, ray_session):
     main(["query", pidx, "the", "-k", "3"])
     lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
     assert 1 <= len(lines) <= 3
+
+
+def test_cli_bulk_and_fsck(tmp_path, capsys, ray_session):
+    """build -> fsck (clean) -> bulk workload -> parquet results that
+    match the per-query CLI path."""
+    import pyarrow.parquet as pq
+    from ciff_ray.synth import generate_transcripts
+
+    pq.write_table(
+        generate_transcripts(n_convs=20, max_turns=4, seed=9, mean_tokens=15),
+        str(tmp_path / "t.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    main(["build", str(tmp_path / "t.parquet"), idx, "--partitions", "2"])
+    capsys.readouterr()
+
+    main(["fsck", idx])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["clean"] is True
+
+    wl = str(tmp_path / "wl.txt")
+    open(wl, "w").write("the time\nzzznever\n")
+    outdir = str(tmp_path / "bulk_out")
+    main(["bulk", idx, wl, outdir, "-k", "4"])
+    capsys.readouterr()
+    res = pq.read_table(outdir)
+    assert res.num_rows == 4  # 4 hits for q0, none for q1
+    assert set(res.column_names) == {"query_id", "rank", "doc_id"}
+
+    main(["query", idx, "the time", "-k", "4"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    cli_docs = [int(line.split("\t")[1]) for line in lines]
+    got = sorted(
+        (int(r["rank"]), int(r["doc_id"]))
+        for r in res.to_pylist()
+        if r["query_id"] == 0
+    )
+    assert [d for _, d in got] == cli_docs
