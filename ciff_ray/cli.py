@@ -149,9 +149,15 @@ def cmd_fsck(args) -> None:
     _ray_session()
     import sys as _sys
 
-    from ciff_ray.fsck import check_index
+    import pyarrow as pa
+
+    from ciff_ray.fsck import check_index, check_positions
 
     t = check_index(args.index)
+    if args.positions:
+        t = pa.concat_tables(
+            [t, check_positions(args.positions, index_dir=args.index)]
+        )
     for r in t.to_pylist():
         print(json.dumps(r))
     print(
@@ -345,6 +351,10 @@ def main(argv=None) -> None:
 
     fs = sub.add_parser("fsck", help="distributed index integrity check")
     fs.add_argument("index")
+    fs.add_argument(
+        "--positions", default="",
+        help="also validate this positional store against the index",
+    )
     fs.set_defaults(fn=cmd_fsck)
 
     pub = sub.add_parser("publish", help="register an index as the catalog's next generation")

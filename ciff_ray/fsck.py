@@ -369,3 +369,183 @@ def check_index(index_dir: str, concurrency=(1, 8)) -> pa.Table:
         )
 
     return _findings(findings)
+
+
+# ---------------------------------------------------------------------------
+# positional store (ciff_ray.positions layout)
+
+
+class _PosChecker:
+    """One pass over positional-store rows: per-row structural checks
+    (strictly ascending non-negative positions, correct term-hash
+    partition) + signed per-term (df, Σ positions) partials for the
+    index cross-check."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ciff_ray.layout import stable_hash
+        from ciff_ray.positions import POS_PARTS
+
+        bad: list[tuple[str, str, str]] = []
+        terms = batch["term"].to_pylist()
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos_col = batch["positions"].combine_chunks()
+        offs = pos_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = pos_col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        # hive partition values read back as strings/dictionaries: cast
+        try:
+            parts = pc.cast(
+                pc.cast(batch["part"], pa.string()), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+        except Exception:  # noqa: BLE001
+            parts = batch["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        npos = np.diff(offs)
+        if (npos <= 0).any():
+            j = int(np.argmax(npos <= 0))
+            bad.append(
+                ("positions_empty", f"{terms[j]!r}/doc={int(docs[j])}", "")
+            )
+        if vals.size and int(vals.min()) < 0:
+            bad.append(("positions_negative", "store", f"min={vals.min()}"))
+        # strictly ascending within each row: every in-row adjacent diff > 0
+        if vals.size > 1:
+            d = np.diff(vals)
+            boundary = np.zeros(vals.size - 1, dtype=bool)
+            inner = offs[1:-1] - 1
+            boundary[inner[(inner >= 0) & (inner < vals.size - 1)]] = True
+            viol = np.flatnonzero((d <= 0) & ~boundary)
+            if viol.size:
+                row = int(np.searchsorted(offs, viol[0], side="right") - 1)
+                bad.append(
+                    (
+                        "positions_not_ascending",
+                        f"{terms[row]!r}/doc={int(docs[row])}",
+                        "",
+                    )
+                )
+        # partition placement: recompute crc per UNIQUE term
+        uniq = sorted(set(terms))
+        expected = {t: stable_hash(t.encode()) % POS_PARTS for t in uniq}
+        exp_arr = np.array([expected[t] for t in terms], dtype=np.int64)
+        wrong = np.flatnonzero(exp_arr != parts)
+        if wrong.size:
+            j = int(wrong[0])
+            bad.append(
+                (
+                    "positions_wrong_partition",
+                    f"{terms[j]!r}",
+                    f"part={int(parts[j])} expected={int(exp_arr[j])}",
+                )
+            )
+        nf, np_ = len(bad), batch.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(["finding"] * nf + ["partial"] * np_),
+                "check": pa.array(
+                    [r[0] for r in bad] + [""] * np_, type=pa.string()
+                ),
+                "scope": pa.array(
+                    [r[1] for r in bad] + [""] * np_, type=pa.string()
+                ),
+                "detail": pa.array(
+                    [r[2] for r in bad] + [""] * np_, type=pa.string()
+                ),
+                "term": pa.concat_arrays(
+                    [
+                        pa.array([""] * nf, type=pa.string()),
+                        batch["term"].combine_chunks().cast(pa.string()),
+                    ]
+                ),
+                "df_s": pa.concat_arrays(
+                    [
+                        pa.array([0] * nf, type=pa.int64()),
+                        pa.array(np.ones(np_, dtype=np.int64)),
+                    ]
+                ),
+                "cf_s": pa.concat_arrays(
+                    [
+                        pa.array([0] * nf, type=pa.int64()),
+                        pa.array(npos.astype(np.int64)),
+                    ]
+                ),
+            }
+        )
+
+
+def check_positions(
+    pos_dir: str, index_dir: str | None = None, concurrency=(1, 8)
+) -> pa.Table:
+    """Validate a positional store (ciff_ray.positions): per-row
+    structure + partition placement, and — when the matching frequency
+    index is given — a signed per-term cross-check: the store's
+    (row count, Σ positions) per term must equal the index's (df, cf).
+    The cross-check is skipped for analyzed (e.g. Porter) indexes: the
+    positional store indexes raw tokens, so the vocabularies differ by
+    design."""
+    import pyarrow.compute as pc
+
+    findings: list[tuple[str, str, str]] = []
+    if not os.path.exists(os.path.join(pos_dir, "_DONE")):
+        return _findings([("positions_done_marker", pos_dir, "missing")])
+
+    mixed = ray.data.read_parquet(pos_dir, file_extensions=["parquet"]).map_batches(
+        _PosChecker, batch_format="pyarrow", concurrency=concurrency
+    ).materialize()
+
+    def _only_findings(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["kind"], "finding")).select(
+            ["check", "scope", "detail"]
+        )
+
+    for r in mixed.map_batches(_only_findings, batch_format="pyarrow").take_all():
+        findings.append((r["check"], r["scope"], r["detail"]))
+
+    if index_dir is not None:
+        m = Manifest.read(IndexPaths(index_dir).manifest)
+        if getattr(m, "analyzer", ""):
+            return _findings(findings)  # vocabularies differ by design
+        from ray.data.aggregate import Sum
+
+        def _pos_side(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["kind"], "partial")).select(
+                ["term", "df_s", "cf_s"]
+            )
+
+        def _neg_stats(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "term": t["term"],
+                    "df_s": pc.multiply(t["df"], -1),
+                    "cf_s": pc.multiply(t["cf"], -1),
+                }
+            )
+
+        stats_side = ray.data.read_parquet(
+            IndexPaths(index_dir).term_stats,
+            file_extensions=["parquet"],
+            columns=["term", "df", "cf"],
+        ).map_batches(_neg_stats, batch_format="pyarrow")
+
+        def _nonzero(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.or_(pc.not_equal(t["df_d"], 0), pc.not_equal(t["cf_d"], 0))
+            )
+
+        residue = (
+            mixed.map_batches(_pos_side, batch_format="pyarrow")
+            .union(stats_side)
+            .groupby("term")
+            .aggregate(
+                Sum("df_s", alias_name="df_d"), Sum("cf_s", alias_name="cf_d")
+            )
+            .map_batches(_nonzero, batch_format="pyarrow")
+            .take_all()
+        )
+        for r in residue:
+            findings.append(
+                ("positions_index_mismatch", repr(r["term"]),
+                 f"df_delta={r['df_d']} cf_delta={r['cf_d']}")
+            )
+    return _findings(findings)

@@ -96,3 +96,81 @@ def test_detects_missing_segment(clean_index, tmp_path):
     os.remove(sorted(glob.glob(os.path.join(idx, "segments", "*.parquet")))[0])
     checks = {r["check"] for r in check_index(idx).to_pylist()}
     assert "segment_missing" in checks
+
+
+# -- positional store ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pos_pair(tmp_path_factory):
+    """Index + positional store over the SAME dense-docid corpus."""
+    from ciff_ray.positions import build_positions
+    from ciff_ray.synth import transcripts_from_documents
+
+    base = generate_transcripts(n_convs=30, max_turns=6, seed=23, mean_tokens=18)
+    texts = base["text"].to_pylist()
+    docs_tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    root = tmp_path_factory.mktemp("posfsck")
+    idx = str(root / "idx")
+    build_index(
+        ray.data.from_arrow(docs_tbl)
+        .repartition(3)
+        .map_batches(transcripts_from_documents, batch_format="pyarrow"),
+        idx,
+        BuildParams(num_partitions=3, sample_frac=1.0),
+    )
+    pos = build_positions(
+        ray.data.from_arrow(docs_tbl).repartition(3), str(root / "pos")
+    )
+    return idx, pos
+
+
+def test_positions_clean(pos_pair):
+    from ciff_ray.fsck import check_positions
+
+    idx, pos = pos_pair
+    t = check_positions(pos, index_dir=idx)
+    assert t.num_rows == 0, t.to_pylist()
+
+
+def test_positions_detects_missing_rows(pos_pair, tmp_path):
+    import shutil
+
+    from ciff_ray.fsck import check_positions
+
+    idx, pos = pos_pair
+    bad = str(tmp_path / "pos")
+    shutil.copytree(pos, bad)
+    f = sorted(glob.glob(os.path.join(bad, "part=*", "*.parquet")))[0]
+    t = pq.read_table(f)
+    pq.write_table(t.slice(1), f)  # drop one (term, doc) row
+    checks = {r["check"] for r in check_positions(bad, index_dir=idx).to_pylist()}
+    assert "positions_index_mismatch" in checks
+
+
+def test_positions_detects_disorder(pos_pair, tmp_path):
+    import shutil
+
+    from ciff_ray.fsck import check_positions
+
+    idx, pos = pos_pair
+    bad = str(tmp_path / "pos")
+    shutil.copytree(pos, bad)
+    for f in sorted(glob.glob(os.path.join(bad, "part=*", "*.parquet"))):
+        t = pq.read_table(f)
+        rows = t.to_pylist()
+        victim = next((r for r in rows if len(r["positions"]) >= 2), None)
+        if victim is None:
+            continue
+        victim["positions"] = victim["positions"][::-1]  # not ascending
+        pq.write_table(pa.Table.from_pylist(rows, schema=t.schema), f)
+        break
+    else:
+        pytest.skip("no multi-position row in store")
+    checks = {r["check"] for r in check_positions(bad).to_pylist()}
+    assert "positions_not_ascending" in checks
