@@ -101,6 +101,8 @@ def workload_term_index(
             qmap.setdefault(t, []).append(qid)
     terms = sorted(qmap)
 
+    if not terms:  # empty / all-empty workload: nothing to resolve
+        return {}, {}
     stats = pq.read_table(
         paths.term_stats,
         columns=["term", "df"],
@@ -349,6 +351,24 @@ def _bulk_pipeline(
     range_docs: int,
 ) -> ray.data.Dataset:
     qmap, idf = workload_term_index(index_dir, queries)
+    if not qmap:  # no tokens in the whole workload: empty result
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+            if k is not None
+            else pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        )
     terms = sorted(qmap)
     tid = {t: i for i, t in enumerate(terms)}
     idf_by_tid = np.array([idf.get(t, 0.0) for t in terms], dtype=np.float64)

@@ -207,6 +207,16 @@ def bm25f_topk(
         for t in set(tokenize(q)):
             qmap.setdefault(t, []).append(qid)
     wl_terms = sorted(qmap)
+    if not wl_terms:  # empty / all-empty workload
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "conv": pa.array([], type=pa.int64()),
+                }
+            )
+        )
 
     lsums, n_convs = field_length_sums(index_dir)
     # exact-int sums divided ONCE → bit-identical avglen_f on both engines

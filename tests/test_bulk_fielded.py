@@ -247,3 +247,14 @@ def test_bulk_scores_full_dump(salted_index):
         assert set(g) == set(exp), q
         for d in exp:
             assert round(g[d], 9) == round(exp[d], 9), (q, d)
+
+
+def test_empty_and_all_miss_workloads(salted_index):
+    from ciff_ray.bulk import bulk_scores
+    from ciff_ray.fielded import bm25f_topk
+
+    assert bulk_topk(salted_index, [], k=5).take_all() == []
+    assert bulk_topk(salted_index, ["", "  "], k=5).take_all() == []
+    assert bulk_topk(salted_index, ["zzznever qqq"], k=5).take_all() == []
+    assert bulk_scores(salted_index, []).take_all() == []
+    assert bm25f_topk(salted_index, [], k=5).take_all() == []
