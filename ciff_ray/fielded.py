@@ -303,7 +303,7 @@ def bm25f_topk(
         vectorized: the Python loop runs only over the ≤ workload-term
         UNIQUE terms of the batch; per-row fan-out is repeat/offset
         arithmetic."""
-        b = ray.get(bcast)
+        bc = ray.get(bcast)
         if t.num_rows == 0:
             return pa.table(
                 {
@@ -316,9 +316,9 @@ def bm25f_topk(
         conv = t["conv"].to_numpy(zero_copy_only=False).astype(np.int64)
         wtf_v = t["wtf"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(terms, return_inverse=True)
-        idf_u = np.array([b["idf"][x] for x in uniq], dtype=np.float64)
+        idf_u = np.array([bc["idf"][x] for x in uniq], dtype=np.float64)
         contrib = idf_u[inv] * wtf_v * (k1 + 1.0) / (k1 + wtf_v)
-        q_per_u = [b["qmap"][x] for x in uniq]
+        q_per_u = [bc["qmap"][x] for x in uniq]
         qcat = np.concatenate(q_per_u)
         cu = np.array([a.size for a in q_per_u], dtype=np.int64)
         su = np.cumsum(cu) - cu
