@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -258,3 +260,24 @@ def test_empty_and_all_miss_workloads(salted_index):
     assert bulk_topk(salted_index, ["zzznever qqq"], k=5).take_all() == []
     assert bulk_scores(salted_index, []).take_all() == []
     assert bm25f_topk(salted_index, [], k=5).take_all() == []
+
+
+def test_bulk_and_fsck_on_ciff_imported_index(tmp_path, ray_session):
+    """Interop closure: the reference's toy CIFF file imported into an
+    index dir serves bulk retrieval rank-identically to the engine and
+    passes fsck."""
+    from ciff_ray.fsck import check_index
+    from ciff_ray.interop.bridge import ciff_to_index
+
+    TOY = "/root/reference/tests/test_data/toy-complete-20200309.ciff"
+    if not os.path.exists(TOY):
+        pytest.skip("reference toy fixture unavailable")
+    idx = str(tmp_path / "toyidx")
+    from ciff_ray.build import BuildParams
+
+    ciff_to_index(TOY, idx, BuildParams(num_partitions=2))
+    eng = QueryEngine(idx)
+    docs, _ = eng.topk("text content", k=3)
+    rows = bulk_topk(idx, ["text content"], k=3, range_docs=2).take_all()
+    assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])] == docs.tolist()
+    assert check_index(idx).num_rows == 0
