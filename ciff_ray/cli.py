@@ -151,13 +151,15 @@ def cmd_fsck(args) -> None:
 
     import pyarrow as pa
 
-    from ciff_ray.fsck import check_index, check_positions
+    from ciff_ray.fsck import check_index, check_positions, check_pruned
 
     t = check_index(args.index)
     if args.positions:
         t = pa.concat_tables(
             [t, check_positions(args.positions, index_dir=args.index)]
         )
+    if args.full:
+        t = pa.concat_tables([t, check_pruned(args.index, args.full)])
     for r in t.to_pylist():
         print(json.dumps(r))
     print(
@@ -354,6 +356,11 @@ def main(argv=None) -> None:
     fs.add_argument(
         "--positions", default="",
         help="also validate this positional store against the index",
+    )
+    fs.add_argument(
+        "--full", default="",
+        help="treat <index> as a PRUNED index and audit its tau bounds "
+             "against this full source index",
     )
     fs.set_defaults(fn=cmd_fsck)
 

@@ -295,7 +295,18 @@ def check_index(index_dir: str, concurrency=(1, 8)) -> pa.Table:
         columns=["term", "df", "cf"],
     ).map_batches(_neg_stats, batch_format="pyarrow")
 
+    # a statically PRUNED index (prune_meta.parquet present) keeps the
+    # SOURCE's term_stats by design (global scoring stats preserved,
+    # ciff_ray/pruned.py), so segment-derived df/cf may be SMALLER than
+    # stats — only a surplus is corruption there; exact tau soundness
+    # is check_pruned's job
+    is_pruned = os.path.exists(os.path.join(index_dir, "prune_meta.parquet"))
+
     def _nonzero(t: pa.Table) -> pa.Table:
+        if is_pruned:
+            return t.filter(
+                pc.or_(pc.greater(t["df_d"], 0), pc.greater(t["cf_d"], 0))
+            )
         return t.filter(
             pc.or_(pc.not_equal(t["df_d"], 0), pc.not_equal(t["cf_d"], 0))
         )
@@ -309,7 +320,8 @@ def check_index(index_dir: str, concurrency=(1, 8)) -> pa.Table:
     )
     for r in residue:
         findings.append(
-            ("term_stats_mismatch", repr(r["term"]),
+            ("term_stats_mismatch" if not is_pruned else "term_stats_surplus",
+             repr(r["term"]),
              f"df_delta={r['df_d']} cf_delta={r['cf_d']}")
         )
 
@@ -549,3 +561,217 @@ def check_positions(
                  f"df_delta={r['df_d']} cf_delta={r['cf_d']}")
             )
     return _findings(findings)
+
+
+# ---------------------------------------------------------------------------
+# pruned index (ciff_ray.pruned) — tau-bound soundness audit
+
+
+class _PostingContribEmitter:
+    """Full-index segment slices → tagged (term, kind=0, doc, contrib)
+    rows, with contrib recomputed EXACTLY as pruned.py computes it
+    (same int64-tf expression, same manifest constants), so the tau
+    comparison below is bit-exact."""
+
+    def __init__(self, index_dir: str) -> None:
+        paths = IndexPaths(index_dir)
+        m = Manifest.read(paths.manifest)
+        self._k1, self._b = m.k1, m.b
+        self._avgdl = m.average_doclength
+        self._dl = DoclengthStore(paths.docmap_dir, m.num_docs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        dfs = batch["df"].to_numpy(zero_copy_only=False)
+        firsts = batch["first_doc"].to_numpy(zero_copy_only=False)
+        dcodec = batch["doc_codec"].to_numpy(zero_copy_only=False)
+        tcodec = batch["tf_codec"].to_numpy(zero_copy_only=False)
+        t_out: list[str] = []
+        d_out: list[np.ndarray] = []
+        v_out: list[np.ndarray] = []
+        reps: list[int] = []
+        for i, term in enumerate(terms):
+            df = int(dfs[i])
+            gaps = codecs.decode(
+                batch["doc_bytes"][i].as_py(), df - 1, int(dcodec[i])
+            ).astype(np.int64)
+            docs = np.empty(df, dtype=np.int64)
+            docs[0] = int(firsts[i])
+            if df > 1:
+                np.cumsum(gaps, out=docs[1:])
+                docs[1:] += docs[0]
+            tfs = codecs.decode(
+                batch["tf_bytes"][i].as_py(), df, int(tcodec[i])
+            ).astype(np.int64)
+            dl = self._dl[docs].astype(np.int64)
+            contrib = tfs * (self._k1 + 1.0) / (
+                tfs
+                + self._k1
+                * (1.0 - self._b + self._b * dl.astype(np.float64) / self._avgdl)
+            )
+            t_out.append(term)
+            reps.append(df)
+            d_out.append(docs)
+            v_out.append(contrib)
+        if not t_out:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "kind": pa.array([], type=pa.int8()),
+                    "doc": pa.array([], type=pa.int64()),
+                    "val": pa.array([], type=pa.float64()),
+                }
+            )
+        n = sum(reps)
+        return pa.table(
+            {
+                "term": pa.array(np.repeat(np.array(t_out, dtype=object), reps)),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "doc": pa.array(np.concatenate(d_out), type=pa.int64()),
+                "val": pa.array(np.concatenate(v_out), type=pa.float64()),
+            }
+        )
+
+
+def _pruned_docs_emitter(batch: pa.Table) -> pa.Table:
+    """Pruned-index segment slices → tagged (term, kind=1, doc, 0)."""
+    terms = batch["term"].to_pylist()
+    dfs = batch["df"].to_numpy(zero_copy_only=False)
+    firsts = batch["first_doc"].to_numpy(zero_copy_only=False)
+    dcodec = batch["doc_codec"].to_numpy(zero_copy_only=False)
+    t_out, d_out, reps = [], [], []
+    for i, term in enumerate(terms):
+        df = int(dfs[i])
+        gaps = codecs.decode(
+            batch["doc_bytes"][i].as_py(), df - 1, int(dcodec[i])
+        ).astype(np.int64)
+        docs = np.empty(df, dtype=np.int64)
+        docs[0] = int(firsts[i])
+        if df > 1:
+            np.cumsum(gaps, out=docs[1:])
+            docs[1:] += docs[0]
+        t_out.append(term)
+        reps.append(df)
+        d_out.append(docs)
+    if not t_out:
+        return pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "kind": pa.array([], type=pa.int8()),
+                "doc": pa.array([], type=pa.int64()),
+                "val": pa.array([], type=pa.float64()),
+            }
+        )
+    n = sum(reps)
+    return pa.table(
+        {
+            "term": pa.array(np.repeat(np.array(t_out, dtype=object), reps)),
+            "kind": pa.array(np.ones(n, dtype=np.int8)),
+            "doc": pa.array(np.concatenate(d_out), type=pa.int64()),
+            "val": pa.array(np.zeros(n, dtype=np.float64)),
+        }
+    )
+
+
+def _check_pruned_group(g: pa.Table) -> pa.Table:
+    """One term's tagged rows → tau-soundness findings.  Invariants:
+    pruned postings ⊆ full postings; every full posting ABSENT from the
+    pruned list has contribution ≤ tau (kind=2 row from prune_meta);
+    a term with absent postings must carry a tau row at all."""
+    term = g["term"][0].as_py()
+    kinds = g["kind"].to_numpy(zero_copy_only=False)
+    docs = g["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = g["val"].to_numpy(zero_copy_only=False)
+    full_d = docs[kinds == 0]
+    full_v = vals[kinds == 0]
+    pruned_d = np.sort(docs[kinds == 1])
+    taus = vals[kinds == 2]
+    bad: list[tuple[str, str, str]] = []
+    # pruned ⊆ full
+    pos = np.searchsorted(np.sort(full_d), pruned_d)
+    fsort = np.sort(full_d)
+    ghost = (pos >= fsort.size) | (
+        fsort[np.minimum(pos, fsort.size - 1)] != pruned_d
+    )
+    if ghost.any():
+        bad.append(
+            ("pruned_ghost_posting", repr(term),
+             f"{int(ghost.sum())} pruned docs not in full index")
+        )
+    # absent full postings must be bounded by tau
+    pos = np.searchsorted(pruned_d, full_d)
+    present = (pos < pruned_d.size) & (
+        pruned_d[np.minimum(pos, pruned_d.size - 1)] == full_d
+    )
+    absent_v = full_v[~present]
+    if absent_v.size:
+        if taus.size == 0:
+            bad.append(
+                ("pruned_missing_tau", repr(term),
+                 f"{absent_v.size} postings pruned but no tau recorded")
+            )
+        else:
+            tau = float(taus.max())
+            over = absent_v > tau
+            if over.any():
+                bad.append(
+                    ("tau_bound_violation", repr(term),
+                     f"max pruned contrib {absent_v.max()} > tau {tau}")
+                )
+    return _findings(bad)
+
+
+def check_pruned(
+    pruned_dir: str, full_dir: str, concurrency=(1, 8)
+) -> pa.Table:
+    """Audit a statically pruned index (ciff_ray.pruned) against its
+    source: TieredEngine's certificate is sound ONLY if every
+    pruned-away posting's contribution is ≤ the term's recorded tau —
+    this check recomputes all contributions from the FULL index and
+    verifies that bound term by term (tagged three-way union → one
+    groupby(term)).  Cost is a full postings decode + vocabulary
+    shuffle: an audit pass, not a serving-path cost."""
+    meta_path = os.path.join(pruned_dir, "prune_meta.parquet")
+    if not os.path.exists(meta_path):
+        return _findings([("prune_meta", pruned_dir, "missing")])
+
+    full_rows = ray.data.read_parquet(
+        IndexPaths(full_dir).segments_dir,
+        file_extensions=["parquet"],
+        columns=["term", "df", "first_doc", "doc_codec", "tf_codec",
+                 "doc_bytes", "tf_bytes"],
+    ).map_batches(
+        _PostingContribEmitter,
+        fn_constructor_args=(full_dir,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    pruned_rows = ray.data.read_parquet(
+        IndexPaths(pruned_dir).segments_dir,
+        file_extensions=["parquet"],
+        columns=["term", "df", "first_doc", "doc_codec", "tf_codec",
+                 "doc_bytes", "tf_bytes"],
+    ).map_batches(_pruned_docs_emitter, batch_format="pyarrow")
+    meta = pq.read_table(meta_path)
+    meta_rows = ray.data.from_arrow(
+        pa.table(
+            {
+                "term": meta["term"],
+                "kind": pa.array(
+                    np.full(meta.num_rows, 2, dtype=np.int8)
+                ),
+                "doc": pa.array(
+                    np.full(meta.num_rows, -1, dtype=np.int64)
+                ),
+                "val": meta["tau"].combine_chunks().cast(pa.float64()),
+            }
+        )
+    )
+    out = (
+        full_rows.union(pruned_rows)
+        .union(meta_rows)
+        .groupby("term")
+        .map_groups(_check_pruned_group, batch_format="pyarrow")
+        .take_all()
+    )
+    return _findings([(r["check"], r["scope"], r["detail"]) for r in out])

@@ -174,3 +174,51 @@ def test_positions_detects_disorder(pos_pair, tmp_path):
         pytest.skip("no multi-position row in store")
     checks = {r["check"] for r in check_positions(bad).to_pylist()}
     assert "positions_not_ascending" in checks
+
+
+# -- pruned-index tau audit ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pruned_pair(tmp_path_factory, clean_index):
+    from ciff_ray.pruned import prune_index
+
+    out = str(tmp_path_factory.mktemp("prfsck") / "pruned")
+    prune_index(clean_index, out, lam=3)  # tiny lambda: most terms truncate
+    return clean_index, out
+
+
+def test_pruned_clean(pruned_pair):
+    from ciff_ray.fsck import check_pruned
+
+    full, pruned = pruned_pair
+    t = check_pruned(pruned, full)
+    assert t.num_rows == 0, t.to_pylist()
+
+
+def test_pruned_detects_understated_tau(pruned_pair, tmp_path):
+    from ciff_ray.fsck import check_pruned
+
+    full, pruned = pruned_pair
+    bad = str(tmp_path / "pruned")
+    shutil.copytree(pruned, bad)
+    meta_path = os.path.join(bad, "prune_meta.parquet")
+    meta = pq.read_table(meta_path)
+    taus = meta["tau"].to_pylist()
+    assert taus, "fixture must truncate at least one term"
+    taus[0] = taus[0] / 10.0  # understate: certificate would over-certify
+    pq.write_table(
+        pa.table({"term": meta["term"], "tau": pa.array(taus, type=pa.float64())}),
+        meta_path,
+    )
+    checks = {r["check"] for r in check_pruned(bad, full).to_pylist()}
+    assert "tau_bound_violation" in checks
+
+
+def test_check_index_clean_on_truncated_pruned(pruned_pair):
+    """A pruned index keeps the SOURCE's term_stats by design; the
+    stats cross-check must not flag the (intentional) deficit — only a
+    surplus would be corruption."""
+    _, pruned = pruned_pair
+    t = check_index(pruned)
+    assert t.num_rows == 0, t.to_pylist()
