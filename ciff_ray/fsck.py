@@ -99,6 +99,9 @@ class _SegmentChecker:
         maxtf = batch["max_tf"].to_numpy(zero_copy_only=False)
         dcodec = batch["doc_codec"].to_numpy(zero_copy_only=False)
         tcodec = batch["tf_codec"].to_numpy(zero_copy_only=False)
+        # per-slice last docID (decoded), −1 where decode failed: the
+        # salt-interleave check consumes these alongside the partials
+        last_doc = np.full(batch.num_rows, -1, dtype=np.int64)
         for i, term in enumerate(terms):
             scope = f"{term!r}/salt={int(salts[i])}"
             df = int(dfs[i])
@@ -120,6 +123,7 @@ class _SegmentChecker:
             if df > 1:
                 np.cumsum(gaps, out=docs[1:])
                 docs[1:] += docs[0]
+            last_doc[i] = int(docs[-1])
             if df > 1 and (gaps <= 0).any():
                 bad.append(("docids_ascending", scope, "non-positive d-gap"))
             if int(docs[-1]) >= self._n_docs:
@@ -193,6 +197,26 @@ class _SegmentChecker:
                     [
                         pa.array([0] * nf, type=pa.int64()),
                         batch["cf"].combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+                # salt-interleave inputs (−1 lo/hi on finding rows and
+                # undecodable slices — skipped by the group check)
+                "salt": pa.concat_arrays(
+                    [
+                        pa.array([-1] * nf, type=pa.int32()),
+                        batch["salt"].combine_chunks().cast(pa.int32()),
+                    ]
+                ),
+                "lo": pa.concat_arrays(
+                    [
+                        pa.array([-1] * nf, type=pa.int64()),
+                        batch["first_doc"].combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+                "hi": pa.concat_arrays(
+                    [
+                        pa.array([-1] * nf, type=pa.int64()),
+                        pa.array(last_doc, type=pa.int64()),
                     ]
                 ),
             }
@@ -324,6 +348,44 @@ def check_index(index_dir: str, concurrency=(1, 8)) -> pa.Table:
              repr(r["term"]),
              f"df_delta={r['df_d']} cf_delta={r['cf_d']}")
         )
+
+    # ---- salt interleave: a term's salted slices must cover DISJOINT
+    # ascending docID ranges in salt order — the invariant postings()
+    # concatenation and metadata-only merges rely on -------------------
+    def _salt_rows(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t["kind"], "partial"), pc.greater_equal(t["hi"], 0)
+        )
+        return t.filter(keep).select(["term", "salt", "lo", "hi"])
+
+    def _salt_check(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _findings([])
+        term = g["term"][0].as_py()
+        salt = g["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = g["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = g["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(salt, kind="stable")
+        salt, lo, hi = salt[order], lo[order], hi[order]
+        bad: list[tuple[str, str, str]] = []
+        if (np.diff(salt) == 0).any():
+            bad.append(("salt_duplicate", repr(term), "repeated salt id"))
+        if (lo[1:] <= hi[:-1]).any():
+            j = int(np.argmax(lo[1:] <= hi[:-1]))
+            bad.append(
+                ("salt_range_overlap", repr(term),
+                 f"salt {int(salt[j])} ends at {int(hi[j])} but salt "
+                 f"{int(salt[j + 1])} starts at {int(lo[j + 1])}")
+            )
+        return _findings(bad)
+
+    for r in (
+        mixed.map_batches(_salt_rows, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(_salt_check, batch_format="pyarrow")
+        .take_all()
+    ):
+        findings.append((r["check"], r["scope"], r["detail"]))
 
     # ---- docmap: density moments + doclength totals ----------------------
     def _docmap_partials(t: pa.Table) -> pa.Table:

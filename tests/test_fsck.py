@@ -222,3 +222,28 @@ def test_check_index_clean_on_truncated_pruned(pruned_pair):
     _, pruned = pruned_pair
     t = check_index(pruned)
     assert t.num_rows == 0, t.to_pylist()
+
+
+def test_detects_salt_range_overlap(clean_index, tmp_path):
+    """Shift a salted slice's first_doc into its predecessor's range:
+    the interleave invariant postings() relies on must be flagged."""
+    idx = _copy(clean_index, tmp_path)
+    for seg_path in sorted(glob.glob(os.path.join(idx, "segments", "*.parquet"))):
+        seg = pq.read_table(seg_path)
+        salts = seg["salt"].to_pylist()
+        victim = next((i for i, s in enumerate(salts) if s > 0), None)
+        if victim is None:
+            continue
+        firsts = seg["first_doc"].to_pylist()
+        firsts[victim] = 0  # salt>0 slice now starts at docID 0: overlap
+        seg = seg.set_column(
+            seg.schema.get_field_index("first_doc"),
+            "first_doc",
+            pa.array(firsts, type=pa.int64()),
+        )
+        pq.write_table(seg, seg_path)
+        break
+    else:
+        pytest.skip("no salted slice in fixture")
+    checks = {r["check"] for r in check_index(idx).to_pylist()}
+    assert "salt_range_overlap" in checks
