@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_pruned": p.q_bm25_topk_pruned,
         "bm25_topk_tiered": p.q_bm25_topk_tiered,
         "bm25_topk_bulk": p.q_bm25_topk_bulk,
+        "bm25_topk_collapsed": p.q_bm25_topk_collapsed,
         "bm25_scores_bulk": p.q_bm25_scores_bulk,
         "bm25f_topk": p.q_bm25f_topk,
         "bm25_topk_filtered": p.q_bm25_topk_filtered,

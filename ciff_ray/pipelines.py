@@ -845,6 +845,94 @@ def q_bm25_topk_bulk(sf_dir: str) -> ray.data.Dataset:
     return bulk_topk(idx, BULK_QUERY_SET, k=TOPK_K, concurrency=(1, 8))
 
 
+_COLLAPSE_DOC_BITS = 33  # doc_id < 2^33 for the packed argmax key
+
+
+def _collapse_partials(batch: pa.Table) -> pa.Table:
+    """(query_id, doc_id, score_r) turn scores → per-batch best turn
+    per (query, conv), packed for a distributive Max aggregate:
+    val = s6 · 2^33 + (2^33 − 1 − doc), where s6 = the 6-dp score in
+    integer micro-units — maximizing val picks max score then MIN docID,
+    the engine's exact tie order, with pure int64 arithmetic."""
+    from ciff_ray.synth import TURNS_PER_CONV_FROM_DOCS
+
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "conv": pa.array([], type=pa.int64()),
+                "val": pa.array([], type=pa.int64()),
+            }
+        )
+    q = batch["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = batch["score_r"].to_numpy(zero_copy_only=False)
+    if d.size and int(d.max()) >= (1 << _COLLAPSE_DOC_BITS):
+        raise ValueError("collapse packing requires doc_id < 2^33")
+    conv = d // TURNS_PER_CONV_FROM_DOCS
+    s6 = np.rint(s * 1e6).astype(np.int64)  # score_r is already 6-dp
+    val = s6 * (1 << _COLLAPSE_DOC_BITS) + ((1 << _COLLAPSE_DOC_BITS) - 1 - d)
+    key = q * _CONV_KEY_MUL + conv
+    ks, inv = np.unique(key, return_inverse=True)
+    best = np.full(ks.size, np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.at(best, inv, val)
+    return pa.table(
+        {
+            "query_id": pa.array(ks // _CONV_KEY_MUL, type=pa.int64()),
+            "conv": pa.array(ks % _CONV_KEY_MUL, type=pa.int64()),
+            "val": pa.array(best, type=pa.int64()),
+        }
+    )
+
+
+def _collapse_rank_group(group: pa.Table) -> pa.Table:
+    """One query's per-conv best turns → top-{TOPK_K} by (score desc,
+    docID asc), decoded from the packed key."""
+    qid = int(group["query_id"][0].as_py())
+    val = group["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(-val, kind="stable")[:TOPK_K]  # val encodes the full key
+    doc = ((1 << _COLLAPSE_DOC_BITS) - 1) - (
+        val[order] % (1 << _COLLAPSE_DOC_BITS)
+    )
+    return pa.table(
+        {
+            "query_id": pa.array(np.full(order.size, qid), type=pa.int64()),
+            "rank": pa.array(np.arange(1, order.size + 1), type=pa.int64()),
+            "doc_id": pa.array(doc, type=pa.int64()),
+        }
+    )
+
+
+def q_bm25_topk_collapsed(sf_dir: str) -> ray.data.Dataset:
+    """Field collapsing (one result per CONVERSATION): each query's
+    results keep only the best-scoring turn of every conv, then rank
+    top-{TOPK_K} turns globally — the search-UI dedup that stops one
+    verbose conversation from flooding a results page.  Shape: actor-
+    pool scoring → per-batch packed argmax partials → one small
+    (query, conv) Max groupby → per-query rank (the conv_topk pattern,
+    but returning the representative TURN, not the conv)."""
+    from ray.data.aggregate import Max
+
+    idx = ensure_index(sf_dir)
+    scored = (
+        _query_set_ds()
+        .repartition(4)
+        .map_batches(
+            _ScoreAllActor,
+            fn_constructor_args=(idx,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    )
+    return (
+        scored.map_batches(_collapse_partials, batch_format="pyarrow")
+        .groupby(["query_id", "conv"])
+        .aggregate(Max("val", alias_name="val"))
+        .groupby("query_id")
+        .map_groups(_collapse_rank_group, batch_format="pyarrow")
+    )
+
+
 def q_bm25_scores_bulk(sf_dir: str) -> ray.data.Dataset:
     """Relevance-labeling dump: EVERY matching (query_id, doc_id,
     score_r) for the BULK workload through the doc-range bulk path
@@ -2598,6 +2686,23 @@ SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   FROM scored
 ) WHERE rnk <= {TOPK_K}""",
         "bm25f_topk": _bm25f_oracle_sql(T),
+        # field collapsing: best turn per conv at 6-dp (the actor emits
+        # 6-dp scores), then global top-k under the same rounded key
+        "bm25_topk_collapsed": f"""{T},
+{_bm25_scored_cte().lstrip()},
+cbest AS (
+  SELECT query_id, doc_id, round(score, 6) AS s,
+         row_number() OVER (
+           PARTITION BY query_id, doc_id // {_TPC}
+           ORDER BY round(score, 6) DESC, doc_id ASC) AS rc
+  FROM scored
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id ASC) AS rnk
+  FROM cbest WHERE rc = 1
+) WHERE rnk <= {TOPK_K}""",
         # bulk paths: same scored CTE, larger workload
         "bm25_scores_bulk": f"""{T},
 {_bm25_scored_cte(queries=BULK_QUERY_SET).lstrip()}
