@@ -845,6 +845,100 @@ def q_bm25_topk_bulk(sf_dir: str) -> ray.data.Dataset:
     return bulk_topk(idx, BULK_QUERY_SET, k=TOPK_K, concurrency=(1, 8))
 
 
+class _TopkPageActor:
+    """map_batches scorer for PAGINATED retrieval: batch of
+    (query_id, query) → ranks [lo, hi] of the engine's exact top-hi.
+
+    This is cursor (search_after) pagination evaluated honestly: page n
+    re-runs the query with k = hi and slices — identical results to
+    filtering by the previous page's (round(score, 9), docID) cursor,
+    because the rank key is a strict total order.  Scale note: deep
+    paging cost grows with hi (the engine keeps a k-sized heap), which
+    is exactly why real engines cap page depth and offer cursors; the
+    entry pins the semantics, not an unbounded offset scan."""
+
+    def __init__(self, index_dir: str, lo: int, hi: int):
+        from ciff_ray.query import LocalScorer
+
+        self.scorer = LocalScorer(index_dir)
+        self.lo, self.hi = lo, hi
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs = [], [], []
+        for qid, q in zip(
+            batch["query_id"].to_pylist(), batch["query"].to_pylist()
+        ):
+            d, _ = self.scorer.topk(q, k=self.hi)
+            page = d[self.lo - 1 :]
+            qids.append(np.full(page.size, qid, dtype=np.int64))
+            ranks.append(np.arange(self.lo, self.lo + page.size, dtype=np.int64))
+            docs.append(page)
+        if not qids:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qids), type=pa.int64()),
+                "rank": pa.array(np.concatenate(ranks), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(docs), type=pa.int64()),
+            }
+        )
+
+
+PAGE2_LO, PAGE2_HI = 11, 20
+
+
+def q_bm25_topk_page2(sf_dir: str) -> ray.data.Dataset:
+    """Deep pagination: the SECOND page (ranks 11–20) of every query,
+    served by the actor pool under the engine's exact rank key."""
+    idx = ensure_index(sf_dir)
+    return (
+        _query_set_ds()
+        .repartition(4)
+        .map_batches(
+            _TopkPageActor,
+            fn_constructor_args=(idx, PAGE2_LO, PAGE2_HI),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    )
+
+
+def q_bm25_hit_counts(sf_dir: str) -> ray.data.Dataset:
+    """Total-hits per query (the result-count a search UI displays):
+    matching-doc count from the scoring pass — docs are unique per
+    query in score_all's output, so a per-batch count IS the total."""
+    from ray.data.aggregate import Count
+
+    idx = ensure_index(sf_dir)
+    return (
+        _query_set_ds()
+        .repartition(4)
+        .map_batches(
+            _ScoreAllActor,
+            fn_constructor_args=(idx,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .groupby("query_id")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "query_id": t["query_id"],
+                    "n_hits": t["count()"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 _COLLAPSE_DOC_BITS = 33  # doc_id < 2^33 for the packed argmax key
 
 
@@ -2686,6 +2780,18 @@ SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   FROM scored
 ) WHERE rnk <= {TOPK_K}""",
         "bm25f_topk": _bm25f_oracle_sql(T),
+        "bm25_topk_page2": f"""{T},
+{_bm25_scored_cte().lstrip()}
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
+  FROM scored
+) WHERE rnk BETWEEN {PAGE2_LO} AND {PAGE2_HI}""",
+        "bm25_hit_counts": f"""{T},
+{_bm25_scored_cte().lstrip()}
+SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM scored GROUP BY query_id""",
         # field collapsing: best turn per conv at 6-dp (the actor emits
         # 6-dp scores), then global top-k under the same rounded key
         "bm25_topk_collapsed": f"""{T},
