@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_bulk": p.q_bm25_topk_bulk,
         "bm25_topk_collapsed": p.q_bm25_topk_collapsed,
         "bm25_topk_page2": p.q_bm25_topk_page2,
+        "bm25_explain": p.q_bm25_explain,
         "bm25_hit_counts": p.q_bm25_hit_counts,
         "bm25_scores_bulk": p.q_bm25_scores_bulk,
         "bm25f_topk": p.q_bm25f_topk,

@@ -890,6 +890,57 @@ class _TopkPageActor:
         )
 
 
+class _ExplainActor:
+    """map_batches: (query_id, query) → per-term score breakdown of the
+    query's rank-1 doc (query_id, term, doc_id, contrib_r) — the
+    engine's Lucene-`explain` analogue driven through the serving pool."""
+
+    def __init__(self, index_dir: str):
+        from ciff_ray.query import LocalScorer
+
+        self.scorer = LocalScorer(index_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, terms, docs, contribs = [], [], [], []
+        for qid, q in zip(
+            batch["query_id"].to_pylist(), batch["query"].to_pylist()
+        ):
+            d, _ = self.scorer.topk(q, k=1)
+            if d.size == 0:
+                continue
+            for row in self.scorer.explain(q, int(d[0])):
+                qids.append(qid)
+                terms.append(row["term"])
+                docs.append(int(d[0]))
+                contribs.append(round(row["contribution"], 6))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "term": pa.array(terms, type=pa.string()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "contrib_r": pa.array(contribs, type=pa.float64()),
+            }
+        )
+
+
+def q_bm25_explain(sf_dir: str) -> ray.data.Dataset:
+    """Score explanation: for every query's TOP-1 doc, one row per
+    matching query term with its BM25 contribution (6 dp) — the
+    debugging surface behind "why did this doc rank first".  Oracle:
+    the scored CTE's pre-SUM contribution joined to the rank-1 doc."""
+    idx = ensure_index(sf_dir)
+    return (
+        _query_set_ds()
+        .repartition(4)
+        .map_batches(
+            _ExplainActor,
+            fn_constructor_args=(idx,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    )
+
+
 PAGE2_LO, PAGE2_HI = 11, 20
 
 
@@ -2780,6 +2831,28 @@ SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
   FROM scored
 ) WHERE rnk <= {TOPK_K}""",
         "bm25f_topk": _bm25f_oracle_sql(T),
+        "bm25_explain": f"""{T},
+{_bm25_scored_cte().lstrip()},
+etop1 AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 9) DESC, doc_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk = 1
+),
+econtrib AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, q.term AS term,
+         tf.doc_id AS doc_id,
+         {_BM25_CONTRIB_SQL} AS contrib
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+)
+SELECT e.query_id, e.term, e.doc_id, round(e.contrib, 6) AS contrib_r
+FROM econtrib e JOIN etop1 USING (query_id, doc_id)""",
         "bm25_topk_page2": f"""{T},
 {_bm25_scored_cte().lstrip()}
 SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id FROM (

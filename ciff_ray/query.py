@@ -1066,6 +1066,38 @@ class LocalScorer:
             return float("-inf")
         return float(np.partition(total, cand.size - kth)[cand.size - kth])
 
+    def explain(self, query: str, doc_id: int) -> list[dict]:
+        """Per-term score breakdown for one (query, doc) — the engine's
+        Lucene-`explain` analogue (ops/debug surface).  One row per
+        matching analyzed query term: term, tf, doclength, idf,
+        contribution; the contributions sum to exactly the score
+        score_all assigns the doc (same _contrib kernel, float64).
+        The caller supplies doc_id, so tombstone/doc_filter masking is
+        NOT applied here — explain answers "why this score", including
+        for docs a filter would hide."""
+        cand = np.array([int(doc_id)], dtype=np.int64)
+        dl_i = int(self._dl[cand][0])
+        dl = np.array([float(dl_i)], dtype=np.float64)
+        rows: list[dict] = []
+        for t in self._query_terms(query):
+            if self._term_stat(t) is None:
+                continue
+            tf = self._candidate_tf(t, cand)
+            if tf[0] <= 0:
+                continue
+            w = self.idf(t)
+            c = self._contrib(tf.astype(np.float64), dl, w)
+            rows.append(
+                {
+                    "term": t,
+                    "tf": int(tf[0]),
+                    "doclength": dl_i,
+                    "idf": float(w),
+                    "contribution": float(c[0]),
+                }
+            )
+        return rows
+
     # -- result decoration ------------------------------------------------
 
     def collection_docids(self, doc_ids: np.ndarray) -> list[str]:
@@ -1212,6 +1244,10 @@ class QueryEngine:
     def collection_docids(self, doc_ids: np.ndarray) -> list[str]:
         """Map internal doc IDs back to collection docids (J4)."""
         return self._local.collection_docids(doc_ids)
+
+    def explain(self, query: str, doc_id: int) -> list[dict]:
+        """Per-term score breakdown (see LocalScorer.explain)."""
+        return self._local.explain(query, doc_id)
 
     def topk_table(self, queries: list[str], k: int = 10, mode: str = "exact") -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []

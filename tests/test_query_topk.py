@@ -405,3 +405,16 @@ def test_title_store_loads_only_touched_shards(engine_and_oracle, monkeypatch):
     # cache: a second lookup of the same docs loads nothing new
     assert store.lookup(docs) == titles
     assert store.shard_loads == touched
+
+
+def test_explain_sums_to_score(engine_and_oracle):
+    """explain's per-term contributions sum bit-identically to the
+    score score_all assigns the doc, for every query with a hit."""
+    engine, _oracle = engine_and_oracle
+    for q in QUERIES:
+        docs, scores = engine.topk(q, k=1)
+        if docs.size == 0:
+            continue
+        rows = engine.explain(q, int(docs[0]))
+        assert rows, q
+        assert sum(r["contribution"] for r in rows) == scores[0], q
