@@ -1031,7 +1031,7 @@ def _docmap_from_partials(batch: pa.Table, *, offsets_ref) -> pa.Table:
     if len(b) == 0:
         return _DOCMAP_SCHEMA.empty_table()
     withids = add_doc_ids(b, offsets_ref)
-    return pa.table(
+    out = pa.table(
         {
             "doc_id": withids["doc_id"],
             "collection_docid": withids["collection_docid"],
@@ -1039,6 +1039,11 @@ def _docmap_from_partials(batch: pa.Table, *, offsets_ref) -> pa.Table:
         },
         schema=_DOCMAP_SCHEMA,
     )
+    # sort by doc_id WITHIN the batch (cheap, no shuffle): files land
+    # as sorted runs, so with small row groups the parquet min/max
+    # stats actually prune DoclengthStore/TitleStore range reads —
+    # unsorted files made every row group span the whole docID range
+    return out.take(pc.sort_indices(out["doc_id"]))
 
 
 _CONV_SHARDS = 16
@@ -1287,7 +1292,7 @@ def build_index(
             _docmap_from_partials,
             fn_kwargs={"offsets_ref": offsets_ref},
             batch_format="pyarrow",
-        ).write_parquet(paths.docmap_dir)
+        ).write_parquet(paths.docmap_dir, row_group_size=65_536)
         tmp = docmap_marker + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"fingerprint": input_fingerprint}, f)

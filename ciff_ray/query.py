@@ -180,6 +180,54 @@ class DoclengthStore:
             arr = self._shards[s] = self._load_shard(s)
         return arr
 
+    def _load_hull(self, lo_s: int, hi_s: int) -> None:
+        """Bulk-load every missing shard in [lo_s, hi_s] with ONE pass
+        over the docmap files.  A stopword-scale posting list touches
+        most shards of the corpus; loading them one at a time re-opened
+        and re-filtered every docmap file per shard (files are written
+        by map tasks, so each spans a wide docID range — at 19.5M turns
+        that was ~5k filtered parquet reads and 15 s of a 28 s cold
+        query).  One range-filtered read per file builds them all.
+        At 10^12 docs a corpus-wide hull cannot be materialized in one
+        scorer — that regime is ShardedServingPool's (each shard scorer
+        holds only its own doc range); within one scorer's range the
+        hull is the fastest correct load order."""
+        base = lo_s << self.SHARD_BITS
+        end = min((hi_s + 1) << self.SHARD_BITS, self.num_docs)
+        parts = []
+        for lo, hi, path in self._spans:
+            if hi < base or lo >= end:
+                continue
+            parts.append(
+                pq.read_table(
+                    path,
+                    columns=["doc_id", "doclength"],
+                    filters=[("doc_id", ">=", base), ("doc_id", "<", end)],
+                )
+            )
+        ids = (
+            np.concatenate(
+                [p["doc_id"].to_numpy(zero_copy_only=False) for p in parts]
+            )
+            if parts
+            else np.empty(0, dtype=np.int64)
+        )
+        if ids.size != end - base:
+            raise ValueError(
+                f"docmap hull [{base}, {end}) is not dense: {ids.size} rows"
+            )
+        dl = np.concatenate(
+            [p["doclength"].to_numpy(zero_copy_only=False) for p in parts]
+        ).astype(np.int64)
+        order = np.argsort(ids)
+        if not np.array_equal(ids[order], np.arange(base, end)):
+            raise ValueError(f"docmap hull [{base}, {end}) has gaps/duplicates")
+        dl = dl[order]
+        for s in range(lo_s, hi_s + 1):
+            b = (s << self.SHARD_BITS) - base
+            e = min(b + (1 << self.SHARD_BITS), end - base)
+            self._shards.setdefault(s, dl[b:e])
+
     def __getitem__(self, docs: np.ndarray) -> np.ndarray:
         docs = np.asarray(docs)
         if docs.size == 0:
@@ -190,6 +238,31 @@ class DoclengthStore:
         hi = int(docs.max()) >> self.SHARD_BITS
         if lo == hi:
             return self._shard(lo)[docs - (lo << self.SHARD_BITS)]
+        missing = [
+            s for s in range(lo, hi + 1) if s not in self._shards
+        ]
+        if len(missing) > 2:
+            # wide gather (stopword-scale list): one pass builds the
+            # whole hull instead of per-shard file re-reads
+            self._load_hull(missing[0], missing[-1])
+        if docs.size > 1 and docs[0] <= docs[-1] and (np.diff(docs) >= 0).all():
+            # posting lists arrive docID-sorted: shard spans are
+            # CONTIGUOUS slices (searchsorted boundaries), so the gather
+            # is one sliced fancy-index per shard — the per-shard boolean
+            # masks this replaces were O(shards × n) and dominated
+            # stopword-query time at 19.5M docs
+            out = np.empty(docs.shape, dtype=np.int64)
+            edges = np.searchsorted(
+                docs, np.arange(lo + 1, hi + 1) << self.SHARD_BITS
+            )
+            bounds = np.concatenate([[0], edges, [docs.size]])
+            for i, s in enumerate(range(lo, hi + 1)):
+                a, b = int(bounds[i]), int(bounds[i + 1])
+                if a < b:
+                    out[a:b] = self._shard(s)[
+                        docs[a:b] - (s << self.SHARD_BITS)
+                    ]
+            return out
         shard_of = docs >> self.SHARD_BITS
         out = np.empty(docs.shape, dtype=np.int64)
         for s in range(lo, hi + 1):
