@@ -23,6 +23,12 @@ import subprocess
 import sys
 import time
 
+# latest `--scaling` measurement, committed so the default (per-round)
+# bench JSON always carries the two-cluster-size scaling evidence
+_SCALING_EVIDENCE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "scaling_evidence.json"
+)
+
 import numpy as np
 
 BENCH_QUERIES = [
@@ -425,23 +431,29 @@ def main() -> None:
         thr_lo = res[lo_cpus]["queries"]["turns_per_sec"]
         thr_hi = res[hi_cpus]["queries"]["turns_per_sec"]
         eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
-        print(
-            json.dumps(
-                {
-                    "metric": "scaling efficiency (build throughput, "
-                    f"{lo_cpus}->{hi_cpus} cpus)",
-                    "value": round(eff, 3),
-                    "unit": "efficiency",
-                    "turns_per_sec": {str(lo_cpus): thr_lo, str(hi_cpus): thr_hi},
-                    "build_sec": {
-                        str(lo_cpus): res[lo_cpus]["queries"]["build_sec"],
-                        str(hi_cpus): res[hi_cpus]["queries"]["build_sec"],
-                    },
-                    "sf": _sf_label(sf_dir),
-                    **_host_probe(hi_cpus),
-                }
-            )
-        )
+        record = {
+            "metric": "scaling efficiency (build throughput, "
+            f"{lo_cpus}->{hi_cpus} cpus)",
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "turns_per_sec": {str(lo_cpus): thr_lo, str(hi_cpus): thr_hi},
+            "build_sec": {
+                str(lo_cpus): res[lo_cpus]["queries"]["build_sec"],
+                str(hi_cpus): res[hi_cpus]["queries"]["build_sec"],
+            },
+            "sf": _sf_label(sf_dir),
+            **_host_probe(hi_cpus),
+        }
+        # persist so the DEFAULT bench run (the per-round artifact) can
+        # embed the most recent scaling measurement — the north_rule's
+        # two-cluster-size evidence should ride the driver's JSON, not
+        # live only in BASELINE.md prose
+        try:
+            with open(_SCALING_EVIDENCE_PATH, "w") as f:
+                json.dump(record, f, indent=1)
+        except OSError:
+            pass
+        print(json.dumps(record))
         return
 
     pre = _host_probe(num_cpus)
@@ -470,6 +482,13 @@ def main() -> None:
         r["host_parallel_slowdown"] = round(slow, 3)
         r["build_sec_normalized"] = round(r["build_sec"] / slow, 3)
         r["turns_per_sec_normalized"] = round(r["turns_per_sec"] * slow, 1)
+    # ride the most recent `--scaling` measurement (committed JSON) so
+    # the per-round artifact carries the north_rule scaling evidence
+    try:
+        with open(_SCALING_EVIDENCE_PATH) as f:
+            r["scaling_evidence"] = json.load(f)
+    except (OSError, ValueError):
+        pass
     print(
         json.dumps(
             {
