@@ -46,6 +46,12 @@ import pyarrow.parquet as pq
 
 from ciff_ray import codecs
 from ciff_ray.layout import IndexPaths, Manifest
+
+# below this doc count the dense top-k threshold trick is pure overhead
+# (module-level so tests can lower them to exercise the chunked path on
+# small fixtures)
+_DENSE_TOPK_MIN_N = 1 << 22
+_DENSE_TOPK_CHUNK = 1 << 22
 from ciff_ray.oracle import EPS_IDF, tokenize
 from ciff_ray.schemas import CODEC_BP, CODEC_BPG, CODEC_GAMMA
 
@@ -482,10 +488,24 @@ class LocalScorer:
         # cache their length-N float64 vector once and dense scoring
         # becomes one vector add per term — bitwise identical to the
         # bincount it replaces (docs are unique per list, so bincount
-        # emits exactly this vector).  Bounded by bytes, never evicts.
+        # emits exactly this vector).  LRU-bounded by bytes; the cap
+        # scales with the scorer's LOCAL doc range so ~8 stopword
+        # vectors stay resident (at 19.5M docs a vector is 156 MB and a
+        # flat 256 MB cap held ONE — every multi-stopword query then
+        # recomputed the others, 1-3 s/query warm).  Ceiling 4 GB: past
+        # that the answer is ShardedServingPool (smaller per-scorer doc
+        # range), not a bigger cache.  Env CIFF_RAY_DENSE_CACHE_MB
+        # overrides for constrained hosts.
         self._dense_cache: dict[str, np.ndarray] = {}
         self._dense_cache_bytes = 0
-        self._dense_cache_cap = 256_000_000
+        env_mb = os.environ.get("CIFF_RAY_DENSE_CACHE_MB")
+        if env_mb is not None:
+            self._dense_cache_cap = int(float(env_mb) * 1_000_000)
+        else:
+            self._dense_cache_cap = max(
+                256_000_000,
+                min(4_000_000_000, 8 * 8 * self.manifest.num_docs),
+            )
         # materialized-slice memo for the block-targeted decode path:
         # the Arrow .as_py() copies of a slice's payload + offsets are
         # paid ONCE per scorer, not once per decoded block (MaxScore on
@@ -598,6 +618,9 @@ class LocalScorer:
         construction — build.py salting invariant)."""
         cached = self._plist_cache.get(term)
         if cached is not None:
+            # LRU touch (insertion-ordered dict, see _dense_contrib)
+            del self._plist_cache[term]
+            self._plist_cache[term] = cached
             return cached
         slices = self._slices_for(term)
         if not slices:
@@ -624,7 +647,16 @@ class LocalScorer:
             keep = self._doc_filter(docs)
             if not keep.all():
                 docs, tfs = docs[keep], tfs[keep]
-        if self._plist_cache_postings + docs.size <= self._plist_cache_cap:
+        if docs.size <= self._plist_cache_cap:
+            while (
+                self._plist_cache
+                and self._plist_cache_postings + docs.size
+                > self._plist_cache_cap
+            ):
+                oldest = next(iter(self._plist_cache))
+                self._plist_cache_postings -= self._plist_cache.pop(oldest)[
+                    0
+                ].size
             self._plist_cache[term] = (docs, tfs)
             self._plist_cache_postings += docs.size
         return docs, tfs
@@ -671,9 +703,7 @@ class LocalScorer:
             # collection-wide count while its docIDs stay shard-local,
             # and a global-sized vector per cached term multiplies RSS
             # by the shard count for nothing
-            acc = np.zeros(self.manifest.num_docs, dtype=np.float64)
-            for t in terms:
-                acc += self._dense_contrib(t)
+            acc = self._dense_accum(terms)
             u = np.flatnonzero(acc)  # all contributions are > 0
             return u, acc[u]
         doc_parts, contrib_parts = [], []
@@ -695,6 +725,69 @@ class LocalScorer:
         scores = np.bincount(inv, weights=all_contrib)
         return u, scores
 
+    def _dense_accum(self, terms: list[str]) -> np.ndarray:
+        """Summed dense contribution vector in ascending-term order.
+        First pair summed out-of-place (2 reads + 1 write instead of a
+        zeros fill + two 3-pass adds): elementwise ((0+c0)+c1)+c2...
+        == (c0+c1)+c2..., so scores stay bitwise identical to the
+        accumulate-into-zeros loop this replaces."""
+        if not terms:
+            return np.zeros(self.manifest.num_docs, dtype=np.float64)
+        if len(terms) == 1:
+            return self._dense_contrib(terms[0]).copy()
+        acc = self._dense_contrib(terms[0]) + self._dense_contrib(terms[1])
+        for t in terms[2:]:
+            acc += self._dense_contrib(t)
+        return acc
+
+    def _topk_dense(self, query: str, k: int):
+        """Exhaustive top-k on the dense path WITHOUT materializing the
+        (u, scores) candidate arrays — for stopword-heavy queries u is
+        ~every docID, and at 19.5M docs the flatnonzero + two gathers +
+        full-array round + partition copy in score_all→_rank move ~3 GB
+        through a memory bus that is the box's actual constraint.  Here:
+        chunked k-th-largest threshold (one read of acc, chunk-sized
+        partition copies that stay in cache), then rank only the docs
+        that can reach the rounded top-k.  Selection is EXACT under the
+        round-9 ranking key: round9 is monotone, so the k-th largest
+        rounded score equals round9(t_raw) (t_raw = k-th largest raw),
+        and round9(s) >= round9(t_raw) implies s >= t_raw - 1e-9 — the
+        kept superset contains every doc _rank could emit, and _rank
+        applies the identical (round9 desc, doc_id asc) key.  Returns
+        None when the dense path doesn't apply (sparse/boosted)."""
+        terms = [
+            t for t in self._query_terms(query) if self._term_stat(t) is not None
+        ]
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        total_df = sum(self._term_stat(t)[0] for t in terms)
+        if total_df <= self.N // 4:
+            return None  # sparse regime: score_all's bincount path wins
+        acc = self._dense_accum(terms)
+        n = acc.size
+        if k >= n or n < _DENSE_TOPK_MIN_N:
+            u = np.flatnonzero(acc)
+            return self._rank(u, acc[u], k)
+        chunk = _DENSE_TOPK_CHUNK
+        tops = []
+        for i in range(0, n, chunk):
+            ch = acc[i : i + chunk]
+            if ch.size > k:
+                tops.append(np.partition(ch, ch.size - k)[ch.size - k :])
+            else:
+                tops.append(ch.copy())
+        allc = np.concatenate(tops)
+        thr = float(np.partition(allc, allc.size - k)[allc.size - k])
+        cut = thr - 1e-9
+        if cut <= 0.0:
+            # degenerate (fewer than k scored docs, or scores at
+            # rounding scale): the cut can no longer exclude unmatched
+            # docs — take the plain exhaustive materialization
+            u = np.flatnonzero(acc)
+            return self._rank(u, acc[u], k)
+        sel = np.flatnonzero(acc >= cut)
+        return self._rank(sel, acc[sel], k)
+
     def _dense_contrib(self, term: str) -> np.ndarray:
         """The term's length-N BM25 contribution vector (0 where the
         term is absent) — cached: idf/tf/dl are query-independent, so
@@ -704,15 +797,25 @@ class LocalScorer:
         posting docIDs are unique."""
         c = self._dense_cache.get(term)
         if c is not None:
+            # LRU touch: dicts iterate in insertion order, so re-insert
+            # moves the hit to the young end
+            del self._dense_cache[term]
+            self._dense_cache[term] = c
             return c
         docs, tfs = self.postings(term)
         c = np.zeros(self.manifest.num_docs, dtype=np.float64)  # local
         # doc range, not self.N (see the dense-path comment above)
-        if docs.size:
-            c[docs] = self._contrib(tfs, self._dl[docs], self.idf(term))
-        if self._dense_cache_bytes + c.nbytes <= self._dense_cache_cap:
+        if c.nbytes <= self._dense_cache_cap:
+            while (
+                self._dense_cache
+                and self._dense_cache_bytes + c.nbytes > self._dense_cache_cap
+            ):
+                oldest = next(iter(self._dense_cache))
+                self._dense_cache_bytes -= self._dense_cache.pop(oldest).nbytes
             self._dense_cache[term] = c
             self._dense_cache_bytes += c.nbytes
+        if docs.size:
+            c[docs] = self._contrib(tfs, self._dl[docs], self.idf(term))
         return c
 
     @staticmethod
@@ -760,6 +863,9 @@ class LocalScorer:
             r = self._topk_bmw(query, k)
             if r is not None:
                 return r
+        r = self._topk_dense(query, k)
+        if r is not None:
+            return r
         u, scores = self.score_all(query)
         return self._rank(u, scores, k)
 

@@ -418,3 +418,39 @@ def test_explain_sums_to_score(engine_and_oracle):
         rows = engine.explain(q, int(docs[0]))
         assert rows, q
         assert sum(r["contribution"] for r in rows) == scores[0], q
+
+
+def test_dense_chunked_topk_matches_oracle(engine_and_oracle, monkeypatch):
+    """Force the huge-index dense top-k path (chunked k-th threshold +
+    cut, query.py:_topk_dense) on the small fixture: results must stay
+    bit-identical to the oracle for every k, including tie boundaries."""
+    import ciff_ray.query as qmod
+
+    engine, oracle = engine_and_oracle
+    monkeypatch.setattr(qmod, "_DENSE_TOPK_MIN_N", 1)
+    monkeypatch.setattr(qmod, "_DENSE_TOPK_CHUNK", 64)  # many chunks
+    for q in QUERIES:
+        for k in (1, 3, 10, 100):
+            exp = oracle.bm25_topk(q, k=k)
+            docs, scores = engine.topk(q, k=k, mode="exact")
+            assert docs.tolist() == [d for d, _ in exp], (q, k)
+            assert scores.tolist() == [s for _, s in exp], (q, k)
+
+
+def test_dense_cache_lru_eviction(engine_and_oracle):
+    """A dense cache too small for the working set must EVICT (not stop
+    admitting) and never change scores."""
+    engine, oracle = engine_and_oracle
+    sc = engine._local
+    one_vec = sc.manifest.num_docs * 8
+    sc._dense_cache.clear()
+    sc._dense_cache_bytes = 0
+    sc._dense_cache_cap = one_vec  # room for exactly one vector
+    for _ in range(2):
+        for q in ["the", "of and", "the of and to in"]:
+            exp = oracle.bm25_topk(q, k=10)
+            docs, scores = sc.topk(q, k=10, mode="exact")
+            assert docs.tolist() == [d for d, _ in exp], q
+            assert scores.tolist() == [s for _, s in exp], q
+            assert sc._dense_cache_bytes <= sc._dense_cache_cap
+            assert len(sc._dense_cache) <= 1
