@@ -222,13 +222,17 @@ class DoclengthStore:
             raise ValueError(
                 f"docmap hull [{base}, {end}) is not dense: {ids.size} rows"
             )
-        dl = np.concatenate(
+        src = np.concatenate(
             [p["doclength"].to_numpy(zero_copy_only=False) for p in parts]
         ).astype(np.int64)
-        order = np.argsort(ids)
-        if not np.array_equal(ids[order], np.arange(base, end)):
+        # scatter instead of argsort: the hull is a dense docID range,
+        # so placement is direct (doclengths are >= 0, -1 marks a hole;
+        # with ids.size == end-base a duplicate forces a hole elsewhere,
+        # so one scan catches both)
+        dl = np.full(end - base, -1, dtype=np.int64)
+        dl[ids - base] = src
+        if (dl < 0).any():
             raise ValueError(f"docmap hull [{base}, {end}) has gaps/duplicates")
-        dl = dl[order]
         for s in range(lo_s, hi_s + 1):
             b = (s << self.SHARD_BITS) - base
             e = min(b + (1 << self.SHARD_BITS), end - base)
@@ -671,8 +675,21 @@ class LocalScorer:
         return max(math.log((self.N - df + 0.5) / (df + 0.5)), EPS_IDF)
 
     def _contrib(self, tfs: np.ndarray, dl: np.ndarray, w: float) -> np.ndarray:
+        """w * tfs * (k1+1) / (tfs + k1 * (1 - b + b*dl/avgdl)), written
+        as an in-place chain: same per-element op sequence (mult/add
+        commuted only, which is bitwise-exact in IEEE), but 2 allocations
+        instead of 6 — the naive expression's temporaries dominated cold
+        stopword scoring at 19.5M docs (memory-bound box)."""
         k1, b = self.params.k1, self.params.b
-        return w * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / self.avgdl))
+        d = dl * b
+        d /= self.avgdl
+        d += 1.0 - b
+        d *= k1
+        d += tfs
+        n = tfs * w
+        n *= k1 + 1.0
+        n /= d
+        return n
 
     def score_all(
         self, query: str, boosts: dict[str, float] | None = None
