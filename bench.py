@@ -8,6 +8,8 @@ against the built index (p50/p95 latency).
     python bench.py               # one JSON line (driver contract)
     python bench.py --scaling     # same job at num_cpus=8 and 32 in
                                   # fresh processes + scaling efficiency
+    python bench.py --serve-sharded  # ShardedServingPool over
+                                  # RAY_GRAFT_SHARDS conv-range shards
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1 — used only to pick the
 scale; transcripts are synthesized, FIXTURES.md §6), RAY_GRAFT_CPUS
@@ -259,6 +261,108 @@ def run_serve_bench(sf_dir: str, num_cpus: int, n_queries: int = 4096) -> dict:
     }
 
 
+def run_sharded_serve_bench(
+    sf_dir: str, num_cpus: int, n_shards: int = 8, n_queries: int = 1024
+) -> dict:
+    """Scatter-gather serving over N conv-range doc shards
+    (ciff_ray.sharded.ShardedServingPool, global stats): the
+    resident-serving SCALE path — per-shard dense vectors and decode
+    shrink by N and every shard works each query in parallel, so this
+    is what a multi-node fleet runs once one index outgrows a node's
+    scorer caches.  At 19.5M turns it measured 4-5x the monolithic
+    pool, bit-identical results (test_sharded.py).  Shards + pool
+    persist under /tmp/ciff_bench so re-runs measure serving, not
+    building."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ciff_ray.build import BuildParams, build_index
+    from ciff_ray.sharded import ShardedServingPool
+    from ciff_ray.synth import _WORDS
+
+    sf = _sf_label(sf_dir)
+    tpath = _transcripts_path(sf)
+    root = f"/tmp/ciff_bench/shards_{sf}_{n_shards}"
+    build_sec = None
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        convs = pq.read_table(tpath, columns=["conv_id"])["conv_id"]
+        u = pc.unique(convs).sort()
+        n = len(u)
+        bounds = [u[min(i * n // n_shards, n - 1)].as_py() for i in range(1, n_shards)]
+        t0 = time.monotonic()
+        for i in range(n_shards):
+            out = os.path.join(root, f"shard{i}")
+            if os.path.exists(os.path.join(out, "manifest.json")):
+                continue
+            lo = bounds[i - 1] if i > 0 else None
+            hi = bounds[i] if i < n_shards - 1 else None
+            ds = ray.data.read_parquet(tpath, columns=["conv_id", "turn_idx", "text"])
+
+            def keep(b, lo=lo, hi=hi):
+                c = b["conv_id"]
+                m = np.ones(len(b), dtype=bool)
+                if lo is not None:
+                    m &= pc.greater_equal(c, lo).to_numpy(zero_copy_only=False)
+                if hi is not None:
+                    m &= pc.less(c, hi).to_numpy(zero_copy_only=False)
+                import pyarrow as pa
+
+                return b.filter(pa.array(m))
+
+            ds = ds.map_batches(keep, batch_format="pyarrow")
+            build_index(
+                ds, out, BuildParams(num_partitions=16, num_salts=4, sample_frac=0.25)
+            )
+        build_sec = round(time.monotonic() - t0, 3)
+        with open(os.path.join(root, "_DONE"), "w") as f:
+            f.write("ok")
+
+    rng = np.random.default_rng(5)
+    words = np.array(_WORDS)
+    qs = [
+        " ".join(rng.choice(words, size=rng.integers(2, 4), replace=False))
+        for _ in range(n_queries)
+    ]
+    pool = ShardedServingPool(
+        [os.path.join(root, f"shard{i}") for i in range(n_shards)],
+        os.path.join(root, "gstats"),
+    )
+    try:
+        t0 = time.monotonic()
+        pool.topk_table(qs[:128], k=10)
+        cold = time.monotonic() - t0
+        t0 = time.monotonic()
+        out = pool.topk_table(qs, k=10)
+        warm = time.monotonic() - t0
+    finally:
+        pool.shutdown()
+    r = {
+        "n_shards": n_shards,
+        "serve_queries": n_queries,
+        "cold_128_sec": round(cold, 3),
+        "cold_queries_per_sec": round(128 / cold, 2),
+        "warm_sec": round(warm, 3),
+        "warm_queries_per_sec": round(n_queries / warm, 2),
+        "result_rows": len(out),
+    }
+    if build_sec is not None:
+        r["shard_build_sec"] = build_sec
+    return r
+
+
 def run_bulk_bench(sf_dir: str, num_cpus: int, n_queries: int = 1024) -> dict:
     """Offline bulk retrieval (ciff_ray.bulk): one Dataset pass scores a
     DISTINCT-query workload via the doc-range-partitioned layout flip.
@@ -378,6 +482,26 @@ def main() -> None:
                 {
                     "metric": "distributed BM25 serving throughput",
                     "value": r["queries_per_sec"],
+                    "unit": "queries/sec",
+                    "queries": r,
+                    "sf": _sf_label(sf_dir),
+                    "num_cpus": num_cpus,
+                }
+            )
+        )
+        import ray
+
+        ray.shutdown()
+        return
+
+    if "--serve-sharded" in sys.argv:
+        n_shards = int(os.environ.get("RAY_GRAFT_SHARDS", "8"))
+        r = run_sharded_serve_bench(sf_dir, num_cpus, n_shards=n_shards)
+        print(
+            json.dumps(
+                {
+                    "metric": "sharded BM25 serving throughput",
+                    "value": r["warm_queries_per_sec"],
                     "unit": "queries/sec",
                     "queries": r,
                     "sf": _sf_label(sf_dir),
