@@ -45,13 +45,18 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- new round-4 entries ----------------------------------------------
     "bm25_topk_tiered", "bm25_proximity", "bm25_topk_stemmed",
     "bm25_topk_bulk", "bm25f_topk",
-    # -- engine north_rule gates (fill the window to 50; doc_fingerprint
-    # [no_oracle row] and chunk_docs [green r1-r3] rotate out) ------------
+    # round-4 late adds, never driver-checked — they also exercise the
+    # serving paths changed late in round 4 (dense top-k, cache LRU)
+    "bm25_topk_collapsed", "bm25_topk_page2", "bm25_hit_counts",
+    "bm25_explain", "bm25_scores_bulk",
+    # -- engine north_rule gates (fill the window to 50; rotated out as
+    # long-stable driver-green r01-r03: bm25_topk_merged,
+    # bm25_topk_compacted, bm25_topk_filtered, proximity_pairs,
+    # ranking_eval, doc_fingerprint, chunk_docs) --------------------------
     "tokenize_tf", "postings_stats", "docmap", "collection_stats",
-    "postings_lists", "bm25_scores", "bm25_topk", "bm25_topk_merged",
-    "bm25_topk_sharded", "bm25_topk_compacted", "bm25_topk_pruned",
-    "bm25_topk_filtered", "conv_topk", "phrase_match_positional",
-    "proximity_pairs", "hybrid_rrf", "ranking_eval",
+    "postings_lists", "bm25_scores", "bm25_topk",
+    "bm25_topk_sharded", "bm25_topk_pruned",
+    "conv_topk", "phrase_match_positional", "hybrid_rrf",
 ]
 
 
