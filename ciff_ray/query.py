@@ -238,10 +238,42 @@ class DoclengthStore:
             e = min(b + (1 << self.SHARD_BITS), end - base)
             self._shards.setdefault(s, dl[b:e])
 
+    def gather_sorted(self, docs: np.ndarray) -> np.ndarray:
+        """Gather for ASCENDING doc arrays — the postings() contract
+        (build asserts strict docID order at decode, postings() asserts
+        it across salted slices).  Skips the min/max and sortedness
+        passes __getitem__ pays: three full scans of a stopword-scale
+        list, ~0.5 s/query at 19.5M docs.  Shard spans of a sorted
+        array are CONTIGUOUS slices (searchsorted boundaries), so the
+        gather is one sliced fancy-index per shard."""
+        if docs.size == 0:
+            return np.empty(0, dtype=np.int64)
+        lo = int(docs[0]) >> self.SHARD_BITS
+        hi = int(docs[-1]) >> self.SHARD_BITS
+        if lo == hi:
+            return self._shard(lo)[docs - (lo << self.SHARD_BITS)]
+        missing = [s for s in range(lo, hi + 1) if s not in self._shards]
+        if len(missing) > 2:
+            # wide gather (stopword-scale list): one pass builds the
+            # whole hull instead of per-shard file re-reads
+            self._load_hull(missing[0], missing[-1])
+        out = np.empty(docs.shape, dtype=np.int64)
+        edges = np.searchsorted(
+            docs, np.arange(lo + 1, hi + 1) << self.SHARD_BITS
+        )
+        bounds = np.concatenate([[0], edges, [docs.size]])
+        for i, s in enumerate(range(lo, hi + 1)):
+            a, b = int(bounds[i]), int(bounds[i + 1])
+            if a < b:
+                out[a:b] = self._shard(s)[docs[a:b] - (s << self.SHARD_BITS)]
+        return out
+
     def __getitem__(self, docs: np.ndarray) -> np.ndarray:
         docs = np.asarray(docs)
         if docs.size == 0:
             return np.empty(0, dtype=np.int64)
+        if docs.size > 1 and docs[0] <= docs[-1] and (np.diff(docs) >= 0).all():
+            return self.gather_sorted(docs)
         # O(1) single-shard fast path (an O(n log n) np.unique here would
         # tax every per-term gather on the query hot path)
         lo = int(docs.min()) >> self.SHARD_BITS
@@ -252,27 +284,7 @@ class DoclengthStore:
             s for s in range(lo, hi + 1) if s not in self._shards
         ]
         if len(missing) > 2:
-            # wide gather (stopword-scale list): one pass builds the
-            # whole hull instead of per-shard file re-reads
             self._load_hull(missing[0], missing[-1])
-        if docs.size > 1 and docs[0] <= docs[-1] and (np.diff(docs) >= 0).all():
-            # posting lists arrive docID-sorted: shard spans are
-            # CONTIGUOUS slices (searchsorted boundaries), so the gather
-            # is one sliced fancy-index per shard — the per-shard boolean
-            # masks this replaces were O(shards × n) and dominated
-            # stopword-query time at 19.5M docs
-            out = np.empty(docs.shape, dtype=np.int64)
-            edges = np.searchsorted(
-                docs, np.arange(lo + 1, hi + 1) << self.SHARD_BITS
-            )
-            bounds = np.concatenate([[0], edges, [docs.size]])
-            for i, s in enumerate(range(lo, hi + 1)):
-                a, b = int(bounds[i]), int(bounds[i + 1])
-                if a < b:
-                    out[a:b] = self._shard(s)[
-                        docs[a:b] - (s << self.SHARD_BITS)
-                    ]
-            return out
         shard_of = docs >> self.SHARD_BITS
         out = np.empty(docs.shape, dtype=np.int64)
         for s in range(lo, hi + 1):
@@ -731,7 +743,7 @@ class LocalScorer:
             w = self.idf(t)
             if boosts is not None:
                 w = w * boosts.get(t, 1.0)
-            dl = self._dl[docs]
+            dl = self._dl.gather_sorted(docs)  # postings() => ascending
             doc_parts.append(docs)
             contrib_parts.append(self._contrib(tfs, dl, w))
         if not doc_parts:
@@ -832,7 +844,9 @@ class LocalScorer:
             self._dense_cache[term] = c
             self._dense_cache_bytes += c.nbytes
         if docs.size:
-            c[docs] = self._contrib(tfs, self._dl[docs], self.idf(term))
+            c[docs] = self._contrib(
+                tfs, self._dl.gather_sorted(docs), self.idf(term)
+            )
         return c
 
     @staticmethod
