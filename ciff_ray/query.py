@@ -617,11 +617,13 @@ class LocalScorer:
         first = row["first_doc"].as_py()
         gaps = codecs.decode(
             row["doc_bytes"].as_py(), df - 1, row["doc_codec"].as_py()
-        ).astype(np.int64)
+        )
         docs = np.empty(df, dtype=np.int64)
         docs[0] = first
         if df > 1:
-            np.cumsum(gaps, out=docs[1:])
+            # dtype=int64 widens during the cumsum — no separate astype
+            # pass over the decoded gaps
+            np.cumsum(gaps, dtype=np.int64, out=docs[1:])
             docs[1:] += first
         tfs = codecs.decode(
             row["tf_bytes"].as_py(), df, row["tf_codec"].as_py()
@@ -645,10 +647,22 @@ class LocalScorer:
         if len(parts) == 1:
             docs, tfs = parts[0]
         else:
+            # cross-slice interleave invariant at the slice BOUNDARIES
+            # only (each slice is ascending by d-gap construction, and
+            # the single-slice path above never re-scans either); the
+            # full-list scan this replaces cost a pass over 10M+
+            # postings per stopword term.  Deep intra-slice validation
+            # is fsck's job (check_index).
+            prev = parts[0][0]
+            for d, _ in parts[1:]:
+                if d.size and prev.size and d[0] <= prev[-1]:
+                    raise AssertionError(
+                        f"salted slices of {term!r} out of docID order"
+                    )
+                if d.size:
+                    prev = d
             docs = np.concatenate([d for d, _ in parts])
             tfs = np.concatenate([t for _, t in parts])
-            if (docs[1:] <= docs[:-1]).any():
-                raise AssertionError(f"salted slices of {term!r} out of docID order")
         if self._dead.size:
             # postings() is the single doc source for every scoring
             # mode (score_all / maxscore candidates / bmw), so masking
