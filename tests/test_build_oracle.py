@@ -274,3 +274,37 @@ def test_jsonl_transcripts_input_matches_parquet_build(ray_session, tmp_path):
             .partitions(2)
             .convert()
         )
+
+
+def test_doclength_gather_sorted_and_hull(built, monkeypatch):
+    """gather_sorted (the postings-contract fast path) and the bulk
+    hull loader must agree with the checked __getitem__ gather for
+    sorted spans of every width, including exact shard boundaries."""
+    from ciff_ray.query import DoclengthStore
+
+    tbl, out, manifest, oracle = built
+    monkeypatch.setattr(DoclengthStore, "SHARD_BITS", 4)
+    n = manifest.num_docs
+    dm = pq.read_table(IndexPaths(out).docmap_dir, columns=["doc_id", "doclength"])
+    flat = np.empty(n, dtype=np.int64)
+    flat[dm["doc_id"].to_numpy(zero_copy_only=False)] = dm[
+        "doclength"
+    ].to_numpy(zero_copy_only=False)
+
+    rng = np.random.default_rng(7)
+    cases = [
+        np.arange(n, dtype=np.int64),                       # all docs
+        np.arange(16, min(32, n), dtype=np.int64),          # one full shard
+        np.arange(15, min(33, n), dtype=np.int64),          # straddles edges
+        np.sort(rng.choice(n, size=min(50, n), replace=False)),  # sparse wide
+        np.array([n - 1], dtype=np.int64),                  # single doc
+    ]
+    for docs in cases:
+        fresh = DoclengthStore(IndexPaths(out).docmap_dir, n)
+        got = fresh.gather_sorted(docs)
+        assert np.array_equal(got, flat[docs])
+        # hull loader engaged for wide gathers builds every shard dense
+        got2 = fresh.gather_sorted(docs)  # cached second pass
+        assert np.array_equal(got2, flat[docs])
+        # checked indexer agrees
+        assert np.array_equal(fresh[docs], flat[docs])
