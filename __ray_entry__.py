@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_explain": p.q_bm25_explain,
         "bm25_hit_counts": p.q_bm25_hit_counts,
         "bm25_scores_bulk": p.q_bm25_scores_bulk,
+        "bm25_scores_upserted": p.q_bm25_scores_upserted,
         "bm25f_topk": p.q_bm25f_topk,
         "bm25_topk_filtered": p.q_bm25_topk_filtered,
         "bm25_feedback": p.q_bm25_feedback,

@@ -118,6 +118,21 @@ def cmd_delete(args) -> None:
     print(json.dumps({"total_tombstones": n}))
 
 
+def cmd_upsert(args) -> None:
+    _ray_session()
+    import ray.data
+
+    from ciff_ray.merge import upsert_convs
+
+    ds = ray.data.read_parquet(
+        args.input, columns=["conv_id", "turn_idx", "text"]
+    )
+    m = upsert_convs(args.base, ds, args.output)
+    print(json.dumps({"num_docs": m.num_docs,
+                      "num_postings_lists": m.num_postings_lists,
+                      "output": args.output}))
+
+
 def cmd_compact(args) -> None:
     _ray_session()
     from ciff_ray.lifecycle import compact_index
@@ -310,6 +325,16 @@ def main(argv=None) -> None:
     dl.add_argument("index")
     dl.add_argument("doc_ids", nargs="+", help="docIDs to tombstone")
     dl.set_defaults(fn=cmd_delete)
+
+    up = sub.add_parser(
+        "upsert",
+        help="replace whole conversations: tombstone old turns in BASE, "
+        "ingest the new rows, merge into OUTPUT (compact to fold stats)",
+    )
+    up.add_argument("base", help="existing index dir (tombstones are written here)")
+    up.add_argument("input", help="parquet of replacement transcripts")
+    up.add_argument("output")
+    up.set_defaults(fn=cmd_upsert)
 
     bp = sub.add_parser(
         "build-positions",

@@ -88,6 +88,45 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     return int(new.size)
 
 
+def delete_convs(index_dir: str, conv_ids) -> int:
+    """Tombstone every turn of the given conversations (the conv-level
+    delete the upsert path needs).  A distributed docmap scan resolves
+    conv membership: each map task parses the conv prefix out of
+    ``collection_docid`` (``<conv_id>/<turn_idx>``, turn has no '/')
+    and emits ONLY matching docIDs, so the driver materializes the
+    delete set (bounded by the upsert size), never the docmap.
+    Returns the total tombstone count after the delete."""
+    import ray.data
+
+    conv_set = sorted(set(conv_ids))
+    if not conv_set:
+        paths = IndexPaths(index_dir)
+        return int(_load_tombstones(paths).size)
+    conv_ref = ray.put(pa.array(conv_set, type=pa.string()))
+
+    def _matches(batch: pa.Table, *, ref=conv_ref) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        convs = pc.list_element(
+            pc.split_pattern(
+                batch["collection_docid"], "/", max_splits=1, reverse=True
+            ),
+            0,
+        )
+        hit = pc.is_in(convs, value_set=ray.get(ref))
+        return pa.table({"doc_id": batch["doc_id"].filter(hit)})
+
+    rows = (
+        ray.data.read_parquet(
+            IndexPaths(index_dir).docmap_dir,
+            columns=["doc_id", "collection_docid"],
+        )
+        .map_batches(_matches, batch_format="pyarrow")
+        .take_all()
+    )
+    return delete_docs(index_dir, [r["doc_id"] for r in rows])
+
+
 def _load_tombstones(paths: IndexPaths) -> np.ndarray:
     if not os.path.exists(paths.tombstones):
         return np.empty(0, dtype=np.int64)

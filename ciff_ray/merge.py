@@ -271,6 +271,32 @@ def ingest(
     return merge_indexes([base_dir, delta_dir], out_dir)
 
 
+def upsert_convs(
+    base_dir: str,
+    new_ds,
+    out_dir: str,
+    delta_dir: str | None = None,
+    params=None,
+) -> Manifest:
+    """Replace whole conversations: tombstone every existing turn of
+    the conv_ids present in ``new_ds`` in the BASE index (mutates the
+    base's tombstone file — deferred-delete semantics), then fold
+    ``new_ds`` in as a delta via :func:`ingest`.  Conversations not in
+    the base are plain inserts.
+
+    Until :func:`ciff_ray.lifecycle.compact_index` runs on the result,
+    collection statistics keep their index-time values and the docmap
+    carries the dead duplicates of the replaced conversations (queries
+    can never return them — every scorer filters tombstones).  After
+    compaction the index is bit-identical to a from-scratch build over
+    the updated corpus (tests/test_upsert.py)."""
+    from ciff_ray.lifecycle import delete_convs
+
+    convs = new_ds.unique("conv_id")
+    delete_convs(base_dir, convs)
+    return ingest(base_dir, new_ds, out_dir, delta_dir=delta_dir, params=params)
+
+
 def merge_indexes(root_dirs: list[str], out_dir: str) -> Manifest:
     """Merge built indexes into ``out_dir``.  Resumable: completed
     partitions (and the docmap) are skipped via fingerprinted markers.

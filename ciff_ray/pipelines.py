@@ -763,6 +763,145 @@ def q_bm25_topk_compacted(sf_dir: str) -> pa.Table:
     ).select_columns(["query_id", "rank", "doc_id"])
 
 
+UPSERT_CONV_MOD = 29  # conversations with conv_num % 29 == 0 get revised
+
+
+def ensure_upserted_index(sf_dir: str) -> str:
+    """Upsert-lifecycle chain, cached per sf_dir: private base build →
+    conv-level tombstone + delta ingest + metadata-only merge
+    (merge.upsert_convs) → compaction.  Every turn of the revised
+    conversations gets ``text || ' freshterm'`` — SQL-mirrorable, so
+    the whole chain sits under a full-corpus scores oracle.  The
+    compacted result is bit-identical to a fresh build over the updated
+    corpus (tests/test_upsert.py); docIDs are REMAPPED by the chain,
+    which is why the entry keys on the ORIGINAL doc_id recovered from
+    collection_docid."""
+    from ciff_ray.layout import cache_root
+    from ciff_ray.lifecycle import compact_index
+    from ciff_ray.merge import upsert_convs
+    from ciff_ray.synth import (
+        TURNS_PER_CONV_FROM_DOCS,
+        transcripts_from_documents,
+    )
+
+    fp = _sf_fingerprint(sf_dir)
+    final = os.path.join(cache_root(), "index", f"{fp}-upserted")
+    if os.path.exists(IndexPaths(final).manifest):
+        return final
+    base = os.path.join(cache_root(), "index", f"{fp}-upsert-base")
+    if not os.path.exists(IndexPaths(base).manifest):
+        # private build — upsert writes tombstones into its base, so the
+        # shared ensure_index cache must not be used
+        build_index(
+            transcripts_dataset(sf_dir),
+            base,
+            BuildParams(num_partitions=16, sample_frac=1.0),
+            input_fingerprint=f"{fp}-upsert-base",
+        )
+    k = TURNS_PER_CONV_FROM_DOCS
+
+    def _revised_docs(batch: pa.Table) -> pa.Table:
+        doc_id = np.asarray(
+            batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        keep = (doc_id // k) % UPSERT_CONV_MOD == 0
+        b = batch.filter(pa.array(keep))
+        if len(b) == 0:
+            return b
+        text = pc.binary_join_element_wise(b["text"], "freshterm", " ")
+        return b.set_column(b.schema.get_field_index("text"), "text", text)
+
+    new_ds = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        .map_batches(_revised_docs, batch_format="pyarrow")
+        .map_batches(transcripts_from_documents, batch_format="pyarrow")
+    )
+    merged = os.path.join(cache_root(), "index", f"{fp}-upsert-merged")
+    if not os.path.exists(IndexPaths(merged).manifest):
+        upsert_convs(base, new_ds, merged)
+    compact_index(merged, final)
+    return final
+
+
+class _UpsertScoreActor:
+    """score_all over the upserted index, emitting the ORIGINAL corpus
+    doc_id (conv_num * turns_per_conv + turn, parsed vectorized from
+    collection_docid ``conv-XXXXXXX/turn``) — compaction remapped the
+    engine docIDs; the oracle keys on the original."""
+
+    def __init__(self, index_dir: str):
+        from ciff_ray.query import LocalScorer
+        from ciff_ray.synth import TURNS_PER_CONV_FROM_DOCS
+
+        self.scorer = LocalScorer(index_dir)
+        self.k = TURNS_PER_CONV_FROM_DOCS
+
+    def _orig_ids(self, docs: np.ndarray) -> np.ndarray:
+        names = pa.array(
+            self.scorer.collection_docids(docs), type=pa.string()
+        )
+        parts = pc.split_pattern(names, "/")
+        conv = pc.cast(
+            pc.utf8_slice_codeunits(pc.list_element(parts, 0), 5, 99),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        turn = pc.cast(pc.list_element(parts, 1), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return conv * self.k + turn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, scores = [], [], []
+        for qid, q in zip(
+            batch["query_id"].to_pylist(), batch["query"].to_pylist()
+        ):
+            u, sc = self.scorer.score_all(q)
+            qids.append(np.full(u.size, qid, dtype=np.int64))
+            docs.append(
+                self._orig_ids(u) if u.size else np.empty(0, np.int64)
+            )
+            scores.append(np.round(sc, 6))
+        if not qids:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "score_r": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qids), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(docs), type=pa.int64()),
+                "score_r": pa.array(
+                    np.concatenate(scores), type=pa.float64()
+                ),
+            }
+        )
+
+
+def q_bm25_scores_upserted(sf_dir: str) -> ray.data.Dataset:
+    """All matching (query_id, doc_id, score_r) AFTER the upsert
+    lifecycle (replace every conv_num % {MOD} == 0 conversation with a
+    ``text || ' freshterm'`` revision, merge, compact) — the oracle is
+    plain BM25 SQL over the CASE-updated corpus, so this is a hard
+    end-to-end gate on delete_convs + upsert_convs + compact_index."""
+    idx = ensure_upserted_index(sf_dir)
+    return (
+        _query_set_ds()
+        .repartition(4)
+        .map_batches(
+            _UpsertScoreActor,
+            fn_constructor_args=(idx,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    )
+
+
 def ensure_pruned_index(sf_dir: str) -> str:
     """Build (once per sf_dir) the top-λ pruned copy of the full index
     under the shared cache root; returns its directory."""
@@ -2810,6 +2949,19 @@ SELECT role, CAST(count(*) AS BIGINT) AS n,
 FROM r GROUP BY role""",
         "bm25_scores": f"""{T},
 {_bm25_scored_cte().lstrip()}
+SELECT query_id, doc_id, round(score, 6) AS score_r FROM scored""",
+        # upsert lifecycle: the SAME scores oracle, over the corpus with
+        # every conv_num % UPSERT_CONV_MOD == 0 conversation revised to
+        # text || ' freshterm' — what the engine serves after
+        # delete_convs + upsert_convs + compact_index
+        "bm25_scores_upserted": f"""{T},
+upserted AS (
+  SELECT conv_id, turn_idx, doc_id,
+         CASE WHEN (doc_id // {_TPC}) % {UPSERT_CONV_MOD} = 0
+              THEN text || ' freshterm' ELSE text END AS text
+  FROM transcripts
+),
+{_bm25_scored_cte(src="upserted").lstrip()}
 SELECT query_id, doc_id, round(score, 6) AS score_r FROM scored""",
         "bm25_topk": f"""{T},
 {_bm25_scored_cte().lstrip()}
