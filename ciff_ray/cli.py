@@ -112,9 +112,15 @@ def cmd_merge(args) -> None:
 
 
 def cmd_delete(args) -> None:
-    from ciff_ray.lifecycle import delete_docs
+    if args.convs:
+        _ray_session()
+        from ciff_ray.lifecycle import delete_convs
 
-    n = delete_docs(args.index, [int(x) for x in args.doc_ids])
+        n = delete_convs(args.index, args.doc_ids)
+    else:
+        from ciff_ray.lifecycle import delete_docs
+
+        n = delete_docs(args.index, [int(x) for x in args.doc_ids])
     print(json.dumps({"total_tombstones": n}))
 
 
@@ -324,6 +330,11 @@ def main(argv=None) -> None:
     dl = sub.add_parser("delete", help="tombstone docIDs in an index")
     dl.add_argument("index")
     dl.add_argument("doc_ids", nargs="+", help="docIDs to tombstone")
+    dl.add_argument(
+        "--convs",
+        action="store_true",
+        help="arguments are conv_ids: tombstone every turn of each",
+    )
     dl.set_defaults(fn=cmd_delete)
 
     up = sub.add_parser(
