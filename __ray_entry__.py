@@ -49,14 +49,17 @@ _DRIVER_WINDOW_PRIORITY = [
     # serving paths changed late in round 4 (dense top-k, cache LRU)
     "bm25_topk_collapsed", "bm25_topk_page2", "bm25_hit_counts",
     "bm25_explain", "bm25_scores_bulk",
+    # the conversation-upsert lifecycle gate (delete_convs +
+    # upsert_convs + compact under a CASE-updated-corpus oracle)
+    "bm25_scores_upserted",
     # -- engine north_rule gates (fill the window to 50; rotated out as
     # long-stable driver-green r01-r03: bm25_topk_merged,
     # bm25_topk_compacted, bm25_topk_filtered, proximity_pairs,
-    # ranking_eval, doc_fingerprint, chunk_docs) --------------------------
+    # ranking_eval, hybrid_rrf, doc_fingerprint, chunk_docs) --------------
     "tokenize_tf", "postings_stats", "docmap", "collection_stats",
     "postings_lists", "bm25_scores", "bm25_topk",
     "bm25_topk_sharded", "bm25_topk_pruned",
-    "conv_topk", "phrase_match_positional", "hybrid_rrf",
+    "conv_topk", "phrase_match_positional",
 ]
 
 

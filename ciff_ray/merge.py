@@ -292,6 +292,11 @@ def upsert_convs(
     the updated corpus (tests/test_upsert.py)."""
     from ciff_ray.lifecycle import delete_convs
 
+    # materialize once: .unique() below and the delta build inside
+    # ingest() would otherwise each re-execute the caller's full lazy
+    # pipeline (the delta is the SMALL side of an upsert by contract —
+    # it lives in the object store, spilling if needed)
+    new_ds = new_ds.materialize()
     convs = new_ds.unique("conv_id")
     delete_convs(base_dir, convs)
     return ingest(base_dir, new_ds, out_dir, delta_dir=delta_dir, params=params)

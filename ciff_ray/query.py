@@ -621,6 +621,18 @@ class LocalScorer:
         docs = np.empty(df, dtype=np.int64)
         docs[0] = first
         if df > 1:
+            # strictly-positive gaps <=> strictly-ascending slice: this
+            # single reduction is the intra-slice corruption fail-fast
+            # (M3 negative-value guard).  gather_sorted and the sliced
+            # shard gathers TRUST ascending postings, so a bad gap must
+            # die here, not mis-score silently downstream.  Cheaper than
+            # the full docID comparison scan it subsumes, and it also
+            # covers single-slice terms (which the old concatenated-list
+            # check never saw).
+            if int(gaps.min()) < 1:
+                raise AssertionError(
+                    "corrupt posting slice: non-positive d-gap"
+                )
             # dtype=int64 widens during the cumsum — no separate astype
             # pass over the decoded gaps
             np.cumsum(gaps, dtype=np.int64, out=docs[1:])
@@ -848,6 +860,14 @@ class LocalScorer:
         docs, tfs = self.postings(term)
         c = np.zeros(self.manifest.num_docs, dtype=np.float64)  # local
         # doc range, not self.N (see the dense-path comment above)
+        if docs.size:
+            c[docs] = self._contrib(
+                tfs, self._dl.gather_sorted(docs), self.idf(term)
+            )
+        # cache ONLY the fully-built vector: inserting before the fill
+        # would leave a poisoned all-zeros entry behind if the fill
+        # raises (doclength load error, MemoryError) in a long-lived
+        # serving actor — silent wrong scores on every later hit
         if c.nbytes <= self._dense_cache_cap:
             while (
                 self._dense_cache
@@ -857,10 +877,6 @@ class LocalScorer:
                 self._dense_cache_bytes -= self._dense_cache.pop(oldest).nbytes
             self._dense_cache[term] = c
             self._dense_cache_bytes += c.nbytes
-        if docs.size:
-            c[docs] = self._contrib(
-                tfs, self._dl.gather_sorted(docs), self.idf(term)
-            )
         return c
 
     @staticmethod

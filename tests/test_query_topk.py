@@ -454,3 +454,31 @@ def test_dense_cache_lru_eviction(engine_and_oracle):
             assert scores.tolist() == [s for _, s in exp], q
             assert sc._dense_cache_bytes <= sc._dense_cache_cap
             assert len(sc._dense_cache) <= 1
+
+
+def test_corrupt_gap_fails_fast(engine_and_oracle):
+    """A non-positive d-gap (duplicate/descending docID) must die at
+    decode — gather_sorted and the sliced shard gathers TRUST ascending
+    postings, so silent acceptance would mis-score downstream."""
+    import numpy as np
+
+    from ciff_ray import codecs
+
+    engine, _oracle = engine_and_oracle
+    sc = engine._local
+    gaps = np.array([3, 0, 2], dtype=np.int64)  # zero gap
+    row = {
+        "df": pa.scalar(4),
+        "first_doc": pa.scalar(10),
+        "doc_bytes": pa.scalar(
+            bytes(codecs.encode(gaps, codecs.CODEC_VARINT)), type=pa.binary()
+        ),
+        "doc_codec": pa.scalar(codecs.CODEC_VARINT),
+        "tf_bytes": pa.scalar(
+            bytes(codecs.encode(np.ones(4, dtype=np.int64), codecs.CODEC_VARINT)),
+            type=pa.binary(),
+        ),
+        "tf_codec": pa.scalar(codecs.CODEC_VARINT),
+    }
+    with pytest.raises(AssertionError, match="non-positive d-gap"):
+        sc._decode_slice(row)

@@ -114,13 +114,18 @@ def test_stale_turns_never_served_and_fresh_turns_are(upserted):
             new_tbl["conv_id"].to_pylist(), new_tbl["turn_idx"].to_pylist()
         )
     }
-    # no stale turn of a replaced conv is reachable from any posting hit
+    # no stale turn of a replaced conv is reachable from any posting
+    # hit: every served docID of a replaced conv must BE one of the
+    # replacement docIDs (turn-index checks alone would miss a
+    # tombstone landing on the wrong doc of turns 0-3)
+    fresh_ids = set(docs.tolist())
     for q in QUERIES:
         d, _ = eng._local.score_all(q)
-        for name in eng.collection_docids(d):
-            conv, turn = name.rsplit("/", 1)
+        names = eng.collection_docids(d)
+        for doc, name in zip(d.tolist(), names):
+            conv, _turn = name.rsplit("/", 1)
             if conv in set(replaced):
-                assert int(turn) < 4, f"stale turn served: {name}"
+                assert doc in fresh_ids, f"stale turn served: {name}"
 
 
 def test_compacted_upsert_matches_fresh_build(upserted):
