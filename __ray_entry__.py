@@ -52,11 +52,15 @@ _DRIVER_WINDOW_PRIORITY = [
     # the conversation-upsert lifecycle gate (delete_convs +
     # upsert_convs + compact under a CASE-updated-corpus oracle)
     "bm25_scores_upserted",
+    # round-4 final adds: boolean OR / AND-NOT, ordered span-near over
+    # the positional store, trec_eval-style ranking metrics
+    "boolean_or", "boolean_and_not", "span_near", "ranking_metrics",
     # -- engine north_rule gates (fill the window to 50; rotated out as
     # long-stable driver-green r01-r03: bm25_topk_merged,
     # bm25_topk_compacted, bm25_topk_filtered, proximity_pairs,
-    # ranking_eval, hybrid_rrf, doc_fingerprint, chunk_docs) --------------
-    "tokenize_tf", "postings_stats", "docmap", "collection_stats",
+    # ranking_eval, hybrid_rrf, doc_fingerprint, chunk_docs, and — for
+    # the round-4 final adds — tokenize_tf, postings_stats, docmap,
+    # collection_stats) ---------------------------------------------------
     "postings_lists", "bm25_scores", "bm25_topk",
     "bm25_topk_sharded", "bm25_topk_pruned",
     "conv_topk", "phrase_match_positional",
@@ -65,13 +69,16 @@ _DRIVER_WINDOW_PRIORITY = [
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from ciff_ray import pipelines as p
+    from ciff_ray.booleanq import q_boolean_and_not, q_boolean_or
     from ciff_ray.evaluation import q_ranking_eval as _ranking_eval
+    from ciff_ray.evaluation import q_ranking_metrics as _ranking_metrics
     from ciff_ray.hybrid import q_hybrid_rrf as _hybrid_rrf
     from ciff_ray.positions import q_bm25_proximity as _bm25_proximity
     from ciff_ray.positions import (
         q_phrase_match_positional as _positional_phrase,
     )
     from ciff_ray.positions import q_proximity_pairs as _proximity
+    from ciff_ray.positions import q_span_near as _span_near
 
     entries: dict[str, Callable[[str], Any]] = {
         # inverted-index engine family (SURVEY.md §2; north_rule gate)
@@ -105,6 +112,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_stemmed": p.q_bm25_topk_stemmed,
         "bm25_snippets": p.q_bm25_snippets,
         "boolean_and": p.q_boolean_and,
+        "boolean_or": q_boolean_or,
+        "boolean_and_not": q_boolean_and_not,
+        "span_near": _span_near,
+        "ranking_metrics": _ranking_metrics,
         "phrase_match": p.q_phrase_match,
         "phrase_match_positional": _positional_phrase,
         "proximity_pairs": _proximity,
@@ -136,11 +147,23 @@ def oracle_sql() -> dict[str, str]:
     from ciff_ray import pipelines as p
 
     sqls = dict(p.oracle_sqls())
-    from ciff_ray.evaluation import ranking_eval_oracle_sql
+    from ciff_ray.booleanq import (
+        boolean_and_not_oracle_sql,
+        boolean_or_oracle_sql,
+    )
+    from ciff_ray.evaluation import (
+        ranking_eval_oracle_sql,
+        ranking_metrics_oracle_sql,
+    )
     from ciff_ray.hybrid import hybrid_oracle_sql
+    from ciff_ray.positions import span_near_oracle_sql
 
     sqls["hybrid_rrf"] = hybrid_oracle_sql()
     sqls["ranking_eval"] = ranking_eval_oracle_sql()
+    sqls["ranking_metrics"] = ranking_metrics_oracle_sql()
+    sqls["boolean_or"] = boolean_or_oracle_sql()
+    sqls["boolean_and_not"] = boolean_and_not_oracle_sql()
+    sqls["span_near"] = span_near_oracle_sql()
     try:
         from ciff_ray import extras
 

@@ -1,0 +1,285 @@
+"""Boolean retrieval beyond conjunction: disjunctive (OR) matching
+with coordination counts, and negated (AND NOT) matching — the two
+remaining legs of the classic boolean query surface next to
+`pipelines.q_boolean_and` (reference query-semantics family; the
+reference itself only ranks, cf. pisa-engine/ciff src/lib.rs query
+path which materializes one posting list per term and leaves
+composition to callers).
+
+Shapes (both 100-TB-clean):
+- OR is a per-query union of decoded posting lists: one np.unique with
+  counts over the concatenated docID arrays — no text re-scan, no
+  shuffle; the output is bounded by Σ df(t), the same bound the BM25
+  scoring pass already pays.
+- AND NOT intersects the include lists rarest-first (|result| only
+  shrinks), unions the exclude lists, and subtracts with one
+  searchsorted — the exclude side never ships documents, only docIDs.
+
+Both run as actor-pool `map_batches` stages over the fixed query sets;
+index state loads once per actor (`LocalScorer`), queries stream
+through in batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ciff_ray.oracle import tokenize
+
+# (include-terms, exclude-terms) pairs over the documents vocabulary:
+# heavy-hitter excludes, miss excludes, miss includes, self-exclusion
+# (always empty), and multi-term both sides.
+NOT_QUERY_SET = [
+    ("the key", "merge"),
+    ("table", "the"),
+    ("batch stream", "zzznotaterm"),
+    ("zzznotaterm", "key"),
+    ("customer order", "join filter"),
+    ("vector", "vector"),
+    ("the a", "batch stream"),
+]
+
+
+def _not_query_set_ds() -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(
+                    np.arange(len(NOT_QUERY_SET), dtype=np.int64)
+                ),
+                "include": pa.array([q[0] for q in NOT_QUERY_SET]),
+                "exclude": pa.array([q[1] for q in NOT_QUERY_SET]),
+            }
+        )
+    )
+
+
+def _empty_or_table() -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_match": pa.array([], type=pa.int64()),
+        }
+    )
+
+
+class _BooleanOrActor:
+    """map_batches stage: (query_id, query) rows -> all (query_id,
+    doc_id, n_match) with the doc containing AT LEAST ONE query term,
+    n_match = how many distinct query terms it contains (the
+    coordination factor boolean rankers key on)."""
+
+    def __init__(self, index_dir: str):
+        from ciff_ray.query import LocalScorer
+
+        self.scorer = LocalScorer(index_dir)
+
+    def _disjunction(self, query: str) -> tuple[np.ndarray, np.ndarray]:
+        arrs = []
+        for t in sorted(set(tokenize(query))):
+            if self.scorer._term_stat(t) is None:
+                continue  # a missing term contributes nothing to OR
+            d, _ = self.scorer.postings(t)
+            arrs.append(d.astype(np.int64))
+        if not arrs:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        # each term's list is unique per doc, so the multiplicity of a
+        # docID across the concatenation IS its matched-term count
+        u, c = np.unique(np.concatenate(arrs), return_counts=True)
+        return u, c.astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, counts = [], [], []
+        for qid, q in zip(
+            batch["query_id"].to_pylist(), batch["query"].to_pylist()
+        ):
+            u, c = self._disjunction(q)
+            qids.append(np.full(u.size, qid, dtype=np.int64))
+            docs.append(u)
+            counts.append(c)
+        if not qids:
+            return _empty_or_table()
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qids), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(docs), type=pa.int64()),
+                "n_match": pa.array(np.concatenate(counts), type=pa.int64()),
+            }
+        )
+
+
+class _BooleanAndNotActor:
+    """map_batches stage: (query_id, include, exclude) rows -> all
+    (query_id, doc_id) matching EVERY include term and NO exclude term.
+    Includes intersect rarest-first; excludes union once and subtract
+    with a single searchsorted probe."""
+
+    def __init__(self, index_dir: str):
+        from ciff_ray.query import LocalScorer
+
+        self.scorer = LocalScorer(index_dir)
+
+    def _conjunction(self, query: str) -> np.ndarray:
+        from ciff_ray.pipelines import _intersect_sorted
+
+        terms = sorted(set(tokenize(query)))
+        if not terms:
+            return np.empty(0, np.int64)
+        stats = []
+        for t in terms:
+            st = self.scorer._term_stat(t)
+            if st is None:  # a missing include term empties the AND
+                return np.empty(0, np.int64)
+            stats.append((st[0], t))
+        stats.sort()  # rarest term drives
+        cur, _ = self.scorer.postings(stats[0][1])
+        cur = cur.astype(np.int64)
+        for _, t in stats[1:]:
+            if cur.size == 0:
+                break
+            d, _ = self.scorer.postings(t)
+            cur = _intersect_sorted(cur, d.astype(np.int64))
+        return cur
+
+    def _exclusion(self, query: str) -> np.ndarray:
+        arrs = []
+        for t in sorted(set(tokenize(query))):
+            if self.scorer._term_stat(t) is None:
+                continue  # a missing exclude term excludes nothing
+            d, _ = self.scorer.postings(t)
+            arrs.append(d.astype(np.int64))
+        if not arrs:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(arrs))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs = [], []
+        for qid, inc, exc in zip(
+            batch["query_id"].to_pylist(),
+            batch["include"].to_pylist(),
+            batch["exclude"].to_pylist(),
+        ):
+            cur = self._conjunction(inc)
+            if cur.size:
+                ex = self._exclusion(exc)
+                if ex.size:
+                    pos = np.searchsorted(ex, cur)
+                    inb = pos < ex.size
+                    hit = np.zeros(cur.size, dtype=bool)
+                    hit[inb] = ex[pos[inb]] == cur[inb]
+                    cur = cur[~hit]
+            qids.append(np.full(cur.size, qid, dtype=np.int64))
+            docs.append(cur)
+        if not qids:
+            qcat: np.ndarray = np.empty(0, np.int64)
+            dcat: np.ndarray = np.empty(0, np.int64)
+        else:
+            qcat, dcat = np.concatenate(qids), np.concatenate(docs)
+        return pa.table(
+            {
+                "query_id": pa.array(qcat, type=pa.int64()),
+                "doc_id": pa.array(dcat, type=pa.int64()),
+            }
+        )
+
+
+def q_boolean_or(sf_dir: str) -> ray.data.Dataset:
+    """Disjunctive (any-term) match set with per-doc matched-term
+    counts for the fixed query set."""
+    from ciff_ray.pipelines import _query_set_ds, ensure_index
+
+    idx = ensure_index(sf_dir)
+    return (
+        _query_set_ds()
+        .repartition(4)
+        .map_batches(
+            _BooleanOrActor,
+            fn_constructor_args=(idx,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    )
+
+
+def q_boolean_and_not(sf_dir: str) -> ray.data.Dataset:
+    """Negated conjunctive match set (include AND NOT exclude) for the
+    fixed NOT_QUERY_SET."""
+    from ciff_ray.pipelines import ensure_index
+
+    idx = ensure_index(sf_dir)
+    return (
+        _not_query_set_ds()
+        .repartition(4)
+        .map_batches(
+            _BooleanAndNotActor,
+            fn_constructor_args=(idx,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracles
+
+
+def _not_values(side: int) -> str:
+    """(query_id, term) VALUES rows for the include (0) / exclude (1)
+    side of NOT_QUERY_SET — mirrors the actors' sorted(set(tokenize))."""
+    values = []
+    for qid, pair in enumerate(NOT_QUERY_SET):
+        for t in sorted(set(tokenize(pair[side]))):
+            values.append(f"({qid}, '{t}')")
+    return ", ".join(values)
+
+
+def boolean_or_oracle_sql() -> str:
+    from ciff_ray.pipelines import _boolean_query_values
+    from ciff_ray.synth import SQL_TRANSCRIPTS_CTE
+
+    return f"""WITH {SQL_TRANSCRIPTS_CTE.strip()},
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM transcripts
+),
+tf AS (
+  SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''
+),
+q(query_id, term) AS (VALUES {_boolean_query_values()})
+SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_match
+FROM q JOIN tf USING (term) GROUP BY q.query_id, tf.doc_id"""
+
+
+def boolean_and_not_oracle_sql() -> str:
+    from ciff_ray.synth import SQL_TRANSCRIPTS_CTE
+
+    return f"""WITH {SQL_TRANSCRIPTS_CTE.strip()},
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM transcripts
+),
+tf AS (
+  SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''
+),
+qi(query_id, term) AS (VALUES {_not_values(0)}),
+qe(query_id, term) AS (VALUES {_not_values(1)}),
+qn AS (SELECT query_id, count(*) AS nt FROM qi GROUP BY query_id),
+ahit AS (
+  SELECT qi.query_id, tf.doc_id, count(*) AS nhit
+  FROM qi JOIN tf USING (term) GROUP BY qi.query_id, tf.doc_id
+),
+amatch AS (
+  SELECT a.query_id, a.doc_id
+  FROM ahit a JOIN qn USING (query_id) WHERE a.nhit = qn.nt
+),
+ehit AS (
+  SELECT DISTINCT qe.query_id, tf.doc_id FROM qe JOIN tf USING (term)
+)
+SELECT CAST(m.query_id AS BIGINT) AS query_id, m.doc_id AS doc_id
+FROM amatch m
+LEFT JOIN ehit e ON e.query_id = m.query_id AND e.doc_id = m.doc_id
+WHERE e.doc_id IS NULL"""

@@ -558,3 +558,201 @@ def q_bm25_proximity(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         concurrency=(1, 4),
     ).select_columns(["query_id", "rank", "doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# ordered span-near search (Lucene SpanNearQuery(inOrder=true) analogue)
+
+# (terms-in-order, slop) — slop = max total gap tokens allowed inside
+# the window, i.e. (pos_last - pos_first) - (n-1) <= slop; slop 0 means
+# exact phrase adjacency.  Mix of 2- and 3-term spans, a repeated-term
+# span, a slop-0 phrase equivalent, and a no-hit probe.  Keep BOTH
+# arities populated: the oracle SQL unions one block per arity.
+SPAN_QUERY_SET: list[tuple[list[str], int]] = [
+    (["the", "key"], 3),
+    (["merge", "join"], 8),
+    (["key", "order", "sort"], 6),
+    (["the", "the"], 2),
+    (["spark", "window"], 0),
+    (["zzznotaterm", "key"], 10),
+    (["the", "fast", "key"], 0),
+]
+
+
+def _span_min_gaps(
+    store: PositionStore, terms: list[str], cand: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc minimum total gap of an ORDERED occurrence of ``terms``
+    (positions strictly increasing), from the positional store alone.
+
+    Greedy earliest-completion chase over the packed (doc<<32|pos) key
+    sets: from every occurrence of terms[0], each subsequent term jumps
+    to its first position strictly after the chain's current end (one
+    searchsorted per term over all chains at once).  For a fixed start
+    the greedy chain minimizes the window end, and any valid ordered
+    tuple contains a chain from its own start with an equal-or-smaller
+    window — so min-over-starts equals the exact min over ALL ordered
+    tuples, which is what the oracle's positional self-join computes.
+    Cost: O(Σ |keys(tᵢ)| log) — no per-doc Python loop.
+    """
+    empty = np.empty(0, np.int64)
+    starts = store.keys(terms[0], cand)
+    if starts.size == 0:
+        return empty, empty
+    keep_start, end = starts, starts
+    for t in terms[1:]:
+        if end.size == 0:
+            return empty, empty
+        nxt = store.keys(t, cand)
+        if nxt.size == 0:
+            return empty, empty
+        idx = np.searchsorted(nxt, end + np.uint64(1))
+        inb = idx < nxt.size
+        nxt_keys = nxt[np.minimum(idx, nxt.size - 1)]
+        ok = inb & ((nxt_keys >> np.uint64(32)) == (end >> np.uint64(32)))
+        keep_start, end = keep_start[ok], nxt_keys[ok]
+    if end.size == 0:
+        return empty, empty
+    gaps = (
+        (end & _POS_MASK).astype(np.int64)
+        - (keep_start & _POS_MASK).astype(np.int64)
+        - (len(terms) - 1)
+    )
+    docs = (keep_start >> np.uint64(32)).astype(np.int64)
+    # keep_start stays key-sorted through the filters, so docs is
+    # nondecreasing: per-doc min is one reduceat
+    cut = np.flatnonzero(np.r_[True, docs[1:] != docs[:-1]])
+    return docs[cut], np.minimum.reduceat(gaps, cut)
+
+
+class _SpanNearVerify:
+    """map_batches stage over (query_id) rows: AND candidates ride in a
+    broadcast spec ref; ordered-window verification runs against the
+    positional store only — no document text."""
+
+    def __init__(self, store_root: str, spec_ref):
+        import ray
+
+        self.store = PositionStore(store_root)
+        self.spec = ray.get(spec_ref)  # {qid: (terms, slop, cand ids)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, gaps = [], [], []
+        for qid in batch["query_id"].to_pylist():
+            terms, slop, cand = self.spec[qid]
+            d, g = _span_min_gaps(self.store, terms, cand)
+            keep = g <= slop
+            d, g = d[keep], g[keep]
+            qids.append(np.full(d.size, qid, dtype=np.int64))
+            docs.append(d)
+            gaps.append(g)
+        if not qids:
+            q: np.ndarray = np.empty(0, np.int64)
+            d2: np.ndarray = np.empty(0, np.int64)
+            g2: np.ndarray = np.empty(0, np.int64)
+        else:
+            q, d2, g2 = (
+                np.concatenate(qids),
+                np.concatenate(docs),
+                np.concatenate(gaps),
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(q, type=pa.int64()),
+                "doc_id": pa.array(d2, type=pa.int64()),
+                "min_gaps": pa.array(g2, type=pa.int64()),
+            }
+        )
+
+
+def q_span_near(sf_dir: str) -> ray.data.Dataset:
+    """Ordered span-near search: docs where the query terms appear IN
+    ORDER within ``slop`` total gap tokens, with the per-doc minimal
+    gap — the ordered sibling of q_proximity_pairs, answered from the
+    positional store alone (AND candidates bound the reads)."""
+    import ray
+
+    from ciff_ray.pipelines import _BooleanAndActor, ensure_index
+
+    idx = ensure_index(sf_dir)
+    store = ensure_positions(sf_dir)
+    and_actor = _BooleanAndActor(idx)
+    spec: dict[int, tuple[list[str], int, np.ndarray]] = {}
+    qids = []
+    for qid, (terms, slop) in enumerate(SPAN_QUERY_SET):
+        cand = and_actor._conjunction(" ".join(terms))
+        if cand.size == 0:
+            continue
+        spec[qid] = (terms, slop, cand)
+        qids.append(qid)
+    if not qids:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "min_gaps": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    spec_ref = ray.put(spec)
+    queries = ray.data.from_arrow(
+        pa.table({"query_id": pa.array(qids, type=pa.int64())})
+    ).repartition(min(4, len(qids)))
+    return queries.map_batches(
+        _SpanNearVerify,
+        fn_constructor_args=(store, spec_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def _span_values(n: int) -> str:
+    """(query_id, t1..tn, slop) VALUES rows for the n-term spans."""
+    rows = []
+    for qid, (terms, slop) in enumerate(SPAN_QUERY_SET):
+        if len(terms) != n:
+            continue
+        cols = ", ".join(f"'{t}'" for t in terms)
+        rows.append(f"({qid}, {cols}, {slop})")
+    return ", ".join(rows)
+
+
+def span_near_oracle_sql() -> str:
+    """Exact ordered-window min over ALL position tuples via positional
+    self-joins (one block per query arity; |pos| differences are
+    invariant to SQL's 1-based subscripts)."""
+    from ciff_ray.synth import SQL_TRANSCRIPTS_CTE
+
+    assert _span_values(2) and _span_values(3), "keep both arities"
+    return f"""WITH {SQL_TRANSCRIPTS_CTE.strip()},
+tokl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM transcripts
+),
+tokpos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM tokl
+),
+q2(query_id, ta, tb, slop) AS (VALUES {_span_values(2)}),
+q3(query_id, ta, tb, tc, slop) AS (VALUES {_span_values(3)}),
+s2 AS (
+  SELECT q.query_id, a.doc_id, min(b.pos - a.pos - 1) AS g, q.slop AS slop
+  FROM q2 q
+  JOIN tokpos a ON a.term = q.ta
+  JOIN tokpos b ON b.term = q.tb AND b.doc_id = a.doc_id AND b.pos > a.pos
+  GROUP BY q.query_id, a.doc_id, q.slop
+),
+s3 AS (
+  SELECT q.query_id, a.doc_id, min(c.pos - a.pos - 2) AS g, q.slop AS slop
+  FROM q3 q
+  JOIN tokpos a ON a.term = q.ta
+  JOIN tokpos b ON b.term = q.tb AND b.doc_id = a.doc_id AND b.pos > a.pos
+  JOIN tokpos c ON c.term = q.tc AND c.doc_id = a.doc_id AND c.pos > b.pos
+  GROUP BY q.query_id, a.doc_id, q.slop
+),
+u AS (SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       CAST(g AS BIGINT) AS min_gaps
+FROM u WHERE g <= slop"""

@@ -1,0 +1,174 @@
+"""Round-4 final retrieval operators: boolean OR / AND-NOT, ordered
+span-near, and ranking-quality metrics — each checked against an
+independent pure-Python recompute over the tokenized sf0.001 corpus
+(brute force over ALL position tuples for span-near, not the engine's
+greedy chase)."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _doc_tokens() -> list[tuple[int, list[str]]]:
+    from ciff_ray.oracle import tokenize
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return [
+        (int(d), tokenize(x or ""))
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    ]
+
+
+def test_boolean_or_matches_bruteforce(ray_session):
+    from ciff_ray.booleanq import q_boolean_or
+    from ciff_ray.oracle import tokenize
+    from ciff_ray.pipelines import QUERY_SET
+
+    docs = _doc_tokens()
+    expected = {}
+    for qid, q in enumerate(QUERY_SET):
+        terms = set(tokenize(q))
+        for doc_id, toks in docs:
+            n = len(terms & set(toks))
+            if n:
+                expected[(qid, doc_id)] = n
+    got = {
+        (int(r["query_id"]), int(r["doc_id"])): int(r["n_match"])
+        for r in q_boolean_or(SF).to_pandas().to_dict("records")
+    }
+    assert got == expected
+    # the no-hit query contributes nothing
+    assert not any(q == QUERY_SET.index("zzznotaterm") for q, _ in got)
+
+
+def test_boolean_and_not_matches_bruteforce(ray_session):
+    from ciff_ray.booleanq import NOT_QUERY_SET, q_boolean_and_not
+    from ciff_ray.oracle import tokenize
+
+    docs = _doc_tokens()
+    expected = set()
+    for qid, (inc, exc) in enumerate(NOT_QUERY_SET):
+        it = set(tokenize(inc))
+        et = set(tokenize(exc))
+        for doc_id, toks in docs:
+            ts = set(toks)
+            if it and it <= ts and not (et & ts):
+                expected.add((qid, doc_id))
+    got = {
+        (int(r["query_id"]), int(r["doc_id"]))
+        for r in q_boolean_and_not(SF).to_pandas().to_dict("records")
+    }
+    assert got == expected
+    # self-exclusion is always empty
+    self_ex = [
+        qid for qid, (i, e) in enumerate(NOT_QUERY_SET)
+        if set(tokenize(i)) & set(tokenize(e))
+    ]
+    assert self_ex and not any(q in self_ex for q, _ in got)
+
+
+def _brute_min_gap(toks: list[str], terms: list[str]) -> int | None:
+    """Exact min total gap over ALL strictly-increasing position
+    tuples (the oracle semantics, independent of the greedy chase)."""
+    pos = [
+        [i for i, x in enumerate(toks) if x == t] for t in terms
+    ]
+    if any(not p for p in pos):
+        return None
+    best = None
+    for combo in itertools.product(*pos):
+        if all(b > a for a, b in zip(combo, combo[1:])):
+            g = combo[-1] - combo[0] - (len(terms) - 1)
+            if best is None or g < best:
+                best = g
+    return best
+
+
+def test_span_near_matches_bruteforce(ray_session):
+    from ciff_ray.positions import SPAN_QUERY_SET, q_span_near
+
+    docs = _doc_tokens()
+    expected = {}
+    for qid, (terms, slop) in enumerate(SPAN_QUERY_SET):
+        for doc_id, toks in docs:
+            g = _brute_min_gap(toks, terms)
+            if g is not None and g <= slop:
+                expected[(qid, doc_id)] = g
+    got = {
+        (int(r["query_id"]), int(r["doc_id"])): int(r["min_gaps"])
+        for r in q_span_near(SF).to_pandas().to_dict("records")
+    }
+    assert got == expected
+    # slop-0 three-term span == exact phrase containment
+    phrase_qid = SPAN_QUERY_SET.index((["the", "fast", "key"], 0))
+    phrase_docs = {d for (q, d) in got if q == phrase_qid}
+    brute_phrase = set()
+    for doc_id, toks in docs:
+        for i in range(len(toks) - 2):
+            if toks[i : i + 3] == ["the", "fast", "key"]:
+                brute_phrase.add(doc_id)
+                break
+    assert phrase_docs == brute_phrase
+
+
+def test_ranking_metrics_matches_bruteforce(ray_session):
+    """Metric formulas recomputed from the corpus text + the engine's
+    own (separately oracle-pinned) BM25 top-10."""
+    from ciff_ray.evaluation import (
+        METRICS_GRADE_CAP,
+        METRICS_K,
+        q_ranking_metrics,
+    )
+    from ciff_ray.oracle import tokenize
+    from ciff_ray.pipelines import QUERY_SET, q_bm25_topk
+
+    docs = _doc_tokens()
+    topk = q_bm25_topk(SF).to_pandas()
+    got = {
+        int(r["query_id"]): r
+        for r in q_ranking_metrics(SF).to_pandas().to_dict("records")
+    }
+    assert set(got) == set(range(len(QUERY_SET)))
+    for qid, q in enumerate(QUERY_SET):
+        terms = sorted(set(tokenize(q)))
+        grades, matched = {}, {}
+        for doc_id, toks in docs:
+            g = sum(toks.count(t) for t in terms)
+            m = sum(1 for t in terms if t in toks)
+            if m:
+                grades[doc_id] = min(g, METRICS_GRADE_CAP)
+                matched[doc_id] = m
+        rel = {d for d, m in matched.items() if m == len(terms)}
+        ranked = list(
+            topk[topk.query_id == qid].sort_values("rank")["doc_id"]
+        )[:METRICS_K]
+        dcg = sum(
+            (2.0 ** grades.get(d, 0) - 1) / np.log2(r + 1)
+            for r, d in enumerate(ranked, 1)
+        )
+        ideal = sorted(grades.values(), reverse=True)[:METRICS_K]
+        idcg = sum(
+            (2.0**g - 1) / np.log2(r + 1) for r, g in enumerate(ideal, 1)
+        )
+        ndcg = round(dcg / idcg, 9) if idcg > 0 else 0.0
+        firsts = [r for r, d in enumerate(ranked, 1) if d in rel]
+        mrr = 1.0 / firsts[0] if firsts else 0.0
+        recall = len(firsts) / len(rel) if rel else 0.0
+        row = got[qid]
+        assert int(row["n_rel"]) == len(rel)
+        assert abs(float(row["ndcg10"]) - ndcg) < 1e-12, (qid, row, ndcg)
+        assert float(row["mrr10"]) == mrr
+        assert float(row["recall10"]) == recall
+    # the all-miss query is all-zeros
+    miss = got[QUERY_SET.index("zzznotaterm")]
+    assert (
+        int(miss["n_rel"]),
+        float(miss["ndcg10"]),
+        float(miss["mrr10"]),
+        float(miss["recall10"]),
+    ) == (0, 0.0, 0.0, 0.0)
