@@ -52,16 +52,18 @@ _DRIVER_WINDOW_PRIORITY = [
     # the conversation-upsert lifecycle gate (delete_convs +
     # upsert_convs + compact under a CASE-updated-corpus oracle)
     "bm25_scores_upserted",
-    # round-4 final adds: boolean OR / AND-NOT, ordered span-near over
-    # the positional store, trec_eval-style ranking metrics
-    "boolean_or", "boolean_and_not", "span_near", "ranking_metrics",
+    # round-4 final adds: boolean OR / AND-NOT, wildcard prefix
+    # retrieval, ordered span-near over the positional store,
+    # trec_eval-style ranking metrics
+    "boolean_or", "boolean_and_not", "wildcard_match", "span_near",
+    "ranking_metrics",
     # -- engine north_rule gates (fill the window to 50; rotated out as
     # long-stable driver-green r01-r03: bm25_topk_merged,
     # bm25_topk_compacted, bm25_topk_filtered, proximity_pairs,
     # ranking_eval, hybrid_rrf, doc_fingerprint, chunk_docs, and — for
     # the round-4 final adds — tokenize_tf, postings_stats, docmap,
-    # collection_stats) ---------------------------------------------------
-    "postings_lists", "bm25_scores", "bm25_topk",
+    # collection_stats, postings_lists) -----------------------------------
+    "bm25_scores", "bm25_topk",
     "bm25_topk_sharded", "bm25_topk_pruned",
     "conv_topk", "phrase_match_positional",
 ]
@@ -69,7 +71,11 @@ _DRIVER_WINDOW_PRIORITY = [
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from ciff_ray import pipelines as p
-    from ciff_ray.booleanq import q_boolean_and_not, q_boolean_or
+    from ciff_ray.booleanq import (
+        q_boolean_and_not,
+        q_boolean_or,
+        q_wildcard_match,
+    )
     from ciff_ray.evaluation import q_ranking_eval as _ranking_eval
     from ciff_ray.evaluation import q_ranking_metrics as _ranking_metrics
     from ciff_ray.hybrid import q_hybrid_rrf as _hybrid_rrf
@@ -114,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and": p.q_boolean_and,
         "boolean_or": q_boolean_or,
         "boolean_and_not": q_boolean_and_not,
+        "wildcard_match": q_wildcard_match,
         "span_near": _span_near,
         "ranking_metrics": _ranking_metrics,
         "phrase_match": p.q_phrase_match,
@@ -150,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
     from ciff_ray.booleanq import (
         boolean_and_not_oracle_sql,
         boolean_or_oracle_sql,
+        wildcard_match_oracle_sql,
     )
     from ciff_ray.evaluation import (
         ranking_eval_oracle_sql,
@@ -163,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["ranking_metrics"] = ranking_metrics_oracle_sql()
     sqls["boolean_or"] = boolean_or_oracle_sql()
     sqls["boolean_and_not"] = boolean_and_not_oracle_sql()
+    sqls["wildcard_match"] = wildcard_match_oracle_sql()
     sqls["span_near"] = span_near_oracle_sql()
     try:
         from ciff_ray import extras

@@ -283,3 +283,198 @@ SELECT CAST(m.query_id AS BIGINT) AS query_id, m.doc_id AS doc_id
 FROM amatch m
 LEFT JOIN ehit e ON e.query_id = m.query_id AND e.doc_id = m.doc_id
 WHERE e.doc_id IS NULL"""
+
+
+# ---------------------------------------------------------------------------
+# wildcard (prefix) retrieval: dictionary expansion -> boolean OR
+
+# fixed prefix set: short high-fanout, medium, full-term, and a miss;
+# the expansion cap must BIND for at least one prefix so the capped
+# semantics are actually exercised on both sides
+WILDCARD_PREFIXES = ["ke", "mer", "s", "tab", "zzzxx"]
+# Lucene-style expansion bound (maxClauseCount flavor): each prefix
+# expands to at most this many vocabulary terms, picked by
+# (df desc, term asc) — highest-coverage terms first, deterministic.
+# 4 is small enough that the cap BINDS on the 's' prefix at every
+# driver sf, so the capped semantics are exercised on both sides.
+WILDCARD_MAX_TERMS = 4
+
+
+def _top_terms_per_prefix(
+    prefix_ids: np.ndarray, terms: np.ndarray, dfs: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-prefix top-``cap`` rows under (df desc, term asc) — shared
+    by the per-batch partial and the driver merge, so the two-level
+    top-k is exact (the per-batch partial is a superset of every
+    prefix's global winners in that batch)."""
+    order = np.lexsort((terms, -dfs, prefix_ids))
+    pid_sorted = prefix_ids[order]
+    # rank within each prefix run
+    starts = np.r_[True, pid_sorted[1:] != pid_sorted[:-1]]
+    run_id = np.cumsum(starts) - 1
+    first_idx = np.flatnonzero(starts)
+    rank = np.arange(pid_sorted.size) - first_idx[run_id]
+    keep = order[rank < cap]
+    return prefix_ids[keep], terms[keep], dfs[keep]
+
+
+def _wildcard_partials(batch: pa.Table) -> pa.Table:
+    """map_batches stage over the sharded term-stats parquet: for each
+    prefix, the batch's top-{WILDCARD_MAX_TERMS} matching terms — the
+    exchange is bounded at cap rows per (prefix, batch) at any
+    vocabulary size."""
+    import pyarrow.compute as pc
+
+    term_col = batch["term"].combine_chunks()
+    pids, terms, dfs = [], [], []
+    for pid, prefix in enumerate(WILDCARD_PREFIXES):
+        mask = pc.starts_with(term_col, prefix)
+        if not pc.any(mask).as_py():
+            continue
+        sub = batch.filter(mask)
+        t = np.asarray(sub["term"].to_pylist(), dtype=object)
+        d = sub["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = np.full(t.size, pid, dtype=np.int64)
+        p, t, d = _top_terms_per_prefix(p, t, d, WILDCARD_MAX_TERMS)
+        pids.append(p)
+        terms.append(t)
+        dfs.append(d)
+    if not pids:
+        return pa.table(
+            {
+                "prefix_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "prefix_id": pa.array(np.concatenate(pids), type=pa.int64()),
+            "term": pa.array(
+                np.concatenate(terms).tolist(), type=pa.string()
+            ),
+            "df": pa.array(np.concatenate(dfs), type=pa.int64()),
+        }
+    )
+
+
+def wildcard_expansions(index_dir: str) -> dict[int, list[str]]:
+    """prefix_id -> its capped expansion terms, via a distributed scan
+    of the term dictionary (term + df columns only) with per-batch
+    partial top-k; the driver merge sees <= cap x blocks rows."""
+    from ciff_ray.layout import IndexPaths
+
+    paths = IndexPaths(index_dir)
+    parts = (
+        ray.data.read_parquet(paths.term_stats, columns=["term", "df"])
+        .map_batches(_wildcard_partials, batch_format="pyarrow")
+        .take_all()
+    )
+    if not parts:
+        return {}
+    pids = np.array([r["prefix_id"] for r in parts], dtype=np.int64)
+    terms = np.array([r["term"] for r in parts], dtype=object)
+    dfs = np.array([r["df"] for r in parts], dtype=np.int64)
+    pids, terms, _ = _top_terms_per_prefix(
+        pids, terms, dfs, WILDCARD_MAX_TERMS
+    )
+    out: dict[int, list[str]] = {}
+    for p, t in zip(pids.tolist(), terms.tolist()):
+        out.setdefault(int(p), []).append(t)
+    return out
+
+
+class _TermUnionActor:
+    """map_batches stage: (query_id) rows -> (query_id, doc_id,
+    n_match) unions over EXPLICIT per-query term lists (the wildcard
+    expansions), broadcast once via a spec ref."""
+
+    def __init__(self, index_dir: str, spec_ref):
+        import ray as _ray
+
+        from ciff_ray.query import LocalScorer
+
+        self.scorer = LocalScorer(index_dir)
+        self.spec = _ray.get(spec_ref)  # {qid: [terms]}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, counts = [], [], []
+        for qid in batch["query_id"].to_pylist():
+            arrs = []
+            for t in self.spec[qid]:
+                d, _ = self.scorer.postings(t)
+                arrs.append(d.astype(np.int64))
+            if not arrs:
+                continue
+            u, c = np.unique(np.concatenate(arrs), return_counts=True)
+            qids.append(np.full(u.size, qid, dtype=np.int64))
+            docs.append(u)
+            counts.append(c.astype(np.int64))
+        if not qids:
+            return _empty_or_table()
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qids), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(docs), type=pa.int64()),
+                "n_match": pa.array(np.concatenate(counts), type=pa.int64()),
+            }
+        )
+
+
+def q_wildcard_match(sf_dir: str) -> ray.data.Dataset:
+    """Wildcard (prefix) retrieval: each prefix expands to its capped
+    top-df vocabulary terms via a distributed dictionary scan, then the
+    expansion unions posting lists exactly like boolean OR — (query_id,
+    doc_id, n_match) with n_match = distinct expansion terms in the
+    doc."""
+    import ray as _ray
+
+    from ciff_ray.pipelines import ensure_index
+
+    idx = ensure_index(sf_dir)
+    spec = wildcard_expansions(idx)
+    if not spec:
+        return ray.data.from_arrow(_empty_or_table())
+    spec_ref = _ray.put(spec)
+    qids = sorted(spec)
+    queries = ray.data.from_arrow(
+        pa.table({"query_id": pa.array(qids, type=pa.int64())})
+    ).repartition(min(4, len(qids)))
+    return queries.map_batches(
+        _TermUnionActor,
+        fn_constructor_args=(idx, spec_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def _wildcard_prefix_values() -> str:
+    return ", ".join(
+        f"({pid}, '{p}')" for pid, p in enumerate(WILDCARD_PREFIXES)
+    )
+
+
+def wildcard_match_oracle_sql() -> str:
+    from ciff_ray.synth import SQL_TRANSCRIPTS_CTE
+
+    return f"""WITH {SQL_TRANSCRIPTS_CTE.strip()},
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM transcripts
+),
+tf AS (
+  SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''
+),
+dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+p(query_id, prefix) AS (VALUES {_wildcard_prefix_values()}),
+expd AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, d.term,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY d.df DESC, d.term ASC) AS rn
+    FROM p JOIN dfv d ON d.term LIKE p.prefix || '%'
+  ) WHERE rn <= {WILDCARD_MAX_TERMS}
+)
+SELECT CAST(e.query_id AS BIGINT) AS query_id, tf.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_match
+FROM expd e JOIN tf USING (term) GROUP BY e.query_id, tf.doc_id"""

@@ -579,32 +579,29 @@ SPAN_QUERY_SET: list[tuple[list[str], int]] = [
 ]
 
 
-def _span_min_gaps(
-    store: PositionStore, terms: list[str], cand: np.ndarray
+def _chase_min_gaps(
+    key_sets: list[np.ndarray],
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Per-doc minimum total gap of an ORDERED occurrence of ``terms``
-    (positions strictly increasing), from the positional store alone.
+    """Per-doc minimum total gap of an ORDERED occurrence across sorted
+    packed (doc<<32|pos) key sets (positions strictly increasing).
 
-    Greedy earliest-completion chase over the packed (doc<<32|pos) key
-    sets: from every occurrence of terms[0], each subsequent term jumps
-    to its first position strictly after the chain's current end (one
-    searchsorted per term over all chains at once).  For a fixed start
-    the greedy chain minimizes the window end, and any valid ordered
-    tuple contains a chain from its own start with an equal-or-smaller
-    window — so min-over-starts equals the exact min over ALL ordered
-    tuples, which is what the oracle's positional self-join computes.
-    Cost: O(Σ |keys(tᵢ)| log) — no per-doc Python loop.
+    Greedy earliest-completion chase: from every occurrence in
+    key_sets[0], each subsequent set jumps to its first key strictly
+    after the chain's current end (one searchsorted per set over all
+    chains at once).  For a fixed start the greedy chain minimizes the
+    window end, and any valid ordered tuple contains a chain from its
+    own start with an equal-or-smaller window — so min-over-starts
+    equals the exact min over ALL ordered tuples, which is what the
+    oracle's positional self-join computes.  Cost: O(Σ |keysᵢ| log) —
+    no per-doc Python loop.
     """
     empty = np.empty(0, np.int64)
-    starts = store.keys(terms[0], cand)
+    starts = key_sets[0]
     if starts.size == 0:
         return empty, empty
     keep_start, end = starts, starts
-    for t in terms[1:]:
-        if end.size == 0:
-            return empty, empty
-        nxt = store.keys(t, cand)
-        if nxt.size == 0:
+    for nxt in key_sets[1:]:
+        if end.size == 0 or nxt.size == 0:
             return empty, empty
         idx = np.searchsorted(nxt, end + np.uint64(1))
         inb = idx < nxt.size
@@ -616,13 +613,27 @@ def _span_min_gaps(
     gaps = (
         (end & _POS_MASK).astype(np.int64)
         - (keep_start & _POS_MASK).astype(np.int64)
-        - (len(terms) - 1)
+        - (len(key_sets) - 1)
     )
     docs = (keep_start >> np.uint64(32)).astype(np.int64)
     # keep_start stays key-sorted through the filters, so docs is
     # nondecreasing: per-doc min is one reduceat
     cut = np.flatnonzero(np.r_[True, docs[1:] != docs[:-1]])
     return docs[cut], np.minimum.reduceat(gaps, cut)
+
+
+def _span_min_gaps(
+    store: PositionStore, terms: list[str], cand: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """_chase_min_gaps over the positional store's key sets for
+    ``terms`` restricted to the ``cand`` docs."""
+    key_sets = []
+    for t in terms:
+        k = store.keys(t, cand)
+        if k.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        key_sets.append(k)
+    return _chase_min_gaps(key_sets)
 
 
 class _SpanNearVerify:

@@ -172,3 +172,135 @@ def test_ranking_metrics_matches_bruteforce(ray_session):
         float(miss["mrr10"]),
         float(miss["recall10"]),
     ) == (0, 0.0, 0.0, 0.0)
+
+
+def test_wildcard_match_bruteforce(ray_session):
+    from ciff_ray.booleanq import (
+        WILDCARD_MAX_TERMS,
+        WILDCARD_PREFIXES,
+        q_wildcard_match,
+    )
+
+    docs = _doc_tokens()
+    df: dict[str, int] = {}
+    for _, toks in docs:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    expected = {}
+    cap_bound = False
+    for pid, prefix in enumerate(WILDCARD_PREFIXES):
+        matching = sorted(
+            (t for t in df if t.startswith(prefix)),
+            key=lambda t: (-df[t], t),
+        )
+        cap_bound = cap_bound or len(matching) > WILDCARD_MAX_TERMS
+        exp = set(matching[:WILDCARD_MAX_TERMS])
+        for doc_id, toks in docs:
+            n = len(exp & set(toks))
+            if n:
+                expected[(pid, doc_id)] = n
+    assert cap_bound, "expansion cap must bind for at least one prefix"
+    got = {
+        (int(r["query_id"]), int(r["doc_id"])): int(r["n_match"])
+        for r in q_wildcard_match(SF).to_pandas().to_dict("records")
+    }
+    assert got == expected
+
+
+def test_top_terms_per_prefix_two_level_exact():
+    """Per-batch partial top-k then driver merge == direct global
+    top-k, for any batch split (the partial is a per-prefix superset)."""
+    import random
+
+    from ciff_ray.booleanq import _top_terms_per_prefix
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(3), f"t{rng.randrange(40):02d}", rng.randrange(1, 9))
+        for _ in range(200)
+    ]
+    # dedup (prefix, term) keeping max df, like a real dictionary
+    best: dict[tuple[int, str], int] = {}
+    for p, t, d in rows:
+        best[(p, t)] = max(best.get((p, t), 0), d)
+    items = [(p, t, d) for (p, t), d in best.items()]
+    pids = np.array([p for p, _, _ in items], dtype=np.int64)
+    terms = np.array([t for _, t, _ in items], dtype=object)
+    dfs = np.array([d for _, _, d in items], dtype=np.int64)
+    cap = 5
+    gp, gt, gd = _top_terms_per_prefix(pids, terms, dfs, cap)
+    direct = {
+        p: sorted(
+            ((t, d) for p2, t, d in items if p2 == p),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:cap]
+        for p in set(pids.tolist())
+    }
+    # two-level: split into 4 chunks, partial each, merge, re-top
+    parts = []
+    for lo in range(0, len(items), 50):
+        sl = slice(lo, lo + 50)
+        parts.append(
+            _top_terms_per_prefix(pids[sl], terms[sl], dfs[sl], cap)
+        )
+    mp = np.concatenate([p for p, _, _ in parts])
+    mt = np.concatenate([t for _, t, _ in parts])
+    md = np.concatenate([d for _, _, d in parts])
+    fp, ft, fd = _top_terms_per_prefix(mp, mt, md, cap)
+    two_level = {}
+    for p, t, d in zip(fp.tolist(), ft.tolist(), fd.tolist()):
+        two_level.setdefault(p, []).append((t, d))
+    one_level = {}
+    for p, t, d in zip(gp.tolist(), gt.tolist(), gd.tolist()):
+        one_level.setdefault(p, []).append((t, d))
+    assert one_level == direct
+    assert two_level == direct
+
+
+def test_chase_min_gaps_property():
+    """Greedy chase == exact min over all ordered tuples, on random
+    position sets (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ciff_ray.positions import _chase_min_gaps
+
+    @st.composite
+    def keysets(draw):
+        n_terms = draw(st.integers(2, 4))
+        n_docs = draw(st.integers(1, 4))
+        sets = []
+        for _ in range(n_terms):
+            keys = []
+            for doc in range(n_docs):
+                poss = draw(
+                    st.lists(
+                        st.integers(0, 12), max_size=6, unique=True
+                    )
+                )
+                keys.extend((doc << 32) | p for p in sorted(poss))
+            sets.append(np.array(sorted(keys), dtype=np.uint64))
+        return n_docs, sets
+
+    @given(keysets())
+    @settings(max_examples=200, deadline=None)
+    def run(case):
+        n_docs, sets = case
+        docs, gaps = _chase_min_gaps(sets)
+        got = dict(zip(docs.tolist(), gaps.tolist()))
+        expect = {}
+        for doc in range(n_docs):
+            pos_lists = [
+                [int(k) & 0xFFFFFFFF for k in s.tolist() if k >> 32 == doc]
+                for s in sets
+            ]
+            g = None
+            for combo in itertools.product(*pos_lists):
+                if all(b > a for a, b in zip(combo, combo[1:])):
+                    w = combo[-1] - combo[0] - (len(sets) - 1)
+                    g = w if g is None or w < g else g
+            if g is not None:
+                expect[doc] = g
+        assert got == expect
+
+    run()
