@@ -57,6 +57,11 @@ _DRIVER_WINDOW_PRIORITY = [
     # trec_eval-style ranking metrics
     "boolean_or", "boolean_and_not", "wildcard_match", "span_near",
     "ranking_metrics",
+    # round-4 continuation adds: query-time synonym expansion and
+    # recency-decayed ranking over the transcript ts column (replace the
+    # long-stable r01-r03-green conv_topk / phrase_match_positional in
+    # the window)
+    "bm25_synonyms", "bm25_recency",
     # -- engine north_rule gates (fill the window to 50; rotated out as
     # long-stable driver-green r01-r03: bm25_topk_merged,
     # bm25_topk_compacted, bm25_topk_filtered, proximity_pairs,
@@ -65,7 +70,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # collection_stats, postings_lists) -----------------------------------
     "bm25_scores", "bm25_topk",
     "bm25_topk_sharded", "bm25_topk_pruned",
-    "conv_topk", "phrase_match_positional",
 ]
 
 
@@ -85,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from ciff_ray.positions import q_proximity_pairs as _proximity
     from ciff_ray.positions import q_span_near as _span_near
+    from ciff_ray.recency import q_bm25_recency as _bm25_recency
+    from ciff_ray.synonyms import q_bm25_synonyms as _bm25_synonyms
 
     entries: dict[str, Callable[[str], Any]] = {
         # inverted-index engine family (SURVEY.md §2; north_rule gate)
@@ -123,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_match": q_wildcard_match,
         "span_near": _span_near,
         "ranking_metrics": _ranking_metrics,
+        "bm25_synonyms": _bm25_synonyms,
+        "bm25_recency": _bm25_recency,
         "phrase_match": p.q_phrase_match,
         "phrase_match_positional": _positional_phrase,
         "proximity_pairs": _proximity,
@@ -173,6 +181,11 @@ def oracle_sql() -> dict[str, str]:
     sqls["boolean_and_not"] = boolean_and_not_oracle_sql()
     sqls["wildcard_match"] = wildcard_match_oracle_sql()
     sqls["span_near"] = span_near_oracle_sql()
+    from ciff_ray.recency import bm25_recency_oracle_sql
+    from ciff_ray.synonyms import bm25_synonyms_oracle_sql
+
+    sqls["bm25_synonyms"] = bm25_synonyms_oracle_sql()
+    sqls["bm25_recency"] = bm25_recency_oracle_sql()
     try:
         from ciff_ray import extras
 
