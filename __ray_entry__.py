@@ -61,15 +61,15 @@ _DRIVER_WINDOW_PRIORITY = [
     # recency-decayed ranking over the transcript ts column (replace the
     # long-stable r01-r03-green conv_topk / phrase_match_positional in
     # the window)
-    "bm25_synonyms", "bm25_recency",
+    "bm25_synonyms", "bm25_recency", "lm_dirichlet",
     # -- engine north_rule gates (fill the window to 50; rotated out as
     # long-stable driver-green r01-r03: bm25_topk_merged,
     # bm25_topk_compacted, bm25_topk_filtered, proximity_pairs,
     # ranking_eval, hybrid_rrf, doc_fingerprint, chunk_docs, and — for
     # the round-4 final adds — tokenize_tf, postings_stats, docmap,
-    # collection_stats, postings_lists) -----------------------------------
-    "bm25_scores", "bm25_topk",
-    "bm25_topk_sharded", "bm25_topk_pruned",
+    # collection_stats, postings_lists; lm_dirichlet rotated out
+    # bm25_topk_sharded) ---------------------------------------------------
+    "bm25_scores", "bm25_topk", "bm25_topk_pruned",
 ]
 
 
@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from ciff_ray.positions import q_proximity_pairs as _proximity
     from ciff_ray.positions import q_span_near as _span_near
+    from ciff_ray.lmdir import q_lm_dirichlet as _lm_dirichlet
     from ciff_ray.recency import q_bm25_recency as _bm25_recency
     from ciff_ray.synonyms import q_bm25_synonyms as _bm25_synonyms
 
@@ -131,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranking_metrics": _ranking_metrics,
         "bm25_synonyms": _bm25_synonyms,
         "bm25_recency": _bm25_recency,
+        "lm_dirichlet": _lm_dirichlet,
         "phrase_match": p.q_phrase_match,
         "phrase_match_positional": _positional_phrase,
         "proximity_pairs": _proximity,
@@ -186,6 +188,9 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["bm25_synonyms"] = bm25_synonyms_oracle_sql()
     sqls["bm25_recency"] = bm25_recency_oracle_sql()
+    from ciff_ray.lmdir import lm_dirichlet_oracle_sql
+
+    sqls["lm_dirichlet"] = lm_dirichlet_oracle_sql()
     try:
         from ciff_ray import extras
 
