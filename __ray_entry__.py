@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ciff_ray.positions import q_proximity_pairs as _proximity
     from ciff_ray.positions import q_span_near as _span_near
     from ciff_ray.lmdir import q_lm_dirichlet as _lm_dirichlet
+    from ciff_ray.lmdir import q_lm_jm as _lm_jm
     from ciff_ray.recency import q_bm25_recency as _bm25_recency
     from ciff_ray.synonyms import q_bm25_synonyms as _bm25_synonyms
 
@@ -133,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_synonyms": _bm25_synonyms,
         "bm25_recency": _bm25_recency,
         "lm_dirichlet": _lm_dirichlet,
+        "lm_jm": _lm_jm,
         "phrase_match": p.q_phrase_match,
         "phrase_match_positional": _positional_phrase,
         "proximity_pairs": _proximity,
@@ -188,9 +190,10 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["bm25_synonyms"] = bm25_synonyms_oracle_sql()
     sqls["bm25_recency"] = bm25_recency_oracle_sql()
-    from ciff_ray.lmdir import lm_dirichlet_oracle_sql
+    from ciff_ray.lmdir import lm_dirichlet_oracle_sql, lm_jm_oracle_sql
 
     sqls["lm_dirichlet"] = lm_dirichlet_oracle_sql()
+    sqls["lm_jm"] = lm_jm_oracle_sql()
     try:
         from ciff_ray import extras
 

@@ -1,6 +1,6 @@
-"""Dirichlet query-likelihood retrieval vs an independent pure-Python
-recompute over the OracleIndex (tf/dl/cf/|C| -> Zhai-Lafferty
-decomposition)."""
+"""Dirichlet / Jelinek-Mercer query-likelihood retrieval vs an
+independent pure-Python recompute over the OracleIndex (tf/dl/cf/|C| ->
+Zhai-Lafferty decompositions)."""
 
 from __future__ import annotations
 
@@ -11,7 +11,14 @@ import pytest
 import ray.data
 
 from ciff_ray.build import BuildParams, build_index
-from ciff_ray.lmdir import MU, TOPK_K, _LMScorerActor, lm_score_all
+from ciff_ray.lmdir import (
+    JM_MULT,
+    MU,
+    TOPK_K,
+    _LMScorerActor,
+    lm_jm_score_all,
+    lm_score_all,
+)
 from ciff_ray.oracle import OracleIndex, tokenize
 from ciff_ray.query import LocalScorer
 from ciff_ray.synth import generate_transcripts
@@ -84,6 +91,72 @@ def test_lm_actor_topk_rank_key(lm_fixture):
             _brute_lm(oracle, q).items(), key=lambda kv: (-round(kv[1], 9), kv[0])
         )
         assert per_q.get(qid, []) == [d for d, _ in exp[:TOPK_K]], q
+
+
+def _brute_jm(oracle: OracleIndex, query: str) -> dict[int, float]:
+    """Plain-Python Jelinek-Mercer QL over the oracle's postings."""
+    terms = sorted(
+        {t for t in tokenize(query) if oracle.df(t)}, key=lambda s: s.encode()
+    )
+    total = float(oracle.total_terms)
+    scores: dict[int, float] = {}
+    for t in terms:
+        cf = float(oracle.cf(t))
+        for doc_id, tf in oracle.postings[t]:
+            dl = float(oracle.doclengths[doc_id])
+            scores[doc_id] = scores.get(doc_id, 0.0) + math.log(
+                1.0 + (JM_MULT * (tf / dl)) * (total / cf)
+            )
+    return scores
+
+
+def test_lm_jm_score_all_matches_bruteforce(lm_fixture):
+    idx, oracle = lm_fixture
+    scorer = LocalScorer(idx)
+    for q in QUERIES:
+        exp = _brute_jm(oracle, q)
+        u, sc = lm_jm_score_all(scorer, q)
+        got = dict(zip(u.tolist(), sc.tolist()))
+        assert set(got) == set(exp), q
+        for d in exp:
+            assert got[d] == pytest.approx(exp[d], abs=1e-12), (q, d)
+
+
+def test_lm_jm_actor_topk_rank_key(lm_fixture):
+    idx, oracle = lm_fixture
+    actor = _LMScorerActor(idx, TOPK_K, "jm")
+    batch = pa.table(
+        {
+            "query_id": pa.array(range(len(QUERIES)), type=pa.int64()),
+            "query": pa.array(QUERIES),
+        }
+    )
+    out = actor(batch)
+    per_q: dict[int, list[int]] = {}
+    for qid, doc in zip(out["query_id"].to_pylist(), out["doc_id"].to_pylist()):
+        per_q.setdefault(qid, []).append(doc)
+    for qid, q in enumerate(QUERIES):
+        exp = sorted(
+            _brute_jm(oracle, q).items(), key=lambda kv: (-round(kv[1], 9), kv[0])
+        )
+        assert per_q.get(qid, []) == [d for d, _ in exp[:TOPK_K]], q
+
+
+def test_lm_jm_prefers_higher_density():
+    """JM normalizes by tf/dl: the doc with higher term DENSITY wins
+    even when raw tf ties."""
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c0", "c0"]),
+            "turn_idx": pa.array([0, 1], type=pa.int32()),
+            "text": pa.array(
+                ["apple banana", "apple banana cherry date elder fig grape"]
+            ),
+        }
+    )
+    oracle = OracleIndex.build(tbl)
+    s = _brute_jm(oracle, "apple")
+    assert s[0] > s[1]
 
 
 def test_lm_prefers_shorter_doc_at_equal_tf():
