@@ -78,7 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ciff_ray.booleanq import (
         q_boolean_and_not,
         q_boolean_or,
+        q_boolean_or_msm,
         q_wildcard_match,
+        q_wildcard_suffix,
     )
     from ciff_ray.evaluation import q_ranking_eval as _ranking_eval
     from ciff_ray.evaluation import q_ranking_metrics as _ranking_metrics
@@ -127,8 +129,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_snippets": p.q_bm25_snippets,
         "boolean_and": p.q_boolean_and,
         "boolean_or": q_boolean_or,
+        "boolean_or_msm": q_boolean_or_msm,
         "boolean_and_not": q_boolean_and_not,
         "wildcard_match": q_wildcard_match,
+        "wildcard_suffix": q_wildcard_suffix,
         "span_near": _span_near,
         "ranking_metrics": _ranking_metrics,
         "bm25_synonyms": _bm25_synonyms,
@@ -168,8 +172,10 @@ def oracle_sql() -> dict[str, str]:
     sqls = dict(p.oracle_sqls())
     from ciff_ray.booleanq import (
         boolean_and_not_oracle_sql,
+        boolean_or_msm_oracle_sql,
         boolean_or_oracle_sql,
         wildcard_match_oracle_sql,
+        wildcard_suffix_oracle_sql,
     )
     from ciff_ray.evaluation import (
         ranking_eval_oracle_sql,
@@ -182,8 +188,10 @@ def oracle_sql() -> dict[str, str]:
     sqls["ranking_eval"] = ranking_eval_oracle_sql()
     sqls["ranking_metrics"] = ranking_metrics_oracle_sql()
     sqls["boolean_or"] = boolean_or_oracle_sql()
+    sqls["boolean_or_msm"] = boolean_or_msm_oracle_sql()
     sqls["boolean_and_not"] = boolean_and_not_oracle_sql()
     sqls["wildcard_match"] = wildcard_match_oracle_sql()
+    sqls["wildcard_suffix"] = wildcard_suffix_oracle_sql()
     sqls["span_near"] = span_near_oracle_sql()
     from ciff_ray.recency import bm25_recency_oracle_sql
     from ciff_ray.synonyms import bm25_synonyms_oracle_sql

@@ -111,6 +111,68 @@ class _BooleanOrActor:
         )
 
 
+# (query, minimum_should_match) pairs — Lucene's minShouldMatch on a
+# disjunction: a doc qualifies iff it contains >= m DISTINCT query
+# terms.  Mix: m=1 (plain OR), m=n (AND-equivalent), interior m,
+# a missing-term query where m is unreachable, and a stopword-heavy
+# query where m=2 still matches broadly.
+MSM_QUERY_SET: list[tuple[str, int]] = [
+    ("the key merge", 2),
+    ("table batch stream", 2),
+    ("customer order join filter", 3),
+    ("the a of", 1),
+    ("zzznotaterm key", 2),
+    ("vector spark window sort", 4),
+]
+
+
+def _msm_query_set_ds() -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(
+                    np.arange(len(MSM_QUERY_SET), dtype=np.int64)
+                ),
+                "query": pa.array([q for q, _ in MSM_QUERY_SET]),
+                "msm": pa.array(
+                    [m for _, m in MSM_QUERY_SET], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+class _BooleanOrMsmActor(_BooleanOrActor):
+    """map_batches stage: (query_id, query, msm) rows -> (query_id,
+    doc_id, n_match) restricted to docs matching at least ``msm``
+    distinct query terms.  Same union shape as OR — the msm cut is one
+    boolean mask over the per-doc multiplicities, applied before the
+    rows ever leave the actor, so the exchange shrinks with m."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, counts = [], [], []
+        for qid, q, m in zip(
+            batch["query_id"].to_pylist(),
+            batch["query"].to_pylist(),
+            batch["msm"].to_pylist(),
+        ):
+            u, c = self._disjunction(q)
+            keep = c >= m
+            u, c = u[keep], c[keep]
+            qids.append(np.full(u.size, qid, dtype=np.int64))
+            docs.append(u)
+            counts.append(c)
+        if not qids:
+            return _empty_or_table()
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qids), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(docs), type=pa.int64()),
+                "n_match": pa.array(np.concatenate(counts), type=pa.int64()),
+            }
+        )
+
+
 class _BooleanAndNotActor:
     """map_batches stage: (query_id, include, exclude) rows -> all
     (query_id, doc_id) matching EVERY include term and NO exclude term.
@@ -204,6 +266,25 @@ def q_boolean_or(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_boolean_or_msm(sf_dir: str) -> ray.data.Dataset:
+    """Disjunctive match with minimum_should_match: (query_id, doc_id,
+    n_match) for docs containing at least the query's ``msm`` distinct
+    terms."""
+    from ciff_ray.pipelines import ensure_index
+
+    idx = ensure_index(sf_dir)
+    return (
+        _msm_query_set_ds()
+        .repartition(4)
+        .map_batches(
+            _BooleanOrMsmActor,
+            fn_constructor_args=(idx,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    )
+
+
 def q_boolean_and_not(sf_dir: str) -> ray.data.Dataset:
     """Negated conjunctive match set (include AND NOT exclude) for the
     fixed NOT_QUERY_SET."""
@@ -254,6 +335,34 @@ SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id AS doc_id,
 FROM q JOIN tf USING (term) GROUP BY q.query_id, tf.doc_id"""
 
 
+def boolean_or_msm_oracle_sql() -> str:
+    from ciff_ray.synth import SQL_TRANSCRIPTS_CTE
+
+    term_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, (q, _) in enumerate(MSM_QUERY_SET)
+        for t in sorted(set(tokenize(q)))
+    )
+    m_vals = ", ".join(
+        f"({qid}, {m})" for qid, (_, m) in enumerate(MSM_QUERY_SET)
+    )
+    return f"""WITH {SQL_TRANSCRIPTS_CTE.strip()},
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM transcripts
+),
+tf AS (
+  SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''
+),
+q(query_id, term) AS (VALUES {term_vals}),
+qm(query_id, msm) AS (VALUES {m_vals})
+SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_match
+FROM q JOIN tf USING (term) JOIN qm ON qm.query_id = q.query_id
+GROUP BY q.query_id, tf.doc_id, qm.msm
+HAVING count(*) >= qm.msm"""
+
+
 def boolean_and_not_oracle_sql() -> str:
     from ciff_ray.synth import SQL_TRANSCRIPTS_CTE
 
@@ -299,6 +408,16 @@ WILDCARD_PREFIXES = ["ke", "mer", "s", "tab", "zzzxx"]
 # driver sf, so the capped semantics are exercised on both sides.
 WILDCARD_MAX_TERMS = 4
 
+# leading-wildcard (*suffix) set: high-fanout single letter (cap
+# binds), common inflections, a full-term, and a miss.  Lucene answers
+# these from a REVERSED-term dictionary so the scan becomes a prefix
+# range; here the dictionary scan is already a distributed sharded
+# parquet read with per-batch partial top-k, so `ends_with` over the
+# same scan keeps the exchange at cap rows per (suffix, batch) — at
+# cluster scale a reversed sorted lexicon would additionally prune the
+# scan to one key range per suffix (same top-k merge either way).
+WILDCARD_SUFFIXES = ["ey", "ge", "e", "ble", "zzzxx"]
+
 
 def _top_terms_per_prefix(
     prefix_ids: np.ndarray, terms: np.ndarray, dfs: np.ndarray, cap: int
@@ -318,17 +437,23 @@ def _top_terms_per_prefix(
     return prefix_ids[keep], terms[keep], dfs[keep]
 
 
-def _wildcard_partials(batch: pa.Table) -> pa.Table:
+def _wildcard_partials(
+    batch: pa.Table,
+    patterns: list[str] = WILDCARD_PREFIXES,
+    mode: str = "prefix",
+) -> pa.Table:
     """map_batches stage over the sharded term-stats parquet: for each
-    prefix, the batch's top-{WILDCARD_MAX_TERMS} matching terms — the
-    exchange is bounded at cap rows per (prefix, batch) at any
-    vocabulary size."""
+    pattern, the batch's top-{WILDCARD_MAX_TERMS} matching terms — the
+    exchange is bounded at cap rows per (pattern, batch) at any
+    vocabulary size.  ``mode`` picks prefix (trailing wildcard) or
+    suffix (leading wildcard) matching."""
     import pyarrow.compute as pc
 
+    matcher = pc.starts_with if mode == "prefix" else pc.ends_with
     term_col = batch["term"].combine_chunks()
     pids, terms, dfs = [], [], []
-    for pid, prefix in enumerate(WILDCARD_PREFIXES):
-        mask = pc.starts_with(term_col, prefix)
+    for pid, prefix in enumerate(patterns):
+        mask = matcher(term_col, prefix)
         if not pc.any(mask).as_py():
             continue
         sub = batch.filter(mask)
@@ -358,16 +483,27 @@ def _wildcard_partials(batch: pa.Table) -> pa.Table:
     )
 
 
-def wildcard_expansions(index_dir: str) -> dict[int, list[str]]:
-    """prefix_id -> its capped expansion terms, via a distributed scan
+def wildcard_expansions(
+    index_dir: str,
+    patterns: list[str] = WILDCARD_PREFIXES,
+    mode: str = "prefix",
+) -> dict[int, list[str]]:
+    """pattern_id -> its capped expansion terms, via a distributed scan
     of the term dictionary (term + df columns only) with per-batch
     partial top-k; the driver merge sees <= cap x blocks rows."""
+    import functools
+
     from ciff_ray.layout import IndexPaths
 
     paths = IndexPaths(index_dir)
     parts = (
         ray.data.read_parquet(paths.term_stats, columns=["term", "df"])
-        .map_batches(_wildcard_partials, batch_format="pyarrow")
+        .map_batches(
+            functools.partial(
+                _wildcard_partials, patterns=patterns, mode=mode
+            ),
+            batch_format="pyarrow",
+        )
         .take_all()
     )
     if not parts:
@@ -421,18 +557,15 @@ class _TermUnionActor:
         )
 
 
-def q_wildcard_match(sf_dir: str) -> ray.data.Dataset:
-    """Wildcard (prefix) retrieval: each prefix expands to its capped
-    top-df vocabulary terms via a distributed dictionary scan, then the
-    expansion unions posting lists exactly like boolean OR — (query_id,
-    doc_id, n_match) with n_match = distinct expansion terms in the
-    doc."""
+def _wildcard_query(
+    sf_dir: str, patterns: list[str], mode: str
+) -> ray.data.Dataset:
     import ray as _ray
 
     from ciff_ray.pipelines import ensure_index
 
     idx = ensure_index(sf_dir)
-    spec = wildcard_expansions(idx)
+    spec = wildcard_expansions(idx, patterns, mode)
     if not spec:
         return ray.data.from_arrow(_empty_or_table())
     spec_ref = _ray.put(spec)
@@ -448,15 +581,29 @@ def q_wildcard_match(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def _wildcard_prefix_values() -> str:
-    return ", ".join(
-        f"({pid}, '{p}')" for pid, p in enumerate(WILDCARD_PREFIXES)
-    )
+def q_wildcard_match(sf_dir: str) -> ray.data.Dataset:
+    """Wildcard (prefix) retrieval: each prefix expands to its capped
+    top-df vocabulary terms via a distributed dictionary scan, then the
+    expansion unions posting lists exactly like boolean OR — (query_id,
+    doc_id, n_match) with n_match = distinct expansion terms in the
+    doc."""
+    return _wildcard_query(sf_dir, WILDCARD_PREFIXES, "prefix")
 
 
-def wildcard_match_oracle_sql() -> str:
+def q_wildcard_suffix(sf_dir: str) -> ray.data.Dataset:
+    """Leading-wildcard (*suffix) retrieval: the suffix expands to its
+    capped top-df vocabulary terms (ends_with over the same distributed
+    dictionary scan; see WILDCARD_SUFFIXES note on the reversed-lexicon
+    scale path), then unions posting lists like boolean OR."""
+    return _wildcard_query(sf_dir, WILDCARD_SUFFIXES, "suffix")
+
+
+def _wildcard_oracle_sql(patterns: list[str], like_expr: str) -> str:
     from ciff_ray.synth import SQL_TRANSCRIPTS_CTE
 
+    pattern_values = ", ".join(
+        f"({pid}, '{p}')" for pid, p in enumerate(patterns)
+    )
     return f"""WITH {SQL_TRANSCRIPTS_CTE.strip()},
 tok AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
@@ -466,15 +613,23 @@ tf AS (
   SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''
 ),
 dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-p(query_id, prefix) AS (VALUES {_wildcard_prefix_values()}),
+p(query_id, pattern) AS (VALUES {pattern_values}),
 expd AS (
   SELECT query_id, term FROM (
     SELECT p.query_id, d.term,
            row_number() OVER (PARTITION BY p.query_id
                               ORDER BY d.df DESC, d.term ASC) AS rn
-    FROM p JOIN dfv d ON d.term LIKE p.prefix || '%'
+    FROM p JOIN dfv d ON d.term LIKE {like_expr}
   ) WHERE rn <= {WILDCARD_MAX_TERMS}
 )
 SELECT CAST(e.query_id AS BIGINT) AS query_id, tf.doc_id AS doc_id,
        CAST(count(*) AS BIGINT) AS n_match
 FROM expd e JOIN tf USING (term) GROUP BY e.query_id, tf.doc_id"""
+
+
+def wildcard_match_oracle_sql() -> str:
+    return _wildcard_oracle_sql(WILDCARD_PREFIXES, "p.pattern || '%'")
+
+
+def wildcard_suffix_oracle_sql() -> str:
+    return _wildcard_oracle_sql(WILDCARD_SUFFIXES, "'%' || p.pattern")

@@ -72,6 +72,63 @@ def test_boolean_and_not_matches_bruteforce(ray_session):
     assert self_ex and not any(q in self_ex for q, _ in got)
 
 
+def test_boolean_or_msm_matches_bruteforce(ray_session):
+    from ciff_ray.booleanq import MSM_QUERY_SET, q_boolean_or_msm
+    from ciff_ray.oracle import tokenize
+
+    docs = _doc_tokens()
+    expected = {}
+    for qid, (q, m) in enumerate(MSM_QUERY_SET):
+        terms = set(tokenize(q))
+        for doc_id, toks in docs:
+            n = len(terms & set(toks))
+            if n >= m:
+                expected[(qid, doc_id)] = n
+    got = {
+        (int(r["query_id"]), int(r["doc_id"])): int(r["n_match"])
+        for r in q_boolean_or_msm(SF).to_pandas().to_dict("records")
+    }
+    assert got == expected
+    # m=1 degenerates to plain OR; the unreachable-m query is empty
+    m1 = [qid for qid, (_, m) in enumerate(MSM_QUERY_SET) if m == 1]
+    assert m1 and any(q in m1 for q, _ in got)
+    dead = MSM_QUERY_SET.index(("zzznotaterm key", 2))
+    assert not any(q == dead for q, _ in got)
+
+
+def test_wildcard_suffix_bruteforce(ray_session):
+    from ciff_ray.booleanq import (
+        WILDCARD_MAX_TERMS,
+        WILDCARD_SUFFIXES,
+        q_wildcard_suffix,
+    )
+
+    docs = _doc_tokens()
+    df: dict[str, int] = {}
+    for _, toks in docs:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    expected = {}
+    cap_bound = False
+    for pid, suffix in enumerate(WILDCARD_SUFFIXES):
+        matching = sorted(
+            (t for t in df if t.endswith(suffix)),
+            key=lambda t: (-df[t], t),
+        )
+        cap_bound = cap_bound or len(matching) > WILDCARD_MAX_TERMS
+        exp = set(matching[:WILDCARD_MAX_TERMS])
+        for doc_id, toks in docs:
+            n = len(exp & set(toks))
+            if n:
+                expected[(pid, doc_id)] = n
+    assert cap_bound, "expansion cap must bind for at least one suffix"
+    got = {
+        (int(r["query_id"]), int(r["doc_id"])): int(r["n_match"])
+        for r in q_wildcard_suffix(SF).to_pandas().to_dict("records")
+    }
+    assert got == expected
+
+
 def _brute_min_gap(toks: list[str], terms: list[str]) -> int | None:
     """Exact min total gap over ALL strictly-increasing position
     tuples (the oracle semantics, independent of the greedy chase)."""
