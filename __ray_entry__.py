@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from ciff_ray.positions import q_proximity_pairs as _proximity
     from ciff_ray.positions import q_span_near as _span_near
+    from ciff_ray.positions import q_span_unordered as _span_unordered
     from ciff_ray.lmdir import q_lm_dirichlet as _lm_dirichlet
     from ciff_ray.lmdir import q_lm_jm as _lm_jm
     from ciff_ray.recency import q_bm25_recency as _bm25_recency
@@ -134,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_match": q_wildcard_match,
         "wildcard_suffix": q_wildcard_suffix,
         "span_near": _span_near,
+        "span_unordered": _span_unordered,
         "ranking_metrics": _ranking_metrics,
         "bm25_synonyms": _bm25_synonyms,
         "bm25_recency": _bm25_recency,
@@ -182,7 +184,10 @@ def oracle_sql() -> dict[str, str]:
         ranking_metrics_oracle_sql,
     )
     from ciff_ray.hybrid import hybrid_oracle_sql
-    from ciff_ray.positions import span_near_oracle_sql
+    from ciff_ray.positions import (
+        span_near_oracle_sql,
+        span_unordered_oracle_sql,
+    )
 
     sqls["hybrid_rrf"] = hybrid_oracle_sql()
     sqls["ranking_eval"] = ranking_eval_oracle_sql()
@@ -193,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["wildcard_match"] = wildcard_match_oracle_sql()
     sqls["wildcard_suffix"] = wildcard_suffix_oracle_sql()
     sqls["span_near"] = span_near_oracle_sql()
+    sqls["span_unordered"] = span_unordered_oracle_sql()
     from ciff_ray.recency import bm25_recency_oracle_sql
     from ciff_ray.synonyms import bm25_synonyms_oracle_sql
 

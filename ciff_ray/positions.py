@@ -718,6 +718,190 @@ def q_span_near(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# ---------------------------------------------------------------------------
+# unordered span-near (Lucene SpanNearQuery(inOrder=false) analogue)
+
+# (terms, slop) with DISTINCT terms per query (the permutation argument
+# below needs one position per term; Lucene's unordered spans with
+# repeated clauses have the same subtlety).  Mix: 2-term both-order
+# pairs, a 3-term set, slop-0 (adjacent in any order), and a no-hit.
+SPAN_UNORDERED_QUERY_SET: list[tuple[list[str], int]] = [
+    (["key", "the"], 2),
+    (["merge", "join"], 5),
+    (["sort", "order", "key"], 4),
+    (["spark", "window"], 1),
+    (["zzznotaterm", "key"], 10),
+    (["fast", "key", "the"], 0),
+]
+
+
+def _span_unordered_min_gaps(
+    store: PositionStore, terms: list[str], cand: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc minimum unordered window gap: min over all ways to pick
+    one position per term of (max pos - min pos) - (n-1).
+
+    Exact reduction to the ordered chase: any minimizing tuple, sorted
+    by position, is an ORDERED occurrence of its induced term
+    permutation with the same window (positions are distinct because
+    the terms are distinct), and every ordered occurrence is a valid
+    unordered pick — so the unordered min equals the min over the n!
+    permutations of `_chase_min_gaps`.  n! is bounded by the query
+    arity (<= 3 here; Lucene caps span clause counts the same way),
+    and each chase is the same O(Σ|keys| log) vectorized kernel.
+    """
+    import itertools
+
+    assert len(set(terms)) == len(terms), "unordered spans need distinct terms"
+    key_sets = {}
+    for t in terms:
+        k = store.keys(t, cand)
+        if k.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        key_sets[t] = k
+    doc_parts, gap_parts = [], []
+    for perm in itertools.permutations(terms):
+        d, g = _chase_min_gaps([key_sets[t] for t in perm])
+        doc_parts.append(d)
+        gap_parts.append(g)
+    docs = np.concatenate(doc_parts)
+    gaps = np.concatenate(gap_parts)
+    if docs.size == 0:
+        return docs, gaps
+    order = np.lexsort((gaps, docs))
+    docs, gaps = docs[order], gaps[order]
+    cut = np.flatnonzero(np.r_[True, docs[1:] != docs[:-1]])
+    return docs[cut], gaps[cut]
+
+
+class _SpanUnorderedVerify(_SpanNearVerify):
+    """Same broadcast-spec shape as _SpanNearVerify, unordered kernel."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, gaps = [], [], []
+        for qid in batch["query_id"].to_pylist():
+            terms, slop, cand = self.spec[qid]
+            d, g = _span_unordered_min_gaps(self.store, terms, cand)
+            keep = g <= slop
+            d, g = d[keep], g[keep]
+            qids.append(np.full(d.size, qid, dtype=np.int64))
+            docs.append(d)
+            gaps.append(g)
+        if not qids:
+            q: np.ndarray = np.empty(0, np.int64)
+            d2: np.ndarray = np.empty(0, np.int64)
+            g2: np.ndarray = np.empty(0, np.int64)
+        else:
+            q, d2, g2 = (
+                np.concatenate(qids),
+                np.concatenate(docs),
+                np.concatenate(gaps),
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(q, type=pa.int64()),
+                "doc_id": pa.array(d2, type=pa.int64()),
+                "min_gaps": pa.array(g2, type=pa.int64()),
+            }
+        )
+
+
+def q_span_unordered(sf_dir: str) -> ray.data.Dataset:
+    """Unordered span-near search: docs where the query terms all
+    appear within ``slop`` total gap tokens IN ANY ORDER, with the
+    per-doc minimal gap (AND candidates bound the positional reads)."""
+    import ray
+
+    from ciff_ray.pipelines import _BooleanAndActor, ensure_index
+
+    idx = ensure_index(sf_dir)
+    store = ensure_positions(sf_dir)
+    and_actor = _BooleanAndActor(idx)
+    spec: dict[int, tuple[list[str], int, np.ndarray]] = {}
+    qids = []
+    for qid, (terms, slop) in enumerate(SPAN_UNORDERED_QUERY_SET):
+        cand = and_actor._conjunction(" ".join(terms))
+        if cand.size == 0:
+            continue
+        spec[qid] = (terms, slop, cand)
+        qids.append(qid)
+    if not qids:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "min_gaps": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    spec_ref = ray.put(spec)
+    queries = ray.data.from_arrow(
+        pa.table({"query_id": pa.array(qids, type=pa.int64())})
+    ).repartition(min(4, len(qids)))
+    return queries.map_batches(
+        _SpanUnorderedVerify,
+        fn_constructor_args=(store, spec_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def _span_unordered_values(n: int) -> str:
+    rows = []
+    for qid, (terms, slop) in enumerate(SPAN_UNORDERED_QUERY_SET):
+        if len(terms) != n:
+            continue
+        cols = ", ".join(f"'{t}'" for t in terms)
+        rows.append(f"({qid}, {cols}, {slop})")
+    return ", ".join(rows)
+
+
+def span_unordered_oracle_sql() -> str:
+    """Exact unordered-window min via positional self-joins with
+    greatest/least window arithmetic (distinct terms => distinct
+    positions, so no same-position degeneracy)."""
+    from ciff_ray.synth import SQL_TRANSCRIPTS_CTE
+
+    assert _span_unordered_values(2) and _span_unordered_values(3)
+    return f"""WITH {SQL_TRANSCRIPTS_CTE.strip()},
+tokl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM transcripts
+),
+tokpos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM tokl
+),
+q2(query_id, ta, tb, slop) AS (VALUES {_span_unordered_values(2)}),
+q3(query_id, ta, tb, tc, slop) AS (VALUES {_span_unordered_values(3)}),
+s2 AS (
+  SELECT q.query_id, a.doc_id,
+         min(greatest(a.pos, b.pos) - least(a.pos, b.pos) - 1) AS g,
+         q.slop AS slop
+  FROM q2 q
+  JOIN tokpos a ON a.term = q.ta
+  JOIN tokpos b ON b.term = q.tb AND b.doc_id = a.doc_id
+  GROUP BY q.query_id, a.doc_id, q.slop
+),
+s3 AS (
+  SELECT q.query_id, a.doc_id,
+         min(greatest(a.pos, b.pos, c.pos)
+             - least(a.pos, b.pos, c.pos) - 2) AS g,
+         q.slop AS slop
+  FROM q3 q
+  JOIN tokpos a ON a.term = q.ta
+  JOIN tokpos b ON b.term = q.tb AND b.doc_id = a.doc_id
+  JOIN tokpos c ON c.term = q.tc AND c.doc_id = a.doc_id
+  GROUP BY q.query_id, a.doc_id, q.slop
+),
+u AS (SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       CAST(g AS BIGINT) AS min_gaps
+FROM u WHERE g <= slop"""
+
+
 def _span_values(n: int) -> str:
     """(query_id, t1..tn, slop) VALUES rows for the n-term spans."""
     rows = []

@@ -173,6 +173,114 @@ def test_span_near_matches_bruteforce(ray_session):
     assert phrase_docs == brute_phrase
 
 
+def _brute_min_window(toks: list[str], terms: list[str]) -> int | None:
+    """Exact min unordered window gap over all one-position-per-term
+    picks (any order)."""
+    pos = [[i for i, x in enumerate(toks) if x == t] for t in terms]
+    if any(not p for p in pos):
+        return None
+    best = None
+    for combo in itertools.product(*pos):
+        g = max(combo) - min(combo) - (len(terms) - 1)
+        if best is None or g < best:
+            best = g
+    return best
+
+
+def test_span_unordered_matches_bruteforce(ray_session):
+    from ciff_ray.positions import (
+        SPAN_UNORDERED_QUERY_SET,
+        q_span_unordered,
+    )
+
+    docs = _doc_tokens()
+    expected = {}
+    for qid, (terms, slop) in enumerate(SPAN_UNORDERED_QUERY_SET):
+        for doc_id, toks in docs:
+            g = _brute_min_window(toks, terms)
+            if g is not None and g <= slop:
+                expected[(qid, doc_id)] = g
+    got = {
+        (int(r["query_id"]), int(r["doc_id"])): int(r["min_gaps"])
+        for r in q_span_unordered(SF).to_pandas().to_dict("records")
+    }
+    assert got == expected
+    # unordered is a superset of ordered at the same (terms, slop):
+    # ("key", "the") slop 2 must catch "the ... key" docs too
+    rev_qid = SPAN_UNORDERED_QUERY_SET.index((["key", "the"], 2))
+    assert any(q == rev_qid for q, _ in got)
+
+
+def test_span_unordered_kernel_property():
+    """min-over-permutations of the greedy chase == brute-force min
+    unordered window, on random distinct-term position sets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ciff_ray.positions import _span_unordered_min_gaps
+
+    class _FakeStore:
+        def __init__(self, keysets):
+            self.keysets = keysets
+
+        def keys(self, term, cand):
+            return self.keysets[term]
+
+    @st.composite
+    def case(draw):
+        n_terms = draw(st.integers(2, 3))
+        n_docs = draw(st.integers(1, 3))
+        # a position holds exactly ONE term (real tokenization): draw
+        # unique positions per doc, then assign each to a term
+        keys: dict[int, list[int]] = {t: [] for t in range(n_terms)}
+        for doc in range(n_docs):
+            poss = draw(
+                st.lists(st.integers(0, 12), max_size=8, unique=True)
+            )
+            owners = draw(
+                st.lists(
+                    st.integers(0, n_terms - 1),
+                    min_size=len(poss),
+                    max_size=len(poss),
+                )
+            )
+            for p, t in zip(sorted(poss), owners):
+                keys[t].append((doc << 32) | p)
+        sets = {
+            f"t{t}": np.array(sorted(k), dtype=np.uint64)
+            for t, k in keys.items()
+        }
+        return n_docs, sets
+
+    @given(case())
+    @settings(max_examples=150, deadline=None)
+    def run(c):
+        n_docs, sets = c
+        terms = sorted(sets)
+        if any(s.size == 0 for s in sets.values()):
+            return
+        docs, gaps = _span_unordered_min_gaps(
+            _FakeStore(sets), terms, np.empty(0, np.int64)
+        )
+        got = dict(zip(docs.tolist(), gaps.tolist()))
+        expect = {}
+        for doc in range(n_docs):
+            pos_lists = [
+                [int(k) & 0xFFFFFFFF for k in sets[t].tolist() if k >> 32 == doc]
+                for t in terms
+            ]
+            if any(not p for p in pos_lists):
+                continue
+            g = min(
+                max(combo) - min(combo) - (len(terms) - 1)
+                for combo in itertools.product(*pos_lists)
+            )
+            expect[doc] = g
+        assert got == expect
+
+    run()
+
+
 def test_ranking_metrics_matches_bruteforce(ray_session):
     """Metric formulas recomputed from the corpus text + the engine's
     own (separately oracle-pinned) BM25 top-10."""
