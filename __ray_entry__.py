@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_boolean_and_not,
         q_boolean_or,
         q_boolean_or_msm,
+        q_term_regex,
         q_wildcard_match,
         q_wildcard_suffix,
     )
@@ -134,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and_not": q_boolean_and_not,
         "wildcard_match": q_wildcard_match,
         "wildcard_suffix": q_wildcard_suffix,
+        "term_regex": q_term_regex,
         "span_near": _span_near,
         "span_unordered": _span_unordered,
         "ranking_metrics": _ranking_metrics,
@@ -176,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         boolean_and_not_oracle_sql,
         boolean_or_msm_oracle_sql,
         boolean_or_oracle_sql,
+        term_regex_oracle_sql,
         wildcard_match_oracle_sql,
         wildcard_suffix_oracle_sql,
     )
@@ -197,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["boolean_and_not"] = boolean_and_not_oracle_sql()
     sqls["wildcard_match"] = wildcard_match_oracle_sql()
     sqls["wildcard_suffix"] = wildcard_suffix_oracle_sql()
+    sqls["term_regex"] = term_regex_oracle_sql()
     sqls["span_near"] = span_near_oracle_sql()
     sqls["span_unordered"] = span_unordered_oracle_sql()
     from ciff_ray.recency import bm25_recency_oracle_sql

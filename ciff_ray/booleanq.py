@@ -418,6 +418,14 @@ WILDCARD_MAX_TERMS = 4
 # scan to one key range per suffix (same top-k merge either way).
 WILDCARD_SUFFIXES = ["ey", "ge", "e", "ble", "zzzxx"]
 
+# regex term set (Lucene RegexpQuery analogue): the pattern must match
+# the ENTIRE term.  Both sides run RE2 — pyarrow's match_substring_regex
+# (anchored here) and DuckDB's regexp_full_match — so the semantics are
+# literally the same engine.  Mix: wildcard-dot, alternation, a
+# character-class numeric probe, a broad pattern where the cap binds,
+# and a miss.
+REGEX_PATTERNS = ["k.y", "(merge|join)s?", "[0-9]+", "s.*", "zzz.x"]
+
 
 def _top_terms_per_prefix(
     prefix_ids: np.ndarray, terms: np.ndarray, dfs: np.ndarray, cap: int
@@ -449,7 +457,15 @@ def _wildcard_partials(
     suffix (leading wildcard) matching."""
     import pyarrow.compute as pc
 
-    matcher = pc.starts_with if mode == "prefix" else pc.ends_with
+    if mode == "prefix":
+        matcher = pc.starts_with
+    elif mode == "suffix":
+        matcher = pc.ends_with
+    else:  # full-term regex (RE2), anchored
+
+        def matcher(col, pat):
+            return pc.match_substring_regex(col, f"^(?:{pat})$")
+
     term_col = batch["term"].combine_chunks()
     pids, terms, dfs = [], [], []
     for pid, prefix in enumerate(patterns):
@@ -598,7 +614,14 @@ def q_wildcard_suffix(sf_dir: str) -> ray.data.Dataset:
     return _wildcard_query(sf_dir, WILDCARD_SUFFIXES, "suffix")
 
 
-def _wildcard_oracle_sql(patterns: list[str], like_expr: str) -> str:
+def q_term_regex(sf_dir: str) -> ray.data.Dataset:
+    """Regex term retrieval: each RE2 pattern full-matches against the
+    distributed term dictionary, expands to its capped top-df terms,
+    then unions posting lists like boolean OR."""
+    return _wildcard_query(sf_dir, REGEX_PATTERNS, "regex")
+
+
+def _wildcard_oracle_sql(patterns: list[str], match_expr: str) -> str:
     from ciff_ray.synth import SQL_TRANSCRIPTS_CTE
 
     pattern_values = ", ".join(
@@ -619,7 +642,7 @@ expd AS (
     SELECT p.query_id, d.term,
            row_number() OVER (PARTITION BY p.query_id
                               ORDER BY d.df DESC, d.term ASC) AS rn
-    FROM p JOIN dfv d ON d.term LIKE {like_expr}
+    FROM p JOIN dfv d ON {match_expr}
   ) WHERE rn <= {WILDCARD_MAX_TERMS}
 )
 SELECT CAST(e.query_id AS BIGINT) AS query_id, tf.doc_id AS doc_id,
@@ -628,8 +651,18 @@ FROM expd e JOIN tf USING (term) GROUP BY e.query_id, tf.doc_id"""
 
 
 def wildcard_match_oracle_sql() -> str:
-    return _wildcard_oracle_sql(WILDCARD_PREFIXES, "p.pattern || '%'")
+    return _wildcard_oracle_sql(
+        WILDCARD_PREFIXES, "d.term LIKE p.pattern || '%'"
+    )
 
 
 def wildcard_suffix_oracle_sql() -> str:
-    return _wildcard_oracle_sql(WILDCARD_SUFFIXES, "'%' || p.pattern")
+    return _wildcard_oracle_sql(
+        WILDCARD_SUFFIXES, "d.term LIKE '%' || p.pattern"
+    )
+
+
+def term_regex_oracle_sql() -> str:
+    return _wildcard_oracle_sql(
+        REGEX_PATTERNS, "regexp_full_match(d.term, p.pattern)"
+    )

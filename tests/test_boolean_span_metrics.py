@@ -129,6 +129,43 @@ def test_wildcard_suffix_bruteforce(ray_session):
     assert got == expected
 
 
+def test_term_regex_bruteforce(ray_session):
+    """Independent check with Python re (a DIFFERENT regex engine from
+    the RE2 both production sides use)."""
+    import re
+
+    from ciff_ray.booleanq import (
+        REGEX_PATTERNS,
+        WILDCARD_MAX_TERMS,
+        q_term_regex,
+    )
+
+    docs = _doc_tokens()
+    df: dict[str, int] = {}
+    for _, toks in docs:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    expected = {}
+    cap_bound = False
+    for pid, pat in enumerate(REGEX_PATTERNS):
+        rx = re.compile(pat)
+        matching = sorted(
+            (t for t in df if rx.fullmatch(t)), key=lambda t: (-df[t], t)
+        )
+        cap_bound = cap_bound or len(matching) > WILDCARD_MAX_TERMS
+        exp = set(matching[:WILDCARD_MAX_TERMS])
+        for doc_id, toks in docs:
+            n = len(exp & set(toks))
+            if n:
+                expected[(pid, doc_id)] = n
+    assert cap_bound, "expansion cap must bind for at least one pattern"
+    got = {
+        (int(r["query_id"]), int(r["doc_id"])): int(r["n_match"])
+        for r in q_term_regex(SF).to_pandas().to_dict("records")
+    }
+    assert got == expected
+
+
 def _brute_min_gap(toks: list[str], terms: list[str]) -> int | None:
     """Exact min total gap over ALL strictly-increasing position
     tuples (the oracle semantics, independent of the greedy chase)."""
