@@ -62,14 +62,18 @@ _DRIVER_WINDOW_PRIORITY = [
     # long-stable r01-r03-green conv_topk / phrase_match_positional in
     # the window)
     "bm25_synonyms", "bm25_recency", "lm_dirichlet",
-    # -- engine north_rule gates (fill the window to 50; rotated out as
+    # the Lucene-style search DSL (composes terms/phrases/role filters
+    # through the boolean + positional kernels) and the JM-smoothed LM —
+    # both new; they replace long-stable bm25_scores / bm25_topk_pruned
+    "search_dsl", "lm_jm",
+    # -- engine north_rule gate (fills the window to 50; rotated out as
     # long-stable driver-green r01-r03: bm25_topk_merged,
     # bm25_topk_compacted, bm25_topk_filtered, proximity_pairs,
-    # ranking_eval, hybrid_rrf, doc_fingerprint, chunk_docs, and — for
-    # the round-4 final adds — tokenize_tf, postings_stats, docmap,
-    # collection_stats, postings_lists; lm_dirichlet rotated out
-    # bm25_topk_sharded) ---------------------------------------------------
-    "bm25_scores", "bm25_topk", "bm25_topk_pruned",
+    # ranking_eval, hybrid_rrf, doc_fingerprint, chunk_docs, bm25_scores,
+    # bm25_topk_pruned, and — for the round-4 final adds — tokenize_tf,
+    # postings_stats, docmap, collection_stats, postings_lists;
+    # lm_dirichlet rotated out bm25_topk_sharded) --------------------------
+    "bm25_topk",
 ]
 
 
@@ -96,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ciff_ray.lmdir import q_lm_dirichlet as _lm_dirichlet
     from ciff_ray.lmdir import q_lm_jm as _lm_jm
     from ciff_ray.recency import q_bm25_recency as _bm25_recency
+    from ciff_ray.searchdsl import q_search_dsl as _search_dsl
     from ciff_ray.synonyms import q_bm25_synonyms as _bm25_synonyms
 
     entries: dict[str, Callable[[str], Any]] = {
@@ -136,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_match": q_wildcard_match,
         "wildcard_suffix": q_wildcard_suffix,
         "term_regex": q_term_regex,
+        "search_dsl": _search_dsl,
         "span_near": _span_near,
         "span_unordered": _span_unordered,
         "ranking_metrics": _ranking_metrics,
@@ -201,6 +207,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["wildcard_match"] = wildcard_match_oracle_sql()
     sqls["wildcard_suffix"] = wildcard_suffix_oracle_sql()
     sqls["term_regex"] = term_regex_oracle_sql()
+    from ciff_ray.searchdsl import search_dsl_oracle_sql
+
+    sqls["search_dsl"] = search_dsl_oracle_sql()
     sqls["span_near"] = span_near_oracle_sql()
     sqls["span_unordered"] = span_unordered_oracle_sql()
     from ciff_ray.recency import bm25_recency_oracle_sql

@@ -1,0 +1,386 @@
+"""A Lucene-style search query language compiled onto the engine's
+retrieval primitives — the user-facing composition layer the reference
+leaves to callers (pisa-engine/ciff src/lib.rs materializes one posting
+list per term; everything above that is downstream's job).
+
+Grammar (classic Lucene boolean subset):
+
+    expr     := and_expr ('OR' and_expr)*
+    and_expr := operand ('AND' operand)*
+    operand  := 'NOT' operand | primary
+    primary  := '(' expr ')' | '"' word+ '"' | 'role:' value | word
+
+Semantics are SET-exact (no scoring): a term is its posting list, a
+quoted phrase is in-order adjacency against the positional store, and
+``role:`` is a document-metadata predicate.  Like Lucene, a query must
+have at least one positive clause at every level that produces
+documents: ``NOT x`` and ``role:v`` are FILTERS that can only appear
+ANDed with a generating clause (a pure-negative query has no bounded
+evaluation — the parser rejects it rather than enumerating the corpus).
+
+Scale shape: parsing is driver-side over a handful of bytes; evaluation
+is the same actor-pool `map_batches` as boolean retrieval — posting
+lists decode per term, phrases read only their candidates' position
+rows, the role mask is a vectorized predicate on docIDs, and every set
+op (intersect / union / subtract) is one searchsorted-family kernel.
+No text is ever re-scanned.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ciff_ray.oracle import tokenize
+from ciff_ray.synth import _ROLES
+
+# Fixed query set: AND / OR / NOT, phrases, role filters, nesting,
+# a missing term, and a negated metadata filter.
+DSL_QUERY_SET = [
+    "key AND merge",
+    "key OR (merge AND join)",
+    'table AND NOT "the key"',
+    '"batch stream" OR spark',
+    "role:assistant AND key AND NOT merge",
+    "(customer OR order) AND role:tool",
+    'zzznotaterm OR "fast key"',
+    "the AND NOT role:user",
+]
+
+
+# ---------------------------------------------------------------------------
+# parser
+
+import re as _re
+
+_TOKEN_RE = _re.compile(r'"[^"]*"|\(|\)|[^\s()"]+')
+_KEYWORDS = {"AND", "OR", "NOT"}
+
+
+def _normalize_word(w: str) -> str:
+    toks = tokenize(w)
+    if len(toks) != 1:
+        raise ValueError(f"not a single index term: {w!r}")
+    return toks[0]
+
+
+class _Parser:
+    def __init__(self, query: str):
+        self.toks = _TOKEN_RE.findall(query)
+        self.pos = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def take(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of query")
+        self.pos += 1
+        return t
+
+    def parse(self) -> tuple:
+        node = self._expr()
+        if self.peek() is not None:
+            raise ValueError(f"trailing tokens at {self.peek()!r}")
+        _validate(node, top=True)
+        return node
+
+    def _expr(self) -> tuple:
+        parts = [self._and_expr()]
+        while self.peek() == "OR":
+            self.take()
+            parts.append(self._and_expr())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def _and_expr(self) -> tuple:
+        parts = [self._operand()]
+        while self.peek() == "AND":
+            self.take()
+            parts.append(self._operand())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def _operand(self) -> tuple:
+        if self.peek() == "NOT":
+            self.take()
+            return ("not", self._operand())
+        return self._primary()
+
+    def _primary(self) -> tuple:
+        t = self.take()
+        if t == "(":
+            node = self._expr()
+            if self.take() != ")":
+                raise ValueError("expected ')'")
+            return node
+        if t.startswith('"'):
+            words = [_normalize_word(w) for w in t[1:-1].split()]
+            if not words:
+                raise ValueError("empty phrase")
+            return ("term", words[0]) if len(words) == 1 else ("phrase", words)
+        if t in _KEYWORDS or t == ")":
+            raise ValueError(f"unexpected {t!r}")
+        if ":" in t:
+            field, _, value = t.partition(":")
+            if field != "role":
+                raise ValueError(f"unknown field {field!r}")
+            if value not in _ROLES:
+                raise ValueError(f"unknown role {value!r}")
+            return ("role", value)
+        return ("term", _normalize_word(t))
+
+
+def parse_query(query: str) -> tuple:
+    """Parse a DSL query into an AST; raises ValueError on syntax
+    errors or pure-negative (unbounded) queries."""
+    return _Parser(query).parse()
+
+
+def _is_generator(node: tuple) -> bool:
+    """True iff the node produces a bounded doc set on its own."""
+    k = node[0]
+    if k in ("term", "phrase"):
+        return True
+    if k in ("role", "not"):
+        return False
+    if k == "or":
+        return all(_is_generator(c) for c in node[1])
+    return any(_is_generator(c) for c in node[1])  # and
+
+
+def _validate(node: tuple, top: bool = False) -> None:
+    k = node[0]
+    if top and not _is_generator(node):
+        raise ValueError("query needs at least one positive clause")
+    if k == "or":
+        for c in node[1]:
+            if not _is_generator(c):
+                raise ValueError(
+                    "NOT / role: filters must be ANDed with a positive "
+                    "clause, not OR'd"
+                )
+            _validate(c)
+    elif k == "and":
+        if not any(_is_generator(c) for c in node[1]):
+            raise ValueError("AND group needs a positive clause")
+        for c in node[1]:
+            _validate(c)
+    elif k == "not":
+        child = node[1]
+        if not (_is_generator(child) or child[0] == "role"):
+            raise ValueError("NOT needs a positive or role: operand")
+        _validate(child)
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+
+_N_ROLES = len(_ROLES)
+
+
+def _subtract_sorted(cur: np.ndarray, ex: np.ndarray) -> np.ndarray:
+    if cur.size == 0 or ex.size == 0:
+        return cur
+    pos = np.searchsorted(ex, cur)
+    inb = pos < ex.size
+    hit = np.zeros(cur.size, dtype=bool)
+    hit[inb] = ex[pos[inb]] == cur[inb]
+    return cur[~hit]
+
+
+class DslEvaluator:
+    """AST -> sorted unique docID array, against one loaded index +
+    positional store (state per actor)."""
+
+    def __init__(self, index_dir: str, store_root: str):
+        from ciff_ray.query import LocalScorer
+
+        self.scorer = LocalScorer(index_dir)
+        self.store_root = store_root
+        self._store = None
+
+    def _term_docs(self, term: str) -> np.ndarray:
+        if self.scorer._term_stat(term) is None:
+            return np.empty(0, np.int64)
+        d, _ = self.scorer.postings(term)
+        return d.astype(np.int64)
+
+    def _phrase_docs(self, terms: list[str]) -> np.ndarray:
+        from ciff_ray.pipelines import _intersect_sorted
+        from ciff_ray.positions import PositionStore
+
+        cand: np.ndarray | None = None
+        # rarest-first AND over the phrase terms bounds the position read
+        stats = []
+        for t in terms:
+            st = self.scorer._term_stat(t)
+            if st is None:
+                return np.empty(0, np.int64)
+            stats.append((st[0], t))
+        for _, t in sorted(stats):
+            d = self._term_docs(t)
+            cand = d if cand is None else _intersect_sorted(cand, d)
+            if cand.size == 0:
+                return np.empty(0, np.int64)
+        if self._store is None:
+            self._store = PositionStore(self.store_root)
+        return self._store.phrase_docs(terms, cand)
+
+    def evaluate(self, node: tuple) -> np.ndarray:
+        k = node[0]
+        if k == "term":
+            return self._term_docs(node[1])
+        if k == "phrase":
+            return self._phrase_docs(node[1])
+        if k == "or":
+            return np.unique(
+                np.concatenate([self.evaluate(c) for c in node[1]])
+            )
+        if k == "and":
+            gens = [c for c in node[1] if _is_generator(c)]
+            cur: np.ndarray | None = None
+            for c in gens:
+                d = self.evaluate(c)
+                if cur is None:
+                    cur = d
+                else:
+                    from ciff_ray.pipelines import _intersect_sorted
+
+                    cur = _intersect_sorted(cur, d)
+                if cur.size == 0:
+                    return cur
+            assert cur is not None  # _validate guarantees a generator
+            for c in node[1]:
+                if c[0] == "role":
+                    cur = cur[cur % _N_ROLES == _ROLES.index(c[1])]
+                elif c[0] == "not":
+                    child = c[1]
+                    if child[0] == "role":
+                        cur = cur[cur % _N_ROLES != _ROLES.index(child[1])]
+                    else:
+                        cur = _subtract_sorted(cur, self.evaluate(child))
+            return cur
+        raise ValueError(f"cannot evaluate {k!r} outside AND")
+
+
+class _DslActor:
+    """map_batches stage: (query_id) rows -> (query_id, doc_id) match
+    sets for the broadcast ASTs; index + positional state once per
+    actor."""
+
+    def __init__(self, index_dir: str, store_root: str, spec_ref):
+        import ray as _ray
+
+        self.ev = DslEvaluator(index_dir, store_root)
+        self.spec = _ray.get(spec_ref)  # {qid: ast}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs = [], []
+        for qid in batch["query_id"].to_pylist():
+            d = self.ev.evaluate(self.spec[qid])
+            qids.append(np.full(d.size, qid, dtype=np.int64))
+            docs.append(d)
+        if not qids:
+            q: np.ndarray = np.empty(0, np.int64)
+            d2: np.ndarray = np.empty(0, np.int64)
+        else:
+            q, d2 = np.concatenate(qids), np.concatenate(docs)
+        return pa.table(
+            {
+                "query_id": pa.array(q, type=pa.int64()),
+                "doc_id": pa.array(d2, type=pa.int64()),
+            }
+        )
+
+
+def q_search_dsl(sf_dir: str) -> ray.data.Dataset:
+    """Boolean search-DSL evaluation: (query_id, doc_id) match sets for
+    the fixed DSL_QUERY_SET (AND / OR / NOT / phrase / role: filters,
+    arbitrarily nested)."""
+    import ray as _ray
+
+    from ciff_ray.pipelines import ensure_index
+    from ciff_ray.positions import ensure_positions
+
+    idx = ensure_index(sf_dir)
+    store = ensure_positions(sf_dir)
+    spec = {qid: parse_query(q) for qid, q in enumerate(DSL_QUERY_SET)}
+    spec_ref = _ray.put(spec)
+    queries = ray.data.from_arrow(
+        pa.table(
+            {"query_id": pa.array(sorted(spec), type=pa.int64())}
+        )
+    ).repartition(4)
+    return queries.map_batches(
+        _DslActor,
+        fn_constructor_args=(idx, store, spec_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle: compile the SAME ASTs to SQL predicates
+
+def _sql_pred(node: tuple) -> str:
+    k = node[0]
+    if k == "term":
+        return (
+            f"d.doc_id IN (SELECT doc_id FROM tf WHERE term = '{node[1]}')"
+        )
+    if k == "phrase":
+        terms = node[1]
+        joins = "".join(
+            f"\n    JOIN tokpos p{i} ON p{i}.doc_id = p0.doc_id"
+            f" AND p{i}.pos = p0.pos + {i}"
+            for i in range(1, len(terms))
+        )
+        conds = " AND ".join(
+            f"p{i}.term = '{t}'" for i, t in enumerate(terms)
+        )
+        return (
+            f"d.doc_id IN (SELECT p0.doc_id FROM tokpos p0{joins}"
+            f"\n    WHERE {conds})"
+        )
+    if k == "role":
+        # synth rule: role = _ROLES[doc_id % 4] (rank identity), same
+        # arithmetic derivation every role-aware oracle in pipelines.py uses
+        return f"d.doc_id % {_N_ROLES} = {_ROLES.index(node[1])}"
+    if k == "or":
+        return "(" + " OR ".join(_sql_pred(c) for c in node[1]) + ")"
+    if k == "and":
+        return "(" + " AND ".join(_sql_pred(c) for c in node[1]) + ")"
+    return "NOT " + _sql_pred(node[1])  # not
+
+
+def search_dsl_oracle_sql() -> str:
+    from ciff_ray.synth import SQL_TRANSCRIPTS_CTE
+
+    selects = []
+    for qid, q in enumerate(DSL_QUERY_SET):
+        pred = _sql_pred(parse_query(q))
+        selects.append(
+            f"SELECT CAST({qid} AS BIGINT) AS query_id, d.doc_id AS doc_id"
+            f"\nFROM docs d WHERE {pred}"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""WITH {SQL_TRANSCRIPTS_CTE.strip()},
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM transcripts
+),
+tf AS (
+  SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''
+),
+tokl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM transcripts
+),
+tokpos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM tokl
+),
+docs AS (SELECT DISTINCT doc_id FROM transcripts)
+{body}"""

@@ -1,0 +1,121 @@
+"""Search-DSL parser + evaluator, checked against an independent
+pure-Python set-semantics recompute over the tokenized sf0.001 corpus
+(universe-based: NOT is true complement, phrases scan all positions —
+not the engine's filter-only evaluation order)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# parser
+
+
+def test_parse_precedence_and_nesting():
+    from ciff_ray.searchdsl import parse_query
+
+    # AND binds tighter than OR
+    assert parse_query("key OR merge AND join") == (
+        "or",
+        [("term", "key"), ("and", [("term", "merge"), ("term", "join")])],
+    )
+    assert parse_query("(key OR merge) AND join") == (
+        "and",
+        [("or", [("term", "key"), ("term", "merge")]), ("term", "join")],
+    )
+    assert parse_query('"batch stream"') == ("phrase", ["batch", "stream"])
+    assert parse_query('"key"') == ("term", "key")
+    assert parse_query("key AND NOT role:tool") == (
+        "and",
+        [("term", "key"), ("not", ("role", "tool"))],
+    )
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "NOT key",                # pure negative at top level
+        "role:user",              # bare filter generates nothing
+        "key OR NOT merge",       # NOT cannot be OR'd
+        "key OR role:user",       # filters cannot be OR'd
+        "role:user AND NOT key",  # AND group with no generator
+        "key AND",                # dangling operator
+        "key)",                   # trailing token
+        "(key",                   # unclosed paren
+        "field:val AND key",      # unknown field
+        "role:ceo AND key",       # unknown role value
+        '"" OR key',              # empty phrase
+    ],
+)
+def test_parse_rejects(bad):
+    from ciff_ray.searchdsl import parse_query
+
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+# ---------------------------------------------------------------------------
+# evaluation vs universe-based brute force
+
+
+def _doc_tokens() -> list[tuple[int, list[str]]]:
+    from ciff_ray.oracle import tokenize
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return [
+        (int(d), tokenize(x or ""))
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    ]
+
+
+def _brute(node, docs, universe):
+    from ciff_ray.synth import _ROLES
+
+    k = node[0]
+    if k == "term":
+        return {d for d, toks in docs if node[1] in toks}
+    if k == "phrase":
+        terms = node[1]
+        out = set()
+        for d, toks in docs:
+            for p in range(len(toks) - len(terms) + 1):
+                if toks[p : p + len(terms)] == terms:
+                    out.add(d)
+                    break
+        return out
+    if k == "role":
+        ri = _ROLES.index(node[1])
+        return {d for d in universe if d % len(_ROLES) == ri}
+    if k == "not":
+        return universe - _brute(node[1], docs, universe)
+    sets = [_brute(c, docs, universe) for c in node[1]]
+    if k == "or":
+        return set().union(*sets)
+    return set.intersection(*sets)  # and
+
+
+def test_dsl_matches_bruteforce(ray_session):
+    from ciff_ray.searchdsl import DSL_QUERY_SET, parse_query, q_search_dsl
+
+    docs = _doc_tokens()
+    universe = {d for d, _ in docs}
+    expected = set()
+    for qid, q in enumerate(DSL_QUERY_SET):
+        for d in _brute(parse_query(q), docs, universe):
+            expected.add((qid, d))
+    got = {
+        (int(r["query_id"]), int(r["doc_id"]))
+        for r in q_search_dsl(SF).to_pandas().to_dict("records")
+    }
+    assert got == expected
+    # the fixed set must actually exercise every construct non-trivially
+    assert any(q for q in DSL_QUERY_SET if '"' in q)
+    by_qid = {}
+    for qid, _ in got:
+        by_qid[qid] = by_qid.get(qid, 0) + 1
+    assert all(by_qid.get(q, 0) > 0 for q in range(len(DSL_QUERY_SET)))
