@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ciff_ray.lmdir import q_lm_jm as _lm_jm
     from ciff_ray.recency import q_bm25_recency as _bm25_recency
     from ciff_ray.searchdsl import q_search_dsl as _search_dsl
+    from ciff_ray.searchdsl import q_search_dsl_ranked as _search_dsl_ranked
     from ciff_ray.synonyms import q_bm25_synonyms as _bm25_synonyms
 
     entries: dict[str, Callable[[str], Any]] = {
@@ -142,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_suffix": q_wildcard_suffix,
         "term_regex": q_term_regex,
         "search_dsl": _search_dsl,
+        "search_dsl_ranked": _search_dsl_ranked,
         "span_near": _span_near,
         "span_unordered": _span_unordered,
         "ranking_metrics": _ranking_metrics,
@@ -207,9 +209,13 @@ def oracle_sql() -> dict[str, str]:
     sqls["wildcard_match"] = wildcard_match_oracle_sql()
     sqls["wildcard_suffix"] = wildcard_suffix_oracle_sql()
     sqls["term_regex"] = term_regex_oracle_sql()
-    from ciff_ray.searchdsl import search_dsl_oracle_sql
+    from ciff_ray.searchdsl import (
+        search_dsl_oracle_sql,
+        search_dsl_ranked_oracle_sql,
+    )
 
     sqls["search_dsl"] = search_dsl_oracle_sql()
+    sqls["search_dsl_ranked"] = search_dsl_ranked_oracle_sql()
     sqls["span_near"] = span_near_oracle_sql()
     sqls["span_unordered"] = span_unordered_oracle_sql()
     from ciff_ray.recency import bm25_recency_oracle_sql

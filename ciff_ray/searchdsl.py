@@ -263,6 +263,44 @@ class DslEvaluator:
             return cur
         raise ValueError(f"cannot evaluate {k!r} outside AND")
 
+    def topk(self, node: tuple, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Ranked evaluation: the boolean AST is the candidate FILTER,
+        BM25 over the positive clauses' terms is the score (the bool
+        query + scoring shape).  Candidate tf comes from the
+        block-targeted decode (`_candidate_tf`), so a selective filter
+        never pays a full posting-list pass for the scoring terms."""
+        cand = self.evaluate(node)
+        if cand.size == 0:
+            return cand, np.empty(0, np.float64)
+        sc = self.scorer
+        total = np.zeros(cand.size, dtype=np.float64)
+        dl = sc._dl[cand]
+        for t in scoring_terms(node):  # byte-sorted: oracle sum order
+            if sc._term_stat(t) is None:
+                continue
+            tfs = sc._candidate_tf(t, cand)
+            nz = tfs > 0
+            if nz.any():
+                total[nz] += sc._contrib(tfs[nz], dl[nz], sc.idf(t))
+        return sc._rank(cand, total, k)
+
+
+def scoring_terms(node: tuple) -> list[str]:
+    """Distinct terms of the POSITIVE clauses (bare terms + phrase
+    words), byte-sorted — the BM25 scoring set for ranked evaluation.
+    Filters (NOT subtrees, role:) contribute no score, Lucene-style."""
+    k = node[0]
+    if k == "term":
+        return [node[1]]
+    if k == "phrase":
+        return sorted(set(node[1]), key=lambda s: s.encode())
+    if k in ("role", "not"):
+        return []
+    out: set[str] = set()
+    for c in node[1]:
+        out.update(scoring_terms(c))
+    return sorted(out, key=lambda s: s.encode())
+
 
 class _DslActor:
     """map_batches stage: (query_id) rows -> (query_id, doc_id) match
@@ -315,6 +353,62 @@ def q_search_dsl(sf_dir: str) -> ray.data.Dataset:
     return queries.map_batches(
         _DslActor,
         fn_constructor_args=(idx, store, spec_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+class _DslRankActor:
+    """map_batches stage for ranked DSL: (query_id) rows ->
+    (query_id, rank, doc_id) top-k under the boolean filter."""
+
+    def __init__(self, index_dir: str, store_root: str, spec_ref, k: int):
+        import ray as _ray
+
+        self.ev = DslEvaluator(index_dir, store_root)
+        self.spec = _ray.get(spec_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids: list[int] = []
+        ranks: list[int] = []
+        docs: list[int] = []
+        for qid in batch["query_id"].to_pylist():
+            d, _ = self.ev.topk(self.spec[qid], self.k)
+            qids.extend([qid] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            docs.extend(d.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+            }
+        )
+
+
+def q_search_dsl_ranked(sf_dir: str) -> ray.data.Dataset:
+    """Ranked search-DSL retrieval: top-k per DSL query, candidates
+    filtered by the boolean AST, scored by BM25 over the positive
+    clauses' terms (rank key = round(score, 9) desc, doc_id asc —
+    identical to bm25_topk)."""
+    import ray as _ray
+
+    from ciff_ray.pipelines import TOPK_K, ensure_index
+    from ciff_ray.positions import ensure_positions
+
+    idx = ensure_index(sf_dir)
+    store = ensure_positions(sf_dir)
+    spec = {qid: parse_query(q) for qid, q in enumerate(DSL_QUERY_SET)}
+    spec_ref = _ray.put(spec)
+    queries = ray.data.from_arrow(
+        pa.table(
+            {"query_id": pa.array(sorted(spec), type=pa.int64())}
+        )
+    ).repartition(4)
+    return queries.map_batches(
+        _DslRankActor,
+        fn_constructor_args=(idx, store, spec_ref, TOPK_K),
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
@@ -384,3 +478,61 @@ tokpos AS (
 ),
 docs AS (SELECT DISTINCT doc_id FROM transcripts)
 {body}"""
+
+
+def search_dsl_ranked_oracle_sql() -> str:
+    """Top-k per DSL query: the standard BM25 scored CTE restricted to
+    the query's positive terms, filtered by the compiled DSL predicate,
+    ranked by (round(score, 9) DESC, doc_id ASC) — the engine's exact
+    rank key.  The `tf` predicate subquery intentionally reuses the
+    counted tf CTE from the BM25 base block (IN-semantics identical to
+    the DISTINCT variant the set oracle uses)."""
+    from ciff_ray.pipelines import _BM25_CONTRIB_SQL, TOPK_K, _bm25_base_cte
+    from ciff_ray.synth import SQL_TRANSCRIPTS_CTE
+
+    qvals: list[str] = []
+    preds: list[str] = []
+    for qid, q in enumerate(DSL_QUERY_SET):
+        ast = parse_query(q)
+        for t in scoring_terms(ast):
+            qvals.append(f"({qid}, '{t}')")
+        preds.append(
+            f"SELECT CAST({qid} AS BIGINT) AS query_id, d.doc_id AS doc_id"
+            f"\nFROM docs d WHERE {_sql_pred(ast)}"
+        )
+    matched = "\nUNION ALL\n".join(preds)
+    return f"""WITH {SQL_TRANSCRIPTS_CTE.strip()},
+{_bm25_base_cte().lstrip()},
+q(query_id, term) AS (VALUES {", ".join(qvals)}),
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id AS doc_id,
+         SUM(
+           {_BM25_CONTRIB_SQL}
+         ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+tokl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM transcripts
+),
+tokpos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM tokl
+),
+docs AS (SELECT DISTINCT doc_id FROM transcripts),
+matched AS (
+{matched}
+)
+SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.score, 9) DESC, s.doc_id ASC) AS rnk
+  FROM scored s
+  JOIN matched m ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+) WHERE rnk <= {TOPK_K}"""

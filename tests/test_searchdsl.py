@@ -119,3 +119,67 @@ def test_dsl_matches_bruteforce(ray_session):
     for qid, _ in got:
         by_qid[qid] = by_qid.get(qid, 0) + 1
     assert all(by_qid.get(q, 0) > 0 for q in range(len(DSL_QUERY_SET)))
+
+
+def test_scoring_terms_excludes_filters():
+    from ciff_ray.searchdsl import parse_query, scoring_terms
+
+    assert scoring_terms(parse_query('table AND NOT "the key"')) == ["table"]
+    assert scoring_terms(parse_query('"batch stream" OR spark')) == [
+        "batch", "spark", "stream",
+    ]
+    assert scoring_terms(parse_query("role:tool AND key")) == ["key"]
+
+
+def test_dsl_ranked_matches_bruteforce(ray_session):
+    import math
+
+    from ciff_ray.oracle import B_DEFAULT, EPS_IDF, K1_DEFAULT
+    from ciff_ray.searchdsl import (
+        DSL_QUERY_SET,
+        parse_query,
+        q_search_dsl_ranked,
+        scoring_terms,
+    )
+
+    docs = _doc_tokens()
+    universe = {d for d, _ in docs}
+    toks_of = dict(docs)
+    n = len(docs)
+    lens = {d: len(t) for d, t in docs}
+    avgdl = sum(lens.values()) / n
+    df = {}
+    for _, toks in docs:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+
+    def idf(t):
+        if t not in df:
+            return 0.0
+        return max(math.log((n - df[t] + 0.5) / (df[t] + 0.5)), EPS_IDF)
+
+    expected = set()
+    for qid, q in enumerate(DSL_QUERY_SET):
+        ast = parse_query(q)
+        terms = scoring_terms(ast)
+        scored = []
+        for d in _brute(ast, docs, universe):
+            s = 0.0
+            for t in terms:
+                tf = toks_of[d].count(t)
+                if tf:
+                    s += (
+                        idf(t)
+                        * tf
+                        * (K1_DEFAULT + 1.0)
+                        / (tf + K1_DEFAULT * (1.0 - B_DEFAULT + B_DEFAULT * lens[d] / avgdl))
+                    )
+            scored.append((d, s))
+        ranked = sorted(scored, key=lambda kv: (-round(kv[1], 9), kv[0]))[:10]
+        for r, (d, _) in enumerate(ranked, 1):
+            expected.add((qid, r, d))
+    got = {
+        (int(r["query_id"]), int(r["rank"]), int(r["doc_id"]))
+        for r in q_search_dsl_ranked(SF).to_pandas().to_dict("records")
+    }
+    assert got == expected
