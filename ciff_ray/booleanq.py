@@ -461,6 +461,14 @@ def _wildcard_partials(
         matcher = pc.starts_with
     elif mode == "suffix":
         matcher = pc.ends_with
+    elif mode == "fuzzy":  # Levenshtein <= 1 (Lucene FuzzyQuery flavor)
+
+        def matcher(col, pat):
+            from ciff_ray.extras.fuzzy import _lev_le
+
+            words = col.to_pylist()
+            return pa.array(_lev_le([pat] * len(words), words, 1))
+
     else:  # full-term regex (RE2), anchored
 
         def matcher(col, pat):

@@ -8,11 +8,17 @@ Grammar (classic Lucene boolean subset):
     expr     := and_expr ('OR' and_expr)*
     and_expr := operand ('AND' operand)*
     operand  := 'NOT' operand | primary
-    primary  := '(' expr ')' | '"' word+ '"' | 'role:' value | word
+    primary  := '(' expr ')' | '"' word+ '"' | 'role:' value
+              | word '*' | word '~' | word
 
 Semantics are SET-exact (no scoring): a term is its posting list, a
 quoted phrase is in-order adjacency against the positional store, and
-``role:`` is a document-metadata predicate.  Like Lucene, a query must
+``role:`` is a document-metadata predicate.  ``word*`` (trailing
+wildcard) and ``word~`` (fuzzy, Levenshtein <= 1) expand against the
+term dictionary to at most ``EXPANSION_CAP`` terms picked by
+(df desc, term asc) — Lucene's maxClauseCount-bounded rewrite — via
+ONE distributed dictionary scan per query set, then evaluate as a
+plain term union.  Like Lucene, a query must
 have at least one positive clause at every level that produces
 documents: ``NOT x`` and ``role:v`` are FILTERS that can only appear
 ANDed with a generating clause (a pure-negative query has no bounded
@@ -36,7 +42,8 @@ from ciff_ray.oracle import tokenize
 from ciff_ray.synth import _ROLES
 
 # Fixed query set: AND / OR / NOT, phrases, role filters, nesting,
-# a missing term, and a negated metadata filter.
+# a missing term, a negated metadata filter, and wildcard / fuzzy
+# clauses (incl. a cap-binding prefix, a miss, and a negated wildcard).
 DSL_QUERY_SET = [
     "key AND merge",
     "key OR (merge AND join)",
@@ -46,7 +53,16 @@ DSL_QUERY_SET = [
     "(customer OR order) AND role:tool",
     'zzznotaterm OR "fast key"',
     "the AND NOT role:user",
+    "mer* AND key",
+    "s* AND NOT role:system",
+    "merg~ OR keu~",
+    "key AND NOT zzzxx*",
 ]
+
+# Lucene maxClauseCount flavor: every wildcard / fuzzy clause expands
+# to at most this many dictionary terms, picked by (df desc, term asc)
+# — shared with the standalone wildcard retrieval entries.
+from ciff_ray.booleanq import WILDCARD_MAX_TERMS as EXPANSION_CAP
 
 
 # ---------------------------------------------------------------------------
@@ -121,6 +137,15 @@ class _Parser:
             return ("term", words[0]) if len(words) == 1 else ("phrase", words)
         if t in _KEYWORDS or t == ")":
             raise ValueError(f"unexpected {t!r}")
+        if t.endswith("*") and "*" not in t[:-1] and "~" not in t:
+            prefix = t[:-1].lower()
+            if not _re.fullmatch(r"[a-z0-9]+", prefix):
+                raise ValueError(f"bad wildcard prefix {t!r}")
+            return ("wild", prefix)
+        if t.endswith("~") and "~" not in t[:-1] and "*" not in t:
+            return ("fuzzy", _normalize_word(t[:-1]))
+        if "*" in t or "~" in t:
+            raise ValueError(f"misplaced wildcard in {t!r}")
         if ":" in t:
             field, _, value = t.partition(":")
             if field != "role":
@@ -140,7 +165,7 @@ def parse_query(query: str) -> tuple:
 def _is_generator(node: tuple) -> bool:
     """True iff the node produces a bounded doc set on its own."""
     k = node[0]
-    if k in ("term", "phrase"):
+    if k in ("term", "phrase", "wild", "fuzzy", "terms"):
         return True
     if k in ("role", "not"):
         return False
@@ -171,6 +196,62 @@ def _validate(node: tuple, top: bool = False) -> None:
         if not (_is_generator(child) or child[0] == "role"):
             raise ValueError("NOT needs a positive or role: operand")
         _validate(child)
+
+
+# ---------------------------------------------------------------------------
+# wildcard / fuzzy expansion (driver-side, one dictionary scan)
+
+
+def _collect_patterns(
+    node: tuple, wild: list[str], fuzzy: list[str]
+) -> None:
+    k = node[0]
+    if k == "wild" and node[1] not in wild:
+        wild.append(node[1])
+    elif k == "fuzzy" and node[1] not in fuzzy:
+        fuzzy.append(node[1])
+    elif k == "not":
+        _collect_patterns(node[1], wild, fuzzy)
+    elif k in ("and", "or"):
+        for c in node[1]:
+            _collect_patterns(c, wild, fuzzy)
+
+
+def expand_asts(
+    asts: dict[int, tuple], index_dir: str
+) -> dict[int, tuple]:
+    """Rewrite every ``wild`` / ``fuzzy`` node into an explicit
+    ``("terms", [...])`` union via the distributed dictionary scan —
+    ONE scan for all patterns of the whole query set (per-batch partial
+    top-cap, driver merge <= cap x blocks rows)."""
+    from ciff_ray.booleanq import wildcard_expansions
+
+    wild: list[str] = []
+    fuzzy: list[str] = []
+    for a in asts.values():
+        _collect_patterns(a, wild, fuzzy)
+    wmap: dict[str, list[str]] = {}
+    fmap: dict[str, list[str]] = {}
+    if wild:
+        exp = wildcard_expansions(index_dir, wild, mode="prefix")
+        wmap = {p: exp.get(i, []) for i, p in enumerate(wild)}
+    if fuzzy:
+        exp = wildcard_expansions(index_dir, fuzzy, mode="fuzzy")
+        fmap = {w: exp.get(i, []) for i, w in enumerate(fuzzy)}
+
+    def rewrite(node: tuple) -> tuple:
+        k = node[0]
+        if k == "wild":
+            return ("terms", wmap[node[1]])
+        if k == "fuzzy":
+            return ("terms", fmap[node[1]])
+        if k == "not":
+            return ("not", rewrite(node[1]))
+        if k in ("and", "or"):
+            return (k, [rewrite(c) for c in node[1]])
+        return node
+
+    return {qid: rewrite(a) for qid, a in asts.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -233,6 +314,12 @@ class DslEvaluator:
             return self._term_docs(node[1])
         if k == "phrase":
             return self._phrase_docs(node[1])
+        if k == "terms":  # expanded wildcard / fuzzy: term union
+            if not node[1]:
+                return np.empty(0, np.int64)
+            return np.unique(
+                np.concatenate([self._term_docs(t) for t in node[1]])
+            )
         if k == "or":
             return np.unique(
                 np.concatenate([self.evaluate(c) for c in node[1]])
@@ -292,8 +379,14 @@ def scoring_terms(node: tuple) -> list[str]:
     k = node[0]
     if k == "term":
         return [node[1]]
-    if k == "phrase":
+    if k in ("phrase", "terms"):
         return sorted(set(node[1]), key=lambda s: s.encode())
+    if k in ("wild", "fuzzy"):
+        # unexpanded patterns carry no scoring terms here; the oracle
+        # adds their expansion via SQL (_scoring_patterns) and the
+        # engine always scores the expand_asts()-rewritten tree (an
+        # unexpanded tree fails evaluate() outright)
+        return []
     if k in ("role", "not"):
         return []
     out: set[str] = set()
@@ -343,7 +436,9 @@ def q_search_dsl(sf_dir: str) -> ray.data.Dataset:
 
     idx = ensure_index(sf_dir)
     store = ensure_positions(sf_dir)
-    spec = {qid: parse_query(q) for qid, q in enumerate(DSL_QUERY_SET)}
+    spec = expand_asts(
+        {qid: parse_query(q) for qid, q in enumerate(DSL_QUERY_SET)}, idx
+    )
     spec_ref = _ray.put(spec)
     queries = ray.data.from_arrow(
         pa.table(
@@ -399,7 +494,9 @@ def q_search_dsl_ranked(sf_dir: str) -> ray.data.Dataset:
 
     idx = ensure_index(sf_dir)
     store = ensure_positions(sf_dir)
-    spec = {qid: parse_query(q) for qid, q in enumerate(DSL_QUERY_SET)}
+    spec = expand_asts(
+        {qid: parse_query(q) for qid, q in enumerate(DSL_QUERY_SET)}, idx
+    )
     spec_ref = _ray.put(spec)
     queries = ray.data.from_arrow(
         pa.table(
@@ -417,11 +514,47 @@ def q_search_dsl_ranked(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 # oracle: compile the SAME ASTs to SQL predicates
 
+def _scoring_patterns(node: tuple) -> list[tuple[str, str]]:
+    """(kind, pattern) of positive-clause wildcard/fuzzy nodes — the
+    clauses whose EXPANSION terms join the BM25 scoring set."""
+    k = node[0]
+    if k in ("wild", "fuzzy"):
+        return [(k, node[1])]
+    if k in ("and", "or"):
+        out: list[tuple[str, str]] = []
+        for c in node[1]:
+            out.extend(_scoring_patterns(c))
+        return out
+    return []
+
+
+def _expansion_subquery(kind: str, pat: str) -> str:
+    """SQL computing the SAME capped expansion the engine's dictionary
+    scan produces: top-{EXPANSION_CAP} vocabulary terms by
+    (df desc, term asc) under the prefix / Levenshtein<=1 match."""
+    cond = (
+        f"term LIKE '{pat}%'"
+        if kind == "wild"
+        else f"levenshtein(term, '{pat}') <= 1"
+    )
+    return (
+        "SELECT term FROM (SELECT term, row_number() OVER "
+        f"(ORDER BY df DESC, term ASC) AS rn FROM dfv WHERE {cond}) "
+        f"WHERE rn <= {EXPANSION_CAP}"
+    )
+
+
 def _sql_pred(node: tuple) -> str:
     k = node[0]
     if k == "term":
         return (
             f"d.doc_id IN (SELECT doc_id FROM tf WHERE term = '{node[1]}')"
+        )
+    if k in ("wild", "fuzzy"):
+        return (
+            "d.doc_id IN (SELECT doc_id FROM tf WHERE term IN ("
+            + _expansion_subquery(k, node[1])
+            + "))"
         )
     if k == "phrase":
         terms = node[1]
@@ -467,6 +600,9 @@ tok AS (
 tf AS (
   SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''
 ),
+dfv AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
 tokl AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -492,24 +628,44 @@ def search_dsl_ranked_oracle_sql() -> str:
 
     qvals: list[str] = []
     preds: list[str] = []
+    qx_parts: list[str] = []
     for qid, q in enumerate(DSL_QUERY_SET):
         ast = parse_query(q)
         for t in scoring_terms(ast):
             qvals.append(f"({qid}, '{t}')")
+        for kind, pat in _scoring_patterns(ast):
+            qx_parts.append(
+                f"SELECT CAST({qid} AS BIGINT) AS query_id, term"
+                f" FROM ({_expansion_subquery(kind, pat)})"
+            )
         preds.append(
             f"SELECT CAST({qid} AS BIGINT) AS query_id, d.doc_id AS doc_id"
             f"\nFROM docs d WHERE {_sql_pred(ast)}"
         )
     matched = "\nUNION ALL\n".join(preds)
+    # scoring set = explicit positive terms UNION positive wildcard /
+    # fuzzy expansions, deduped — exactly scoring_terms() over the
+    # engine's expand_asts()-rewritten tree
+    if qx_parts:
+        qall = (
+            "qall AS (\n  SELECT DISTINCT query_id, term FROM (\n"
+            "    SELECT query_id, term FROM q\n    UNION ALL\n    "
+            + "\n    UNION ALL\n    ".join(qx_parts)
+            + "\n  )\n)"
+        )
+    else:
+        qall = "qall AS (SELECT query_id, term FROM q)"
     return f"""WITH {SQL_TRANSCRIPTS_CTE.strip()},
 {_bm25_base_cte().lstrip()},
+dfv AS (SELECT term, df FROM df),
 q(query_id, term) AS (VALUES {", ".join(qvals)}),
+{qall},
 scored AS (
   SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id AS doc_id,
          SUM(
            {_BM25_CONTRIB_SQL}
          ) AS score
-  FROM q
+  FROM qall q
   JOIN tf USING (term)
   JOIN df USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id

@@ -34,6 +34,10 @@ def test_parse_precedence_and_nesting():
         "and",
         [("term", "key"), ("not", ("role", "tool"))],
     )
+    assert parse_query("mer* AND keu~") == (
+        "and",
+        [("wild", "mer"), ("fuzzy", "keu")],
+    )
 
 
 @pytest.mark.parametrize(
@@ -50,6 +54,10 @@ def test_parse_precedence_and_nesting():
         "field:val AND key",      # unknown field
         "role:ceo AND key",       # unknown role value
         '"" OR key',              # empty phrase
+        "*foo",                   # leading wildcard star
+        "f*o",                    # interior star
+        "~key",                   # leading fuzzy marker
+        "a*~",                    # mixed markers
     ],
 )
 def test_parse_rejects(bad):
@@ -73,12 +81,40 @@ def _doc_tokens() -> list[tuple[int, list[str]]]:
     ]
 
 
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _expand(kind: str, pat: str, docs) -> list[str]:
+    """Independent top-4 (df desc, term asc) expansion over the corpus
+    vocabulary."""
+    df = {}
+    for _, toks in docs:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    if kind == "wild":
+        hits = [t for t in df if t.startswith(pat)]
+    else:
+        hits = [t for t in df if _lev(t, pat) <= 1]
+    hits.sort(key=lambda t: (-df[t], t))
+    return hits[:4]
+
+
 def _brute(node, docs, universe):
     from ciff_ray.synth import _ROLES
 
     k = node[0]
     if k == "term":
         return {d for d, toks in docs if node[1] in toks}
+    if k in ("wild", "fuzzy"):
+        terms = set(_expand(k, node[1], docs))
+        return {d for d, toks in docs if terms & set(toks)}
     if k == "phrase":
         terms = node[1]
         out = set()
@@ -139,7 +175,6 @@ def test_dsl_ranked_matches_bruteforce(ray_session):
         DSL_QUERY_SET,
         parse_query,
         q_search_dsl_ranked,
-        scoring_terms,
     )
 
     docs = _doc_tokens()
@@ -158,10 +193,25 @@ def test_dsl_ranked_matches_bruteforce(ray_session):
             return 0.0
         return max(math.log((n - df[t] + 0.5) / (df[t] + 0.5)), EPS_IDF)
 
+    def scoring_set(node):
+        k = node[0]
+        if k == "term":
+            return {node[1]}
+        if k == "phrase":
+            return set(node[1])
+        if k in ("wild", "fuzzy"):
+            return set(_expand(k, node[1], docs))
+        if k in ("and", "or"):
+            out = set()
+            for c in node[1]:
+                out |= scoring_set(c)
+            return out
+        return set()  # role / not
+
     expected = set()
     for qid, q in enumerate(DSL_QUERY_SET):
         ast = parse_query(q)
-        terms = scoring_terms(ast)
+        terms = sorted(scoring_set(ast))
         scored = []
         for d in _brute(ast, docs, universe):
             s = 0.0
