@@ -258,6 +258,21 @@ def cmd_phrase(args) -> None:
         print(f"{d}\t{title}")
 
 
+def cmd_search(args) -> None:
+    from ciff_ray.query import LocalScorer
+    from ciff_ray.searchdsl import search
+
+    if args.k:
+        docs, scores = search(args.index, args.positions, args.query, k=args.k)
+        titles = LocalScorer(args.index).collection_docids(docs)
+        for rank, (d, s, t) in enumerate(zip(docs, scores, titles), 1):
+            print(f"{rank}\t{d}\t{s:.6f}\t{t}")
+    else:
+        docs = search(args.index, args.positions, args.query)
+        for d, t in zip(docs, LocalScorer(args.index).collection_docids(docs)):
+            print(f"{d}\t{t}")
+
+
 def cmd_export_ciff(args) -> None:
     from ciff_ray.interop.bridge import index_to_ciff
 
@@ -362,6 +377,17 @@ def main(argv=None) -> None:
     ph.add_argument("positions")
     ph.add_argument("phrase")
     ph.set_defaults(fn=cmd_phrase)
+
+    se = sub.add_parser(
+        "search",
+        help="boolean search DSL (AND/OR/NOT, \"phrase\", role:, wild*, "
+        "fuzzy~); -k adds BM25 ranking over the positive clauses",
+    )
+    se.add_argument("index")
+    se.add_argument("positions")
+    se.add_argument("query")
+    se.add_argument("-k", type=int, default=0)
+    se.set_defaults(fn=cmd_search)
 
     cp = sub.add_parser("compact", help="rewrite an index without its tombstoned docs")
     cp.add_argument("index")

@@ -34,6 +34,8 @@ No text is ever re-scanned.
 
 from __future__ import annotations
 
+import bisect
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -393,6 +395,97 @@ def scoring_terms(node: tuple) -> list[str]:
     for c in node[1]:
         out.update(scoring_terms(c))
     return sorted(out, key=lambda s: s.encode())
+
+
+def _local_expansions(
+    scorer, wild: list[str], fuzzy: list[str]
+) -> tuple[dict[str, list[str]], dict[str, list[str]]]:
+    """Expansion against an already-loaded scorer's term dictionary:
+    prefix = one bisect range (O(log V) + cap-bounded slice), fuzzy =
+    chunked vectorized edit-distance scan over the dictionary column.
+    Produces byte-for-byte the same capped (df desc, term asc) sets as
+    the distributed scan in :func:`expand_asts` — same vocabulary,
+    same key — so interactive `search()` matches the batch entries.
+    At huge vocabularies the fuzzy scan is O(V) per distinct pattern;
+    the batch path amortizes that over the query set, and a SymSpell
+    deletion-neighborhood index (extras/fuzzy.py) is the scale path."""
+    terms_arr = scorer._st_terms.arr
+    df_arr = np.asarray(scorer._st_df)
+
+    def top_cap(idx: np.ndarray) -> list[str]:
+        if idx.size == 0:
+            return []
+        t = np.array(
+            [terms_arr[int(i)].as_py() for i in idx], dtype=object
+        )
+        d = df_arr[idx]
+        order = np.lexsort((t, -d))[:EXPANSION_CAP]
+        return sorted(t[order].tolist())  # set semantics; order is moot
+
+    wmap: dict[str, list[str]] = {}
+    for p in wild:
+        lo = bisect.bisect_left(scorer._st_terms, p)
+        # '{' sorts after every [a-z0-9] byte, so p+'{' bounds the run
+        hi = bisect.bisect_left(scorer._st_terms, p + "{")
+        wmap[p] = top_cap(np.arange(lo, hi))
+    fmap: dict[str, list[str]] = {}
+    if fuzzy:
+        from ciff_ray.extras.fuzzy import _lev_le
+
+        hits: dict[str, list[np.ndarray]] = {w: [] for w in fuzzy}
+        CH = 1 << 16
+        for lo in range(0, len(terms_arr), CH):
+            chunk = terms_arr.slice(lo, CH).to_pylist()
+            for w in fuzzy:
+                m = _lev_le([w] * len(chunk), chunk, 1)
+                if m.any():
+                    hits[w].append(np.flatnonzero(m) + lo)
+        for w in fuzzy:
+            idx = (
+                np.concatenate(hits[w])
+                if hits[w]
+                else np.empty(0, np.int64)
+            )
+            fmap[w] = top_cap(idx)
+    return wmap, fmap
+
+
+def search(
+    index_dir: str,
+    positions_dir: str,
+    query: str,
+    k: int | None = None,
+):
+    """One-shot DSL search against a built index (positional store for
+    phrases).  Returns the sorted matching docID array, or
+    ``(doc_ids, scores)`` ranked top-k when ``k`` is given.  Wildcard /
+    fuzzy clauses expand locally via the loaded term dictionary (see
+    :func:`_local_expansions`); results are identical to the batch
+    entries' distributed expansion."""
+    ev = DslEvaluator(index_dir, positions_dir)
+    ast = parse_query(query)
+    wild: list[str] = []
+    fuzzy: list[str] = []
+    _collect_patterns(ast, wild, fuzzy)
+    if wild or fuzzy:
+        wmap, fmap = _local_expansions(ev.scorer, wild, fuzzy)
+
+        def rewrite(node: tuple) -> tuple:
+            kk = node[0]
+            if kk == "wild":
+                return ("terms", wmap[node[1]])
+            if kk == "fuzzy":
+                return ("terms", fmap[node[1]])
+            if kk == "not":
+                return ("not", rewrite(node[1]))
+            if kk in ("and", "or"):
+                return (kk, [rewrite(c) for c in node[1]])
+            return node
+
+        ast = rewrite(ast)
+    if k is None:
+        return ev.evaluate(ast)
+    return ev.topk(ast, k)
 
 
 class _DslActor:

@@ -233,3 +233,76 @@ def test_dsl_ranked_matches_bruteforce(ray_session):
         for r in q_search_dsl_ranked(SF).to_pandas().to_dict("records")
     }
     assert got == expected
+
+
+def test_local_expansion_matches_distributed(ray_session):
+    from ciff_ray.pipelines import ensure_index
+    from ciff_ray.positions import ensure_positions
+    from ciff_ray.searchdsl import (
+        DSL_QUERY_SET,
+        DslEvaluator,
+        _collect_patterns,
+        _local_expansions,
+        expand_asts,
+        parse_query,
+    )
+
+    idx = ensure_index(SF)
+    asts = {i: parse_query(q) for i, q in enumerate(DSL_QUERY_SET)}
+    wild, fuzzy = [], []
+    for a in asts.values():
+        _collect_patterns(a, wild, fuzzy)
+    assert wild and fuzzy  # the fixed set exercises both
+    ev = DslEvaluator(idx, ensure_positions(SF))
+    wmap, fmap = _local_expansions(ev.scorer, wild, fuzzy)
+
+    def terms_of(node, acc):
+        if node[0] == "terms":
+            acc.append(sorted(node[1]))
+        elif node[0] == "not":
+            terms_of(node[1], acc)
+        elif node[0] in ("and", "or"):
+            for c in node[1]:
+                terms_of(c, acc)
+
+    dist_terms: list[list[str]] = []
+    for a in expand_asts(asts, idx).values():
+        terms_of(a, dist_terms)
+    local = {p: sorted(t) for p, t in {**wmap, **fmap}.items()}
+    # every distributed expansion appears identically in the local map
+    assert sorted(dist_terms) == sorted(
+        local[p] for p in wild + fuzzy
+    )
+    # the cap must BIND somewhere so the tie-key parity is exercised
+    assert any(len(t) == 4 for t in dist_terms)
+
+
+def test_search_oneshot_and_cli(ray_session, capsys):
+    from ciff_ray.cli import main
+    from ciff_ray.pipelines import ensure_index
+    from ciff_ray.positions import ensure_positions
+    from ciff_ray.searchdsl import q_search_dsl_ranked, search
+
+    idx = ensure_index(SF)
+    pos = ensure_positions(SF)
+    # one-shot ranked search == the batch entry's rows for that query
+    docs, scores = search(idx, pos, "mer* AND key", k=10)
+    batch = q_search_dsl_ranked(SF).to_pandas()
+    qid = 8  # "mer* AND key" position in DSL_QUERY_SET
+    want = batch[batch.query_id == qid].sort_values("rank").doc_id.tolist()
+    assert docs.tolist() == want
+    # set-mode search: every hit contains a mer*-expansion term AND key
+    hits = search(idx, pos, 'keu~ AND "batch stream"')
+    toks_of = dict(_doc_tokens())
+    for d in hits.tolist():
+        toks = toks_of[int(d)]
+        assert any(
+            " ".join(toks[i : i + 2]) == "batch stream"
+            for i in range(len(toks))
+        )
+    main(["search", idx, pos, "mer* AND key", "-k", "3"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3 and out[0].startswith("1\t")
+    main(["search", idx, pos, "key AND NOT merge"])
+    out2 = capsys.readouterr().out.strip().splitlines()
+    assert len(out2) > 0 and all("\t" in ln for ln in out2)
