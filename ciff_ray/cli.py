@@ -230,6 +230,22 @@ def cmd_build_positions(args) -> None:
     print(json.dumps({"output": out}))
 
 
+def cmd_positions_merge(args) -> None:
+    _ray_session()
+    from ciff_ray.positions import merge_positions_for
+
+    out = merge_positions_for(args.index_roots, args.pos_roots, args.output)
+    print(json.dumps({"output": out}))
+
+
+def cmd_positions_compact(args) -> None:
+    _ray_session()
+    from ciff_ray.positions import compact_positions
+
+    out = compact_positions(args.positions, args.index, args.output)
+    print(json.dumps({"output": out}))
+
+
 def cmd_phrase(args) -> None:
     from ciff_ray.positions import PositionStore
     from ciff_ray.query import LocalScorer
@@ -369,6 +385,34 @@ def main(argv=None) -> None:
     bp.add_argument("input")
     bp.add_argument("output")
     bp.set_defaults(fn=cmd_build_positions)
+
+    pm = sub.add_parser(
+        "positions-merge",
+        help="fold positional stores to match a merge_indexes fold",
+    )
+    pm.add_argument(
+        "--index-roots", nargs="+", required=True,
+        help="the index roots passed to merge (doc_base source)",
+    )
+    pm.add_argument(
+        "--pos-roots", nargs="+", required=True,
+        help="each root's positional store, same order",
+    )
+    # flag, not positional: a positional after nargs="+" options is
+    # ambiguous to argparse
+    pm.add_argument("-o", "--output", required=True)
+    pm.set_defaults(fn=cmd_positions_merge)
+
+    pcp = sub.add_parser(
+        "positions-compact",
+        help="drop an index's tombstoned docs from its positional store",
+    )
+    pcp.add_argument("positions", help="positional store to rewrite")
+    pcp.add_argument(
+        "index", help="SOURCE index dir (the one carrying tombstones)"
+    )
+    pcp.add_argument("output")
+    pcp.set_defaults(fn=cmd_positions_compact)
 
     ph = sub.add_parser(
         "phrase", help="index-only phrase match (needs a positional store)"

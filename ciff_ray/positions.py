@@ -113,17 +113,12 @@ def _position_partials(batch: pa.Table) -> pa.Table:
     )
 
 
-def build_positions(docs: ray.data.Dataset, out_dir: str) -> str:
-    """Build the positional store from a (doc_id, text) Dataset.
-
-    Streaming end to end: partial extraction is a stateless
-    map_batches; the write itself is the only exchange (hive-style
-    partition_cols on the term-hash), so no driver materialization and
-    no sort — a phrase query re-sorts the handful of rows it reads."""
+def _publish_store(ds: ray.data.Dataset, out_dir: str) -> str:
+    """Write a (part, term, doc_id, positions) Dataset as a positional
+    store: hive partition_cols write into a tmp dir, _DONE marker,
+    atomic rename (loser of a publish race cleans up)."""
     tmp = f"{out_dir}.tmp-{os.getpid()}"
-    docs.map_batches(_position_partials, batch_format="pyarrow").write_parquet(
-        tmp, partition_cols=["part"]
-    )
+    ds.write_parquet(tmp, partition_cols=["part"])
     with open(os.path.join(tmp, "_DONE"), "w", encoding="utf-8") as f:
         f.write("ok\n")
     try:
@@ -133,6 +128,18 @@ def build_positions(docs: ray.data.Dataset, out_dir: str) -> str:
 
         shutil.rmtree(tmp, ignore_errors=True)
     return out_dir
+
+
+def build_positions(docs: ray.data.Dataset, out_dir: str) -> str:
+    """Build the positional store from a (doc_id, text) Dataset.
+
+    Streaming end to end: partial extraction is a stateless
+    map_batches; the write itself is the only exchange (hive-style
+    partition_cols on the term-hash), so no driver materialization and
+    no sort — a phrase query re-sorts the handful of rows it reads."""
+    return _publish_store(
+        docs.map_batches(_position_partials, batch_format="pyarrow"), out_dir
+    )
 
 
 def positions_dir_for(sf_dir: str) -> str:
@@ -951,3 +958,154 @@ u AS (SELECT * FROM s2 UNION ALL SELECT * FROM s3)
 SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
        CAST(g AS BIGINT) AS min_gaps
 FROM u WHERE g <= slop"""
+
+
+# ---------------------------------------------------------------------------
+# lifecycle: merge / compact parity with the frequency index
+#
+# The store's doc_id space must MATCH the index it serves (phrase
+# candidates and proximity pools are index docIDs intersected against
+# store keys), so every index lifecycle op has a store-side mirror:
+#
+# * delete_docs — NO store transform needed.  Deletes are deferred on
+#   the index side (every scorer filters tombstones out of decoded
+#   postings), and the store is only ever probed with candidate sets
+#   that came FROM the index — dead docs can never surface.
+# * merge_indexes — merge_positions/merge_positions_for: per-root
+#   doc_id offset by the SAME doc_base prefix-sums merge.py computes,
+#   then a partition-preserving union (identical term → identical
+#   hash partition in every root, so no shuffle: each root's hive
+#   partition files stream straight into the merged layout).
+# * compact_index — compact_positions: drop the source index's
+#   tombstoned docs and remap survivors to dense ranks with the SAME
+#   `old - searchsorted(dead, old)` rule lifecycle._compact_partition
+#   and the docmap rewrite use, so the compacted store lines up with
+#   the compacted index bit-for-bit.
+#
+# All three are streaming map_batches + hive write — no driver
+# materialization, no sort; fsck.check_positions(store, index) is the
+# post-op audit (per-term df/cf cross-check against the index stats).
+
+
+def _canonical_pos_batch(t: pa.Table) -> pa.Table:
+    """Normalize a store batch read back through hive partitioning:
+    `part` returns as string/dictionary — cast to the written int32."""
+    try:
+        part = pc.cast(pc.cast(t["part"], pa.string()), pa.int32())
+    except pa.ArrowInvalid:
+        part = pc.cast(t["part"], pa.int32())
+    return pa.table(
+        {
+            "part": part,
+            "term": pc.cast(t["term"], pa.string()),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "positions": t["positions"],
+        }
+    )
+
+
+def _shift_pos_batch(t: pa.Table, *, doc_base: int) -> pa.Table:
+    t = _canonical_pos_batch(t)
+    ids = pc.add(t["doc_id"], pa.scalar(doc_base, type=pa.int64()))
+    if t.num_rows and pc.max(ids).as_py() >= (1 << 32):
+        # same packing invariant as _position_partials: the query side
+        # packs (doc << 32 | pos) into u64
+        raise ValueError("merged positional store requires doc_id < 2^32")
+    return t.set_column(
+        t.schema.get_field_index("doc_id"), "doc_id", ids
+    )
+
+
+def _compact_pos_batch(t: pa.Table, *, dead_ref) -> pa.Table:
+    import ray
+
+    from ciff_ray.lifecycle import _dead_mask
+
+    t = _canonical_pos_batch(t)
+    d = ray.get(dead_ref)
+    if d.size == 0 or t.num_rows == 0:
+        return t
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = ~_dead_mask(ids, d)
+    t = t.filter(pa.array(keep))
+    ids = ids[keep] - np.searchsorted(d, ids[keep])
+    return t.set_column(
+        t.schema.get_field_index("doc_id"),
+        "doc_id",
+        pa.array(ids, type=pa.int64()),
+    )
+
+
+def _store_dataset(pos_root: str) -> ray.data.Dataset:
+    if not os.path.exists(os.path.join(pos_root, "_DONE")):
+        raise FileNotFoundError(f"not a published positional store: {pos_root}")
+    return ray.data.read_parquet(pos_root, file_extensions=["parquet"])
+
+
+def merge_positions(
+    pos_roots: list[str], doc_bases: list[int], out_dir: str
+) -> str:
+    """Fold positional stores into one, offsetting each root's docIDs
+    by its ``doc_base`` (the prefix-sum of preceding roots' num_docs —
+    exactly merge.merge_indexes' docID renumbering).  Partition-
+    preserving union: no shuffle, streaming write.  Idempotent."""
+    if len(pos_roots) < 2:
+        raise ValueError("merge_positions needs at least two roots")
+    if len(pos_roots) != len(doc_bases):
+        raise ValueError("pos_roots and doc_bases must align")
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return out_dir
+    parts = [
+        _store_dataset(r).map_batches(
+            _shift_pos_batch,
+            fn_kwargs={"doc_base": int(b)},
+            batch_format="pyarrow",
+        )
+        for r, b in zip(pos_roots, doc_bases)
+    ]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return _publish_store(ds, out_dir)
+
+
+def merge_positions_for(
+    index_roots: list[str], pos_roots: list[str], out_dir: str
+) -> str:
+    """merge_positions with doc_bases derived from the index roots'
+    manifests — the same accumulation merge.merge_indexes performs, so
+    the merged store lines up with the merged index by construction."""
+    from ciff_ray.layout import IndexPaths, Manifest
+
+    if len(index_roots) != len(pos_roots):
+        raise ValueError("index_roots and pos_roots must align")
+    bases, acc = [], 0
+    for r in index_roots:
+        bases.append(acc)
+        acc += Manifest.read(IndexPaths(r).manifest).num_docs
+    return merge_positions(pos_roots, bases, out_dir)
+
+
+def compact_positions(pos_root: str, index_dir: str, out_dir: str) -> str:
+    """Rewrite ``pos_root`` without ``index_dir``'s tombstoned docs,
+    remapping survivors to dense ranks — the mirror of
+    lifecycle.compact_index (run it with the SOURCE index, the one
+    that carries the tombstones, not the compacted output).
+    Streaming, partition-preserving, idempotent."""
+    import ray
+
+    from ciff_ray.layout import IndexPaths
+    from ciff_ray.lifecycle import _load_tombstones
+
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return out_dir
+    dead = _load_tombstones(IndexPaths(index_dir))
+    dead_ref = ray.put(dead)
+    return _publish_store(
+        _store_dataset(pos_root).map_batches(
+            _compact_pos_batch,
+            fn_kwargs={"dead_ref": dead_ref},
+            batch_format="pyarrow",
+        ),
+        out_dir,
+    )
