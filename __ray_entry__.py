@@ -66,14 +66,16 @@ _DRIVER_WINDOW_PRIORITY = [
     # through the boolean + positional kernels) and the JM-smoothed LM —
     # both new; they replace long-stable bm25_scores / bm25_topk_pruned
     "search_dsl", "lm_jm",
-    # -- engine north_rule gate (fills the window to 50; rotated out as
-    # long-stable driver-green r01-r03: bm25_topk_merged,
-    # bm25_topk_compacted, bm25_topk_filtered, proximity_pairs,
-    # ranking_eval, hybrid_rrf, doc_fingerprint, chunk_docs, bm25_scores,
-    # bm25_topk_pruned, and — for the round-4 final adds — tokenize_tf,
-    # postings_stats, docmap, collection_stats, postings_lists;
-    # lm_dirichlet rotated out bm25_topk_sharded) --------------------------
-    "bm25_topk",
+    # phrase retrieval through a merged index + merged positional store
+    # — the driver gate for the store-side lifecycle (merge_positions);
+    # fills the window to 50, rotating out the long-stable r01-r03-green
+    # bm25_topk (still smoke-run by entry()).  Previously rotated out:
+    # bm25_topk_merged, bm25_topk_compacted, bm25_topk_filtered,
+    # proximity_pairs, ranking_eval, hybrid_rrf, doc_fingerprint,
+    # chunk_docs, bm25_scores, bm25_topk_pruned, tokenize_tf,
+    # postings_stats, docmap, collection_stats, postings_lists,
+    # bm25_topk_sharded ----------------------------------------------------
+    "phrase_match_merged",
 ]
 
 
@@ -91,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ciff_ray.evaluation import q_ranking_metrics as _ranking_metrics
     from ciff_ray.hybrid import q_hybrid_rrf as _hybrid_rrf
     from ciff_ray.positions import q_bm25_proximity as _bm25_proximity
+    from ciff_ray.positions import q_phrase_match_merged as _phrase_merged
     from ciff_ray.positions import (
         q_phrase_match_positional as _positional_phrase,
     )
@@ -153,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_jm": _lm_jm,
         "phrase_match": p.q_phrase_match,
         "phrase_match_positional": _positional_phrase,
+        "phrase_match_merged": _phrase_merged,
         "proximity_pairs": _proximity,
         "bm25_proximity": _bm25_proximity,
         "doc_top_tfidf": p.q_doc_top_tfidf,
@@ -182,6 +186,10 @@ def oracle_sql() -> dict[str, str]:
     from ciff_ray import pipelines as p
 
     sqls = dict(p.oracle_sqls())
+    # merged index + merged positional store are docID-identical to the
+    # monolithic pair by construction (byte-order split), so the merged
+    # phrase entry shares the positional phrase oracle verbatim
+    sqls["phrase_match_merged"] = sqls["phrase_match_positional"]
     from ciff_ray.booleanq import (
         boolean_and_not_oracle_sql,
         boolean_or_msm_oracle_sql,

@@ -115,6 +115,24 @@ def ensure_index(sf_dir: str, analyzer: str = "") -> str:
     return out
 
 
+def _merge_split_pivot(sf_dir: str) -> tuple[int, int]:
+    """(n_docs, pivot) of the merge demo's byte-order corpus split —
+    one definition so the index halves and the positional-store halves
+    can never disagree on the boundary."""
+    import pyarrow.parquet as pq
+
+    from ciff_ray.synth import TURNS_PER_CONV_FROM_DOCS
+
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    k = TURNS_PER_CONV_FROM_DOCS
+    pivot = max(k, (n_docs // 2) // k * k)
+    if pivot >= n_docs:
+        raise ValueError(f"corpus too small to split: {n_docs} docs")
+    return n_docs, pivot
+
+
 def ensure_merged_index(sf_dir: str) -> str:
     """Incremental-ingest demonstration index: build TWO independent
     indexes over a byte-order split of the corpus, then fold them with
@@ -129,7 +147,6 @@ def ensure_merged_index(sf_dir: str) -> str:
     API takes arbitrary prebuilt roots (tests/test_merge.py); this
     entry exists to drive the merge path through the driver's oracle."""
     from ciff_ray.merge import merge_indexes
-    from ciff_ray.synth import TURNS_PER_CONV_FROM_DOCS
 
     fp = _sf_fingerprint(sf_dir)
     from ciff_ray.layout import cache_root
@@ -138,15 +155,7 @@ def ensure_merged_index(sf_dir: str) -> str:
     if os.path.exists(IndexPaths(merged).manifest):
         return merged
 
-    import pyarrow.parquet as pq
-
-    n_docs = pq.ParquetFile(
-        os.path.join(sf_dir, "documents.parquet")
-    ).metadata.num_rows
-    k = TURNS_PER_CONV_FROM_DOCS
-    pivot = max(k, (n_docs // 2) // k * k)
-    if pivot >= n_docs:
-        raise ValueError(f"corpus too small to split: {n_docs} docs")
+    n_docs, pivot = _merge_split_pivot(sf_dir)
 
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
@@ -175,6 +184,57 @@ def ensure_merged_index(sf_dir: str) -> str:
         roots.append(root)
     merge_indexes(roots, merged)
     return merged
+
+
+def ensure_merged_positions(sf_dir: str) -> str:
+    """Positional stores built per merge half — each in its half's
+    LOCAL docID space (documents.doc_id - lo, matching the half index's
+    internal assignment under the byte-order split) — folded with
+    :func:`ciff_ray.positions.merge_positions_for`, whose doc_base
+    offsets restore exactly documents.doc_id.  The merged store
+    therefore sits under the SAME phrase_match oracle as the monolithic
+    one; the real API takes arbitrary aligned pairs
+    (tests/test_positions_lifecycle.py)."""
+    from ciff_ray.layout import cache_root
+    from ciff_ray.positions import build_positions, merge_positions_for
+
+    fp = _sf_fingerprint(sf_dir)
+    out = os.path.join(cache_root(), "positions", f"{fp}-merged")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    ensure_merged_index(sf_dir)  # halves cached at index/{fp}-half{i}
+    n_docs, pivot = _merge_split_pivot(sf_dir)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def _half_docs(t: pa.Table, *, lo: int, hi: int) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["doc_id"], pa.scalar(lo, type=pa.int64())),
+            pc.less(t["doc_id"], pa.scalar(hi, type=pa.int64())),
+        )
+        t = t.filter(m)
+        return t.set_column(
+            t.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.subtract(t["doc_id"], pa.scalar(lo, type=pa.int64())),
+        )
+
+    idx_roots, pos_roots = [], []
+    for i, (lo, hi) in enumerate([(0, pivot), (pivot, n_docs)]):
+        idx_roots.append(os.path.join(cache_root(), "index", f"{fp}-half{i}"))
+        proot = os.path.join(cache_root(), "positions", f"{fp}-half{i}")
+        if not os.path.exists(os.path.join(proot, "_DONE")):
+            build_positions(
+                docs.map_batches(
+                    _half_docs,
+                    fn_kwargs={"lo": lo, "hi": hi},
+                    batch_format="pyarrow",
+                ),
+                proot,
+            )
+        pos_roots.append(proot)
+    return merge_positions_for(idx_roots, pos_roots, out)
 
 
 # ---------------------------------------------------------------------------

@@ -264,22 +264,17 @@ class _PhrasePositionalVerify:
         )
 
 
-def q_phrase_match_positional(sf_dir: str) -> ray.data.Dataset:
-    """Phrase search answered entirely from the index side: conjunctive
-    AND over the BM25 index bounds candidates (rarest-term df), then
-    the positional store proves adjacency — same oracle and result set
-    as q_phrase_match, zero document re-scan."""
+def phrase_match_ds(idx: str, store: str) -> ray.data.Dataset:
+    """Index-only phrase retrieval over any aligned (index, positional
+    store) pair: conjunctive AND over the index bounds candidates
+    (rarest-term df), the store proves adjacency.  The two roots must
+    share a docID space — build/ensure pairs do by construction,
+    lifecycle pairs via merge_positions/compact_positions."""
     import ray
 
-    from ciff_ray.pipelines import (
-        PHRASE_SET,
-        _BooleanAndActor,
-        ensure_index,
-    )
+    from ciff_ray.pipelines import PHRASE_SET, _BooleanAndActor
     from ciff_ray.tokenizer import tokenize_column
 
-    idx = ensure_index(sf_dir)
-    store = ensure_positions(sf_dir)
     and_actor = _BooleanAndActor(idx)
     spec: dict[int, tuple[list[str], np.ndarray]] = {}
     qids = []
@@ -311,6 +306,31 @@ def q_phrase_match_positional(sf_dir: str) -> ray.data.Dataset:
         fn_constructor_args=(store, spec_ref),
         batch_format="pyarrow",
         concurrency=(1, 4),
+    )
+
+
+def q_phrase_match_positional(sf_dir: str) -> ray.data.Dataset:
+    """Phrase search answered entirely from the index side — same
+    oracle and result set as q_phrase_match, zero document re-scan."""
+    from ciff_ray.pipelines import ensure_index
+
+    return phrase_match_ds(ensure_index(sf_dir), ensure_positions(sf_dir))
+
+
+def q_phrase_match_merged(sf_dir: str) -> ray.data.Dataset:
+    """Phrase retrieval through a MERGED index + MERGED positional
+    store (two half-corpus builds folded by merge_indexes /
+    merge_positions_for).  The byte-order split keeps merged docIDs
+    equal to documents.doc_id, so the result set — and the SQL oracle —
+    are identical to the monolithic phrase_match: the driver entry that
+    gates the store-side lifecycle end to end."""
+    from ciff_ray.pipelines import (
+        ensure_merged_index,
+        ensure_merged_positions,
+    )
+
+    return phrase_match_ds(
+        ensure_merged_index(sf_dir), ensure_merged_positions(sf_dir)
     )
 
 

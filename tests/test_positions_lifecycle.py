@@ -184,6 +184,26 @@ def test_delete_then_compact_positions(roots):
     assert t.num_rows == 0, t.to_pylist()
 
 
+def test_phrase_match_merged_e2e(ray_session):
+    """Driver entry: phrase retrieval through merged index + merged
+    positional store equals the monolithic text-regex phrase path."""
+    from ciff_ray.pipelines import q_phrase_match
+    from ciff_ray.positions import q_phrase_match_merged
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        q_phrase_match_merged(sf)
+        .to_pandas()
+        .sort_values(["query_id", "doc_id"], ignore_index=True)
+    )
+    b = (
+        q_phrase_match(sf)
+        .to_pandas()
+        .sort_values(["query_id", "doc_id"], ignore_index=True)
+    )
+    assert a.equals(b)
+
+
 def test_merge_positions_arg_validation(roots, tmp_path):
     from ciff_ray.positions import merge_positions
 
