@@ -47,8 +47,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "bm25_topk_bulk", "bm25f_topk",
     # round-4 late adds, never driver-checked — they also exercise the
     # serving paths changed late in round 4 (dense top-k, cache LRU)
-    "bm25_topk_collapsed", "bm25_topk_page2", "bm25_hit_counts",
     "bm25_explain", "bm25_scores_bulk",
+    # round-4 tail adds: the PL2 divergence-from-randomness scoring
+    # family and the aggregations pair (date-histogram facet,
+    # JLH significant terms) — they replace the in-window top-k
+    # variants bm25_topk_collapsed / bm25_topk_page2 / bm25_hit_counts,
+    # whose dense-top-k serving path bm25_explain + bm25_scores_bulk
+    # still cover
+    "dfr_pl2", "date_histogram", "significant_terms",
     # the conversation-upsert lifecycle gate (delete_convs +
     # upsert_convs + compact under a CASE-updated-corpus oracle)
     "bm25_scores_upserted",
@@ -100,6 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ciff_ray.positions import q_proximity_pairs as _proximity
     from ciff_ray.positions import q_span_near as _span_near
     from ciff_ray.positions import q_span_unordered as _span_unordered
+    from ciff_ray.aggs import q_date_histogram as _date_histogram
+    from ciff_ray.aggs import q_significant_terms as _significant_terms
+    from ciff_ray.dfr import q_dfr_pl2 as _dfr_pl2
     from ciff_ray.lmdir import q_lm_dirichlet as _lm_dirichlet
     from ciff_ray.lmdir import q_lm_jm as _lm_jm
     from ciff_ray.recency import q_bm25_recency as _bm25_recency
@@ -154,6 +163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_recency": _bm25_recency,
         "lm_dirichlet": _lm_dirichlet,
         "lm_jm": _lm_jm,
+        "dfr_pl2": _dfr_pl2,
+        "date_histogram": _date_histogram,
+        "significant_terms": _significant_terms,
         "phrase_match": p.q_phrase_match,
         "phrase_match_positional": _positional_phrase,
         "phrase_match_merged": _phrase_merged,
@@ -235,6 +247,15 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["lm_dirichlet"] = lm_dirichlet_oracle_sql()
     sqls["lm_jm"] = lm_jm_oracle_sql()
+    from ciff_ray.aggs import (
+        date_histogram_oracle_sql,
+        significant_terms_oracle_sql,
+    )
+    from ciff_ray.dfr import dfr_pl2_oracle_sql
+
+    sqls["dfr_pl2"] = dfr_pl2_oracle_sql()
+    sqls["date_histogram"] = date_histogram_oracle_sql()
+    sqls["significant_terms"] = significant_terms_oracle_sql()
     try:
         from ciff_ray import extras
 
