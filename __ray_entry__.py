@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from ciff_ray.evaluation import q_ranking_eval as _ranking_eval
     from ciff_ray.evaluation import q_ranking_metrics as _ranking_metrics
+    from ciff_ray.highlight import q_highlight_spans as _highlight_spans
     from ciff_ray.hybrid import q_hybrid_rrf as _hybrid_rrf
     from ciff_ray.positions import q_bm25_proximity as _bm25_proximity
     from ciff_ray.positions import q_phrase_match_merged as _phrase_merged
@@ -171,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match_merged": _phrase_merged,
         "proximity_pairs": _proximity,
         "bm25_proximity": _bm25_proximity,
+        "highlight_spans": _highlight_spans,
         "doc_top_tfidf": p.q_doc_top_tfidf,
         "hybrid_rrf": _hybrid_rrf,
         "conv_topk": p.q_conv_topk,
@@ -236,6 +238,9 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["search_dsl"] = search_dsl_oracle_sql()
     sqls["search_dsl_ranked"] = search_dsl_ranked_oracle_sql()
+    from ciff_ray.highlight import highlight_spans_oracle_sql
+
+    sqls["highlight_spans"] = highlight_spans_oracle_sql()
     sqls["span_near"] = span_near_oracle_sql()
     sqls["span_unordered"] = span_unordered_oracle_sql()
     from ciff_ray.recency import bm25_recency_oracle_sql
