@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ciff_ray.searchdsl import q_search_dsl as _search_dsl
     from ciff_ray.searchdsl import q_search_dsl_ranked as _search_dsl_ranked
     from ciff_ray.synonyms import q_bm25_synonyms as _bm25_synonyms
+    from ciff_ray.tfidf import q_tfidf_cosine as _tfidf_cosine
 
     entries: dict[str, Callable[[str], Any]] = {
         # inverted-index engine family (SURVEY.md §2; north_rule gate)
@@ -165,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_dirichlet": _lm_dirichlet,
         "lm_jm": _lm_jm,
         "dfr_pl2": _dfr_pl2,
+        "tfidf_cosine": _tfidf_cosine,
         "date_histogram": _date_histogram,
         "significant_terms": _significant_terms,
         "phrase_match": p.q_phrase_match,
@@ -258,7 +260,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from ciff_ray.dfr import dfr_pl2_oracle_sql
 
+    from ciff_ray.tfidf import tfidf_cosine_oracle_sql
+
     sqls["dfr_pl2"] = dfr_pl2_oracle_sql()
+    sqls["tfidf_cosine"] = tfidf_cosine_oracle_sql()
     sqls["date_histogram"] = date_histogram_oracle_sql()
     sqls["significant_terms"] = significant_terms_oracle_sql()
     try:

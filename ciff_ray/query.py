@@ -138,6 +138,10 @@ class DoclengthStore:
     on load."""
 
     SHARD_BITS = 20
+    # subclasses reuse the sharded-gather machinery over any dense
+    # per-doc parquet column (e.g. tfidf.DocnormStore: float64 norms)
+    VALUE_COLUMN = "doclength"
+    VALUE_DTYPE: type = np.int64
 
     def __init__(self, docmap_dir: str, num_docs: int):
         self.num_docs = num_docs
@@ -153,7 +157,7 @@ class DoclengthStore:
                 continue
             t = pq.read_table(
                 path,
-                columns=["doc_id", "doclength"],
+                columns=["doc_id", self.VALUE_COLUMN],
                 filters=[("doc_id", ">=", base), ("doc_id", "<", end)],
             )
             parts.append(t)
@@ -173,8 +177,8 @@ class DoclengthStore:
                 f"docs [{base}, {end})"
             )
         dl = np.concatenate(
-            [p["doclength"].to_numpy(zero_copy_only=False) for p in parts]
-        ).astype(np.int64)
+            [p[self.VALUE_COLUMN].to_numpy(zero_copy_only=False) for p in parts]
+        ).astype(self.VALUE_DTYPE)
         order = np.argsort(ids)
         if not np.array_equal(ids[order], np.arange(base, end)):
             raise ValueError(f"docmap shard {s} has gaps or duplicates")
@@ -207,7 +211,7 @@ class DoclengthStore:
             parts.append(
                 pq.read_table(
                     path,
-                    columns=["doc_id", "doclength"],
+                    columns=["doc_id", self.VALUE_COLUMN],
                     filters=[("doc_id", ">=", base), ("doc_id", "<", end)],
                 )
             )
@@ -223,13 +227,13 @@ class DoclengthStore:
                 f"docmap hull [{base}, {end}) is not dense: {ids.size} rows"
             )
         src = np.concatenate(
-            [p["doclength"].to_numpy(zero_copy_only=False) for p in parts]
-        ).astype(np.int64)
+            [p[self.VALUE_COLUMN].to_numpy(zero_copy_only=False) for p in parts]
+        ).astype(self.VALUE_DTYPE)
         # scatter instead of argsort: the hull is a dense docID range,
-        # so placement is direct (doclengths are >= 0, -1 marks a hole;
+        # so placement is direct (values are >= 0, -1 marks a hole;
         # with ids.size == end-base a duplicate forces a hole elsewhere,
         # so one scan catches both)
-        dl = np.full(end - base, -1, dtype=np.int64)
+        dl = np.full(end - base, -1, dtype=self.VALUE_DTYPE)
         dl[ids - base] = src
         if (dl < 0).any():
             raise ValueError(f"docmap hull [{base}, {end}) has gaps/duplicates")
@@ -247,7 +251,7 @@ class DoclengthStore:
         array are CONTIGUOUS slices (searchsorted boundaries), so the
         gather is one sliced fancy-index per shard."""
         if docs.size == 0:
-            return np.empty(0, dtype=np.int64)
+            return np.empty(0, dtype=self.VALUE_DTYPE)
         lo = int(docs[0]) >> self.SHARD_BITS
         hi = int(docs[-1]) >> self.SHARD_BITS
         if lo == hi:
@@ -257,7 +261,7 @@ class DoclengthStore:
             # wide gather (stopword-scale list): one pass builds the
             # whole hull instead of per-shard file re-reads
             self._load_hull(missing[0], missing[-1])
-        out = np.empty(docs.shape, dtype=np.int64)
+        out = np.empty(docs.shape, dtype=self.VALUE_DTYPE)
         edges = np.searchsorted(
             docs, np.arange(lo + 1, hi + 1) << self.SHARD_BITS
         )
@@ -271,7 +275,7 @@ class DoclengthStore:
     def __getitem__(self, docs: np.ndarray) -> np.ndarray:
         docs = np.asarray(docs)
         if docs.size == 0:
-            return np.empty(0, dtype=np.int64)
+            return np.empty(0, dtype=self.VALUE_DTYPE)
         if docs.size > 1 and docs[0] <= docs[-1] and (np.diff(docs) >= 0).all():
             return self.gather_sorted(docs)
         # O(1) single-shard fast path (an O(n log n) np.unique here would
@@ -286,7 +290,7 @@ class DoclengthStore:
         if len(missing) > 2:
             self._load_hull(missing[0], missing[-1])
         shard_of = docs >> self.SHARD_BITS
-        out = np.empty(docs.shape, dtype=np.int64)
+        out = np.empty(docs.shape, dtype=self.VALUE_DTYPE)
         for s in range(lo, hi + 1):
             m = shard_of == s
             if m.any():

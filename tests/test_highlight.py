@@ -30,14 +30,21 @@ def hl_fixture(tmp_path_factory, ray_session):
         idx,
         BuildParams(num_partitions=5, heavy_df_frac=0.3, num_salts=2, sample_frac=1.0),
     )
+    # docid = dense rank under byte-ascending (conv_id, turn_idx) — the
+    # index's T1 assignment; generate_transcripts permutes rows, so the
+    # positional-store input must be reordered to docid order first
+    conv = tbl["conv_id"].to_pylist()
+    turn = tbl["turn_idx"].to_pylist()
+    order = sorted(range(len(conv)), key=lambda i: (conv[i].encode(), turn[i]))
+    texts = tbl["text"].take(pa.array(order)).combine_chunks()
     docs = pa.table(
         {
             "doc_id": pa.array(range(len(tbl)), type=pa.int64()),
-            "text": tbl["text"].combine_chunks(),
+            "text": texts,
         }
     )
     build_positions(ray.data.from_arrow(docs).repartition(2), pos)
-    return idx, pos, OracleIndex.build(tbl), tbl
+    return idx, pos, OracleIndex.build(tbl), texts.to_pylist()
 
 
 def _brute_spans(oracle: OracleIndex, texts, query: str) -> set:
@@ -57,8 +64,7 @@ def _brute_spans(oracle: OracleIndex, texts, query: str) -> set:
 
 
 def test_highlight_actor_matches_bruteforce(hl_fixture):
-    idx, pos, oracle, tbl = hl_fixture
-    texts = tbl["text"].to_pylist()
+    idx, pos, oracle, texts = hl_fixture
     actor = _HighlightActor(idx, pos, K)
     batch = pa.table(
         {
@@ -82,7 +88,7 @@ def test_highlight_actor_matches_bruteforce(hl_fixture):
 def test_highlight_pool_docs_only(hl_fixture):
     """Every emitted doc is in the query's top-K pool, and every pool
     doc containing a query term is present."""
-    idx, pos, oracle, tbl = hl_fixture
+    idx, pos, oracle, texts = hl_fixture
     actor = _HighlightActor(idx, pos, K)
     batch = pa.table(
         {
