@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_phrase_match_positional as _positional_phrase,
     )
     from ciff_ray.positions import q_proximity_pairs as _proximity
+    from ciff_ray.quantized import q_bm25_topk_quantized as _bm25_quantized
     from ciff_ray.positions import q_span_near as _span_near
     from ciff_ray.positions import q_span_unordered as _span_unordered
     from ciff_ray.aggs import q_date_histogram as _date_histogram
@@ -167,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_jm": _lm_jm,
         "dfr_pl2": _dfr_pl2,
         "tfidf_cosine": _tfidf_cosine,
+        "bm25_topk_quantized": _bm25_quantized,
         "date_histogram": _date_histogram,
         "significant_terms": _significant_terms,
         "phrase_match": p.q_phrase_match,
@@ -263,7 +265,10 @@ def oracle_sql() -> dict[str, str]:
     from ciff_ray.tfidf import tfidf_cosine_oracle_sql
 
     sqls["dfr_pl2"] = dfr_pl2_oracle_sql()
+    from ciff_ray.quantized import bm25_topk_quantized_oracle_sql
+
     sqls["tfidf_cosine"] = tfidf_cosine_oracle_sql()
+    sqls["bm25_topk_quantized"] = bm25_topk_quantized_oracle_sql()
     sqls["date_histogram"] = date_histogram_oracle_sql()
     sqls["significant_terms"] = significant_terms_oracle_sql()
     try:

@@ -1,0 +1,124 @@
+"""Impact-quantized retrieval vs an independent pure-Python recompute:
+the distributed range scan, the quantized scorer, and the integer rank
+key."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ciff_ray.build import BuildParams, build_index
+from ciff_ray.interop.convert import ScoreQuantizer
+from ciff_ray.oracle import OracleIndex, tokenize
+from ciff_ray.query import LocalScorer
+from ciff_ray.quantized import (
+    TOPK_K,
+    _QuantizedScorerActor,
+    compute_score_range,
+    quantized_score_all,
+)
+from ciff_ray.synth import generate_transcripts
+
+QUERIES = [
+    "the", "time people", "zzzznotaterm", "the of and to in",
+    "year", "go go go came", "Life BEING under",
+]
+
+
+@pytest.fixture(scope="module")
+def quant_fixture(tmp_path_factory, ray_session):
+    tbl = generate_transcripts(n_convs=40, max_turns=8, seed=13, mean_tokens=25)
+    out = str(tmp_path_factory.mktemp("qidx"))
+    build_index(
+        ray.data.from_arrow(tbl).repartition(4),
+        out,
+        BuildParams(num_partitions=5, heavy_df_frac=0.3, num_salts=2, sample_frac=1.0),
+    )
+    return out, OracleIndex.build(tbl)
+
+
+def _brute_contribs(oracle: OracleIndex) -> list[float]:
+    out = []
+    for t, plist in oracle.postings.items():
+        w = oracle.idf(t)
+        for doc_id, tf in plist:
+            dl = oracle.doclengths[doc_id]
+            norm = tf + 0.9 * (1.0 - 0.4 + 0.4 * dl / oracle.avg_doclength)
+            out.append(w * tf * (0.9 + 1.0) / norm)
+    return out
+
+
+def _brute_quantized(oracle: OracleIndex, qz: ScoreQuantizer, query: str):
+    terms = sorted(
+        {t for t in tokenize(query) if oracle.df(t)}, key=lambda s: s.encode()
+    )
+    sums: dict[int, int] = {}
+    for t in terms:
+        w = oracle.idf(t)
+        for doc_id, tf in oracle.postings[t]:
+            dl = oracle.doclengths[doc_id]
+            norm = tf + 0.9 * (1.0 - 0.4 + 0.4 * dl / oracle.avg_doclength)
+            c = w * tf * (0.9 + 1.0) / norm
+            sums[doc_id] = sums.get(doc_id, 0) + qz.quantize(c)
+    return sums
+
+
+def test_range_scan_matches_bruteforce(quant_fixture):
+    idx, oracle = quant_fixture
+    lo, hi = compute_score_range(idx)
+    contribs = [c for c in _brute_contribs(oracle) if c > 0]
+    assert lo == pytest.approx(min(contribs), abs=1e-12)
+    assert hi == pytest.approx(max(contribs), abs=1e-12)
+    assert lo > 0  # floored idf keeps every contribution positive
+
+
+def test_quantized_score_all_matches_bruteforce(quant_fixture):
+    idx, oracle = quant_fixture
+    scorer = LocalScorer(idx)
+    lo, hi = compute_score_range(idx)
+    qz = ScoreQuantizer(min=lo, max=hi)
+    for q in QUERIES:
+        exp = _brute_quantized(oracle, qz, q)
+        u, s = quantized_score_all(scorer, qz, q)
+        got = dict(zip(u.tolist(), s.tolist()))
+        assert got == exp, q
+
+
+def test_impacts_are_8bit(quant_fixture):
+    """Every per-posting impact lands in [1, 255] (the M6 contract);
+    summed impacts are bounded by 255 x |query terms|."""
+    idx, oracle = quant_fixture
+    scorer = LocalScorer(idx)
+    lo, hi = compute_score_range(idx)
+    qz = ScoreQuantizer(min=lo, max=hi)
+    u, s = quantized_score_all(scorer, qz, "the of and to in")
+    n_terms = len({t for t in tokenize("the of and to in") if oracle.df(t)})
+    assert s.min() >= 1 and s.max() <= 255 * n_terms
+
+
+def test_quantized_actor_topk_integer_rank(quant_fixture):
+    idx, oracle = quant_fixture
+    lo, hi = compute_score_range(idx)
+    qz = ScoreQuantizer(min=lo, max=hi)
+    actor = _QuantizedScorerActor(idx, lo, hi, TOPK_K)
+    batch = pa.table(
+        {
+            "query_id": pa.array(range(len(QUERIES)), type=pa.int64()),
+            "query": pa.array(QUERIES),
+        }
+    )
+    out = actor(batch)
+    per_q: dict[int, list[tuple[int, int]]] = {}
+    for qid, doc, imp in zip(
+        out["query_id"].to_pylist(),
+        out["doc_id"].to_pylist(),
+        out["impact"].to_pylist(),
+    ):
+        per_q.setdefault(qid, []).append((doc, imp))
+    for qid, q in enumerate(QUERIES):
+        exp = sorted(
+            _brute_quantized(oracle, qz, q).items(),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:TOPK_K]
+        assert per_q.get(qid, []) == exp, q
