@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ciff_ray.recency import q_bm25_recency as _bm25_recency
     from ciff_ray.searchdsl import q_search_dsl as _search_dsl
     from ciff_ray.searchdsl import q_search_dsl_ranked as _search_dsl_ranked
+    from ciff_ray.surprisal import q_doc_surprisal as _doc_surprisal
     from ciff_ray.synonyms import q_bm25_synonyms as _bm25_synonyms
     from ciff_ray.tfidf import q_tfidf_cosine as _tfidf_cosine
 
@@ -169,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dfr_pl2": _dfr_pl2,
         "tfidf_cosine": _tfidf_cosine,
         "bm25_topk_quantized": _bm25_quantized,
+        "doc_surprisal": _doc_surprisal,
         "date_histogram": _date_histogram,
         "significant_terms": _significant_terms,
         "phrase_match": p.q_phrase_match,
@@ -268,7 +270,10 @@ def oracle_sql() -> dict[str, str]:
     from ciff_ray.quantized import bm25_topk_quantized_oracle_sql
 
     sqls["tfidf_cosine"] = tfidf_cosine_oracle_sql()
+    from ciff_ray.surprisal import doc_surprisal_oracle_sql
+
     sqls["bm25_topk_quantized"] = bm25_topk_quantized_oracle_sql()
+    sqls["doc_surprisal"] = doc_surprisal_oracle_sql()
     sqls["date_histogram"] = date_histogram_oracle_sql()
     sqls["significant_terms"] = significant_terms_oracle_sql()
     try:
