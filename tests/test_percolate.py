@@ -1,0 +1,93 @@
+"""Query percolation (reverse search) vs a pure-Python recompute."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ciff_ray.oracle import tokenize
+from ciff_ray.percolate import _PercolateActor, parse_registry
+
+QUERIES = [
+    "the cat",            # 0: both terms required
+    "hat",                # 1: single term
+    "zzznotaterm",        # 2: never matches
+    "the the cat cat",    # 3: duplicates collapse to the same as 0
+    "",                   # 4: empty query matches nothing
+]
+
+TEXTS = [
+    "the cat sat on the mat",   # matches 0, 1? no hat -> 0, 3
+    "a hat and the cat",        # matches 0, 1, 3
+    "hat hat hat",              # matches 1
+    "dog",                      # matches nothing
+    "",                         # matches nothing
+]
+
+
+def _brute() -> set[tuple[int, int]]:
+    out = set()
+    for qid, terms in parse_registry(QUERIES):
+        if not terms:
+            continue
+        for d, text in enumerate(TEXTS):
+            toks = set(tokenize(text))
+            if all(t in toks for t in terms):
+                out.add((d, qid))
+    return out
+
+
+def test_percolate_actor_matches_bruteforce():
+    actor = _PercolateActor(QUERIES)
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(TEXTS)), type=pa.int64()),
+            "text": pa.array(TEXTS),
+        }
+    )
+    out = actor(batch)
+    got = set(zip(out["doc_id"].to_pylist(), out["query_id"].to_pylist()))
+    assert got == _brute()
+    # spot invariants: conjunctive AND, duplicate-collapsed query == base
+    assert (0, 0) in got and (1, 0) in got and (2, 0) not in got
+    assert {q for d, q in got if d == 2} == {1}
+    assert all(q != 2 and q != 4 for _, q in got)
+
+
+def test_percolate_empty_batch():
+    actor = _PercolateActor(QUERIES)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string()),
+        }
+    )
+    out = actor(batch)
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "query_id"]
+
+
+def test_percolate_e2e_matches_oracle_sql(ray_session):
+    """q_percolate over sf0.001 == the DuckDB oracle (the gate the
+    driver runs at sf0.01)."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from ciff_ray.percolate import percolate_oracle_sql, q_percolate
+
+    sf = "/root/testdata/sf0.001"
+    t = pd.concat(
+        b.to_pandas()
+        for b in q_percolate(sf).iter_batches(batch_format="pyarrow")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf, 'documents.parquet')}')"
+    )
+    o = con.execute(percolate_oracle_sql()).df()
+    key = ["doc_id", "query_id"]
+    a = t[key].sort_values(key).reset_index(drop=True)
+    b = o[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
