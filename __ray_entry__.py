@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ciff_ray.positions import (
         q_phrase_match_positional as _positional_phrase,
     )
+    from ciff_ray.ltr import q_ltr_features as _ltr_features
     from ciff_ray.percolate import q_percolate as _percolate
     from ciff_ray.positions import q_proximity_pairs as _proximity
     from ciff_ray.quantized import q_bm25_topk_quantized as _bm25_quantized
@@ -173,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_quantized": _bm25_quantized,
         "doc_surprisal": _doc_surprisal,
         "percolate": _percolate,
+        "ltr_features": _ltr_features,
         "date_histogram": _date_histogram,
         "significant_terms": _significant_terms,
         "phrase_match": p.q_phrase_match,
@@ -278,7 +280,10 @@ def oracle_sql() -> dict[str, str]:
     from ciff_ray.percolate import percolate_oracle_sql
 
     sqls["doc_surprisal"] = doc_surprisal_oracle_sql()
+    from ciff_ray.ltr import ltr_features_oracle_sql
+
     sqls["percolate"] = percolate_oracle_sql()
+    sqls["ltr_features"] = ltr_features_oracle_sql()
     sqls["date_histogram"] = date_histogram_oracle_sql()
     sqls["significant_terms"] = significant_terms_oracle_sql()
     try:
