@@ -47,7 +47,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "bm25_topk_bulk", "bm25f_topk",
     # round-4 late adds, never driver-checked — they also exercise the
     # serving paths changed late in round 4 (dense top-k, cache LRU)
-    "bm25_explain", "bm25_scores_bulk",
+    "bm25_explain",
     # round-4 tail adds: the PL2 divergence-from-randomness scoring
     # family and the aggregations pair (date-histogram facet,
     # JLH significant terms) — they replace the in-window top-k
@@ -55,6 +55,13 @@ _DRIVER_WINDOW_PRIORITY = [
     # whose dense-top-k serving path bm25_explain + bm25_scores_bulk
     # still cover
     "dfr_pl2", "date_histogram", "significant_terms",
+    # round-4 tail-2 adds: two more genuinely-new scoring families take
+    # the slots of same-family variants (bm25_scores_bulk — bulk_topk
+    # still in-window covers ciff_ray/bulk.py; lm_jm — lm_dirichlet
+    # still in-window covers ciff_ray/lmdir.py); the rest of the tail-2
+    # family (highlight_spans, doc_surprisal, percolate, ltr_features)
+    # is outside the window and covered by tools/crosscheck.py
+    "tfidf_cosine", "bm25_topk_quantized",
     # the conversation-upsert lifecycle gate (delete_convs +
     # upsert_convs + compact under a CASE-updated-corpus oracle)
     "bm25_scores_upserted",
@@ -69,9 +76,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # the window)
     "bm25_synonyms", "bm25_recency", "lm_dirichlet",
     # the Lucene-style search DSL (composes terms/phrases/role filters
-    # through the boolean + positional kernels) and the JM-smoothed LM —
-    # both new; they replace long-stable bm25_scores / bm25_topk_pruned
-    "search_dsl", "lm_jm",
+    # through the boolean + positional kernels) — replaces the
+    # long-stable bm25_scores
+    "search_dsl",
     # phrase retrieval through a merged index + merged positional store
     # — the driver gate for the store-side lifecycle (merge_positions);
     # fills the window to 50, rotating out the long-stable r01-r03-green
