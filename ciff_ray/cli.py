@@ -49,13 +49,49 @@ def cmd_build(args) -> None:
 
 
 def cmd_query(args) -> None:
-    from ciff_ray.query import QueryEngine
+    from ciff_ray.query import LocalScorer, QueryEngine
 
     eng = QueryEngine(args.index)
-    docs, scores = eng.topk(args.query, k=args.k, mode=args.mode)
+    if args.model == "bm25":
+        docs, scores = eng.topk(args.query, k=args.k, mode=args.mode)
+    else:
+        scorer = eng._local
+        if args.model == "lmdir":
+            from ciff_ray.lmdir import lm_score_all
+
+            u, s = lm_score_all(scorer, args.query)
+        elif args.model == "lmjm":
+            from ciff_ray.lmdir import lm_jm_score_all
+
+            u, s = lm_jm_score_all(scorer, args.query)
+        elif args.model == "pl2":
+            from ciff_ray.dfr import pl2_score_all
+
+            u, s = pl2_score_all(scorer, args.query)
+        else:  # tfidf
+            if not args.norms:
+                raise SystemExit("--model tfidf requires --norms <dir>")
+            from ciff_ray.tfidf import DocnormStore, tfidf_score_all
+
+            u, s = tfidf_score_all(
+                scorer, DocnormStore(args.norms, scorer.N), args.query
+            )
+        docs, scores = LocalScorer._rank(u, s, args.k)
     titles = eng.collection_docids(docs)
     for rank, (d, s, t) in enumerate(zip(docs, scores, titles), 1):
         print(f"{rank}\t{d}\t{s:.6f}\t{t}")
+
+
+def cmd_percolate(args) -> None:
+    import ray.data
+
+    from ciff_ray.percolate import percolate
+
+    with open(args.queries) as f:
+        registry = [ln.strip() for ln in f if ln.strip()]
+    docs = ray.data.read_parquet(args.docs, columns=["doc_id", "text"])
+    percolate(docs, registry).write_parquet(args.out)
+    print(f"percolated {len(registry)} stored queries -> {args.out}")
 
 
 def cmd_ciff2pisa(args) -> None:
@@ -314,12 +350,28 @@ def main(argv=None) -> None:
     b.add_argument("--description", default="")
     b.set_defaults(fn=cmd_build)
 
-    q = sub.add_parser("query", help="top-k BM25 query against an index")
+    q = sub.add_parser("query", help="top-k ranked query against an index")
     q.add_argument("index")
     q.add_argument("query")
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--mode", choices=["exact", "maxscore", "bmw", "auto"], default="exact")
+    q.add_argument(
+        "--model",
+        choices=["bm25", "lmdir", "lmjm", "pl2", "tfidf"],
+        default="bm25",
+        help="scoring family (--mode applies to bm25 only)",
+    )
+    q.add_argument("--norms", help="doc-norms dir (required for --model tfidf)")
     q.set_defaults(fn=cmd_query)
+
+    pc = sub.add_parser(
+        "percolate",
+        help="reverse search: match docs parquet against stored queries",
+    )
+    pc.add_argument("queries", help="text file, one stored query per line")
+    pc.add_argument("docs", help="parquet with (doc_id, text)")
+    pc.add_argument("out", help="output parquet of (doc_id, query_id) matches")
+    pc.set_defaults(fn=cmd_percolate)
 
     c2p = sub.add_parser("ciff2pisa", help="CIFF file -> PISA binary collection")
     c2p.add_argument("input")

@@ -211,3 +211,51 @@ def test_cli_bulk_and_fsck(tmp_path, capsys, ray_session):
         if r["query_id"] == 0
     )
     assert [d for _, d in got] == cli_docs
+
+
+def test_cli_query_models_and_percolate(tmp_path, capsys, ray_session):
+    """--model scoring families + the percolate subcommand."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ciff_ray.synth import generate_transcripts
+    from ciff_ray.tfidf import build_docnorms
+
+    tbl = generate_transcripts(n_convs=20, max_turns=4, seed=5, mean_tokens=15)
+    pq.write_table(tbl, str(tmp_path / "t.parquet"))
+    idx = str(tmp_path / "idx")
+    main(["build", str(tmp_path / "t.parquet"), idx, "--partitions", "3"])
+    capsys.readouterr()
+    # docs table in docid order (rank under byte-ascending conv/turn)
+    conv, turn = tbl["conv_id"].to_pylist(), tbl["turn_idx"].to_pylist()
+    order = sorted(range(len(conv)), key=lambda i: (conv[i].encode(), turn[i]))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(tbl)), type=pa.int64()),
+            "text": tbl["text"].take(pa.array(order)),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "docs.parquet"))
+    norms = build_docnorms(
+        ray.data.from_arrow(docs).repartition(2), idx, str(tmp_path / "norms")
+    )
+    for extra in (
+        ["--model", "lmdir"],
+        ["--model", "lmjm"],
+        ["--model", "pl2"],
+        ["--model", "tfidf", "--norms", norms],
+    ):
+        main(["query", idx, "the time", "-k", "2", *extra])
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert len(lines) == 2 and lines[0].startswith("1\t"), extra
+    with pytest.raises(SystemExit, match="norms"):
+        main(["query", idx, "the", "--model", "tfidf"])
+    # percolate: stored-query file -> match parquet
+    (tmp_path / "qs.txt").write_text("the time\nzzznever\n")
+    out_dir = str(tmp_path / "perc")
+    main(["percolate", str(tmp_path / "qs.txt"), str(tmp_path / "docs.parquet"), out_dir])
+    capsys.readouterr()
+    t = pq.read_table(out_dir)
+    assert t.num_rows > 0
+    assert set(t["query_id"].to_pylist()) == {0}
