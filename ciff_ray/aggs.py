@@ -177,11 +177,12 @@ def q_significant_terms(sf_dir: str) -> pa.Table:
         int(q): int(n) for q, n in zip(*np.unique(pool_qid, return_counts=True))
     }
     hit_ids = pa.array(np.unique(pool_doc), type=pa.int64())
+    # predicate pushed into the parquet scan (row-group pruning by
+    # doc_id stats) — the pool is <= POOL_K x |Q| docs of the corpus
     docs = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    ).map_batches(
-        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=hit_ids)),
-        batch_format="pyarrow",
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(hit_ids),
     )
     texts = pa.concat_tables(ray.get(docs.to_arrow_refs())).combine_chunks()
     text_of = dict(

@@ -769,11 +769,13 @@ def q_bm25_snippets(sf_dir: str) -> pa.Table:
             "snippet", pa.array(snippets, type=pa.string())
         )
 
+    # predicate pushed into the parquet scan: row groups whose doc_id
+    # stats exclude every hit are never read (doc_id correlates with
+    # file order, so the prune is effective at corpus scale)
     docs = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    ).map_batches(
-        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=hit_ids)),
-        batch_format="pyarrow",
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(hit_ids),
     )
     texts = pa.concat_tables(ray.get(docs.to_arrow_refs())).combine_chunks()
     joined = topk.select(["query_id", "rank", "doc_id"]).join(
