@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_wildcard_match,
         q_wildcard_suffix,
     )
+    from ciff_ray.context import q_hit_context as _hit_context
     from ciff_ray.evaluation import q_ranking_eval as _ranking_eval
     from ciff_ray.evaluation import q_ranking_metrics as _ranking_metrics
     from ciff_ray.highlight import q_highlight_spans as _highlight_spans
@@ -182,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_surprisal": _doc_surprisal,
         "percolate": _percolate,
         "ltr_features": _ltr_features,
+        "hit_context": _hit_context,
         "date_histogram": _date_histogram,
         "significant_terms": _significant_terms,
         "phrase_match": p.q_phrase_match,
@@ -290,7 +292,10 @@ def oracle_sql() -> dict[str, str]:
     from ciff_ray.ltr import ltr_features_oracle_sql
 
     sqls["percolate"] = percolate_oracle_sql()
+    from ciff_ray.context import hit_context_oracle_sql
+
     sqls["ltr_features"] = ltr_features_oracle_sql()
+    sqls["hit_context"] = hit_context_oracle_sql()
     sqls["date_histogram"] = date_histogram_oracle_sql()
     sqls["significant_terms"] = significant_terms_oracle_sql()
     try:
