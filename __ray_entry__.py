@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ciff_ray.positions import q_span_near as _span_near
     from ciff_ray.positions import q_span_unordered as _span_unordered
     from ciff_ray.aggs import q_date_histogram as _date_histogram
+    from ciff_ray.aggs import q_match_stats as _match_stats
     from ciff_ray.aggs import q_significant_terms as _significant_terms
     from ciff_ray.dfr import q_dfr_pl2 as _dfr_pl2
     from ciff_ray.lmdir import q_lm_dirichlet as _lm_dirichlet
@@ -184,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate": _percolate,
         "ltr_features": _ltr_features,
         "hit_context": _hit_context,
+        "match_stats": _match_stats,
         "date_histogram": _date_histogram,
         "significant_terms": _significant_terms,
         "phrase_match": p.q_phrase_match,
@@ -273,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["lm_jm"] = lm_jm_oracle_sql()
     from ciff_ray.aggs import (
         date_histogram_oracle_sql,
+        match_stats_oracle_sql,
         significant_terms_oracle_sql,
     )
     from ciff_ray.dfr import dfr_pl2_oracle_sql
@@ -297,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["ltr_features"] = ltr_features_oracle_sql()
     sqls["hit_context"] = hit_context_oracle_sql()
     sqls["date_histogram"] = date_histogram_oracle_sql()
+    sqls["match_stats"] = match_stats_oracle_sql()
     sqls["significant_terms"] = significant_terms_oracle_sql()
     try:
         from ciff_ray import extras

@@ -127,6 +127,97 @@ SELECT query_id, doc_id // {HIST_BUCKET_SECONDS} AS ts_bucket,
 FROM matched GROUP BY query_id, ts_bucket"""
 
 
+# -- match-set stats -------------------------------------------------------
+
+
+class _MatchStatsActor:
+    """map_batches actor: (query_id, query) -> one stats row per query
+    over the disjunctive match set (Elasticsearch's `stats` aggregation
+    on the doclength field): n_docs, min/max/sum dl, 6-dp mean."""
+
+    def __init__(self, index_dir: str):
+        from ciff_ray.query import LocalScorer
+
+        self.scorer = LocalScorer(index_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ns, mins, maxs, sums, avgs = [], [], [], [], [], []
+        for qid, q in zip(
+            batch["query_id"].to_pylist(), batch["query"].to_pylist()
+        ):
+            terms = [
+                t
+                for t in self.scorer._query_terms(q)
+                if self.scorer._term_stat(t) is not None
+            ]
+            parts = [self.scorer.postings(t)[0] for t in terms]
+            parts = [d for d in parts if d.size]
+            if not parts:
+                continue
+            u = np.unique(np.concatenate(parts))
+            dl = self.scorer._dl.gather_sorted(u)
+            total = int(dl.sum())
+            qids.append(qid)
+            ns.append(int(u.size))
+            mins.append(int(dl.min()))
+            maxs.append(int(dl.max()))
+            sums.append(total)
+            avgs.append(round(float(total) / float(u.size), 6))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "n_docs": pa.array(ns, type=pa.int64()),
+                "min_dl": pa.array(mins, type=pa.int64()),
+                "max_dl": pa.array(maxs, type=pa.int64()),
+                "sum_dl": pa.array(sums, type=pa.int64()),
+                "avg_dl_r": pa.array(avgs, type=pa.float64()),
+            }
+        )
+
+
+def q_match_stats(sf_dir: str) -> ray.data.Dataset:
+    """Doclength stats of the disjunctive match set per query —
+    (query_id, n_docs, min_dl, max_dl, sum_dl, avg_dl_r)."""
+    from ciff_ray.pipelines import _query_set_ds, ensure_index
+
+    idx = ensure_index(sf_dir)
+    return (
+        _query_set_ds()
+        .repartition(4)
+        .map_batches(
+            _MatchStatsActor,
+            fn_constructor_args=(idx,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    )
+
+
+def match_stats_oracle_sql() -> str:
+    from ciff_ray.oracle import tokenize
+    from ciff_ray.pipelines import QUERY_SET, _bm25_base_cte
+    from ciff_ray.synth import SQL_TRANSCRIPTS_CTE
+
+    q_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in enumerate(QUERY_SET)
+        for t in sorted(set(tokenize(q)))
+    )
+    return f"""WITH {SQL_TRANSCRIPTS_CTE.strip()},
+{_bm25_base_cte().lstrip()},
+q(query_id, term) AS (VALUES {q_vals}),
+matched AS (
+  SELECT DISTINCT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id AS doc_id
+  FROM q JOIN tf USING (term)
+)
+SELECT m.query_id, count(*) AS n_docs,
+       min(dl.dl) AS min_dl, max(dl.dl) AS max_dl,
+       CAST(SUM(dl.dl) AS BIGINT) AS sum_dl,
+       round(CAST(SUM(dl.dl) AS DOUBLE) / count(*), 6) AS avg_dl_r
+FROM matched m JOIN dl ON m.doc_id = dl.doc_id
+GROUP BY m.query_id"""
+
+
 # -- significant terms ----------------------------------------------------
 
 

@@ -143,3 +143,32 @@ def test_significant_terms_shape_and_ranks(aggs_fixture):
         if q == 6 and r <= 3
     ]
     assert "vector" in top_terms_q6
+
+
+def test_match_stats_actor_matches_bruteforce(aggs_fixture):
+    from ciff_ray.aggs import _MatchStatsActor
+
+    idx, oracle = aggs_fixture
+    actor = _MatchStatsActor(idx)
+    batch = pa.table(
+        {
+            "query_id": pa.array(range(len(QUERIES)), type=pa.int64()),
+            "query": pa.array(QUERIES),
+        }
+    )
+    out = actor(batch)
+    got = {
+        r["query_id"]: r for r in out.to_pylist()
+    }
+    for qid, q in enumerate(QUERIES):
+        terms = sorted({t for t in tokenize(q) if oracle.df(t)})
+        docs = sorted({d for t in terms for d, _ in oracle.postings[t]})
+        if not docs:
+            assert qid not in got, q
+            continue
+        dls = [oracle.doclengths[d] for d in docs]
+        r = got[qid]
+        assert r["n_docs"] == len(docs), q
+        assert r["min_dl"] == min(dls) and r["max_dl"] == max(dls), q
+        assert r["sum_dl"] == sum(dls), q
+        assert r["avg_dl_r"] == round(sum(dls) / len(docs), 6), q
