@@ -208,13 +208,20 @@ def cmd_fsck(args) -> None:
 
     import pyarrow as pa
 
-    from ciff_ray.fsck import check_index, check_positions, check_pruned
+    from ciff_ray.fsck import (
+        check_index,
+        check_norms,
+        check_positions,
+        check_pruned,
+    )
 
     t = check_index(args.index)
     if args.positions:
         t = pa.concat_tables(
             [t, check_positions(args.positions, index_dir=args.index)]
         )
+    if args.norms:
+        t = pa.concat_tables([t, check_norms(args.norms, args.index)])
     if args.full:
         t = pa.concat_tables([t, check_pruned(args.index, args.full)])
     for r in t.to_pylist():
@@ -514,6 +521,10 @@ def main(argv=None) -> None:
     fs.add_argument(
         "--positions", default="",
         help="also validate this positional store against the index",
+    )
+    fs.add_argument(
+        "--norms", default="",
+        help="also validate this doc-norms store against the index",
     )
     fs.add_argument(
         "--full", default="",

@@ -837,3 +837,146 @@ def check_pruned(
         .take_all()
     )
     return _findings([(r["check"], r["scope"], r["detail"]) for r in out])
+
+
+# ---------------------------------------------------------------------------
+# doc-norms store (ciff_ray.tfidf) — density + energy audit
+
+
+@ray.remote
+def _norm_energy_partition(index_dir: str, pid: int) -> float:
+    """Σ over this partition's postings of ((1+ln tf) · ln(N/df_t))² —
+    the index-side half of the norms energy identity (Σ_d norm_d² over
+    the store must equal this summed over every partition, because each
+    posting contributes exactly once to exactly one doc's norm)."""
+    import pyarrow.parquet as pq
+
+    from ciff_ray import codecs
+    from ciff_ray.query import LocalScorer
+
+    pa.set_cpu_count(1)
+    scorer = LocalScorer(index_dir)
+    seg_path = IndexPaths(index_dir).segment(pid)
+    if not os.path.exists(seg_path):
+        return 0.0
+    seg = pq.read_table(
+        seg_path, columns=["term", "df", "tf_bytes", "tf_codec"]
+    )
+    n_docs = float(scorer.N)
+    total = 0.0
+    terms_py = seg["term"].to_pylist()
+    dfs = seg["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tcodec = seg["tf_codec"].to_numpy(zero_copy_only=False)
+    tf_bufs = seg["tf_bytes"].to_pylist()
+    for i in range(seg.num_rows):
+        tfs = codecs.decode(tf_bufs[i], int(dfs[i]), int(tcodec[i]))
+        st = scorer._term_stat(terms_py[i])
+        w = (1.0 + np.log(tfs.astype(np.float64))) * np.log(
+            n_docs / float(st[0])
+        )
+        total += float((w * w).sum())
+    return total
+
+
+def check_norms(
+    norms_dir: str, index_dir: str, concurrency=(1, 8), rel_tol: float = 1e-9
+) -> pa.Table:
+    """Validate a doc-norms store (ciff_ray.tfidf) against its index:
+
+    * `_DONE` marker present; doc_id moments match the dense 0..N−1
+      invariant (count / min / max / Σ / Σ² — the docmap device);
+      every norm ≥ 0 and finite
+    * energy identity: Σ norm² over the store == Σ over ALL index
+      postings of ((1+ln tf)·ln(N/df))², each side summed
+      distributedly; compared under `rel_tol` (the two sides sum the
+      same multiset of doubles in different orders)
+
+    Skipped (marker finding) for analyzed indexes — norms are defined
+    over raw tokens, an analyzed vocabulary differs by design."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    findings: list[tuple[str, str, str]] = []
+    if not os.path.exists(os.path.join(norms_dir, "_DONE")):
+        return _findings([("norms_done_marker", norms_dir, "missing")])
+    m = Manifest.read(IndexPaths(index_dir).manifest)
+    n = m.num_docs
+
+    def _moments(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["norm"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bad = int((~np.isfinite(v)).sum() + (v < 0).sum())
+        return pa.table(
+            {
+                "cnt": pa.array([len(d)], type=pa.int64()),
+                "dmin": pa.array(
+                    [int(d.min()) if d.size else 0], type=pa.int64()
+                ),
+                "dmax": pa.array(
+                    [int(d.max()) if d.size else 0], type=pa.int64()
+                ),
+                "dsum": pa.array([int(d.sum())], type=pa.int64()),
+                "dsq": pa.array([int((d * d).sum())], type=pa.int64()),
+                "bad": pa.array([bad], type=pa.int64()),
+                "energy": pa.array(
+                    [float((v * v).sum())], type=pa.float64()
+                ),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(norms_dir, file_extensions=["parquet"])
+        .map_batches(_moments, batch_format="pyarrow")
+        .aggregate(
+            Sum("cnt", alias_name="cnt"),
+            Min("dmin", alias_name="dmin"),
+            Max("dmax", alias_name="dmax"),
+            Sum("dsum", alias_name="dsum"),
+            Sum("dsq", alias_name="dsq"),
+            Sum("bad", alias_name="bad"),
+            Sum("energy", alias_name="energy"),
+        )
+    )
+    if agg["cnt"] != n:
+        findings.append(
+            ("norms_row_count", norms_dir, f"{agg['cnt']} rows for {n} docs")
+        )
+    exp_sum = n * (n - 1) // 2
+    exp_sq = (n - 1) * n * (2 * n - 1) // 6
+    if n and (
+        agg["dmin"] != 0
+        or agg["dmax"] != n - 1
+        or agg["dsum"] != exp_sum
+        or agg["dsq"] != exp_sq
+    ):
+        findings.append(
+            ("norms_docid_moments", norms_dir,
+             f"min={agg['dmin']} max={agg['dmax']} sum={agg['dsum']} "
+             f"sq={agg['dsq']} (dense 0..{n - 1} expected)")
+        )
+    if agg["bad"]:
+        findings.append(
+            ("norms_value_domain", norms_dir,
+             f"{agg['bad']} negative/non-finite norms")
+        )
+    if getattr(m, "analyzer", ""):
+        findings.append(
+            ("norms_energy_skipped", index_dir,
+             "analyzed index: raw-token norms are incomparable by design")
+        )
+        return _findings(findings)
+    idx_energy = sum(
+        ray.get(
+            [
+                _norm_energy_partition.remote(index_dir, pid)
+                for pid in range(m.num_partitions)
+            ]
+        )
+    )
+    store_energy = float(agg["energy"])
+    denom = max(abs(idx_energy), abs(store_energy), 1.0)
+    if abs(idx_energy - store_energy) > rel_tol * denom:
+        findings.append(
+            ("norms_energy_mismatch", norms_dir,
+             f"store={store_energy!r} index={idx_energy!r}")
+        )
+    return _findings(findings)

@@ -247,3 +247,92 @@ def test_detects_salt_range_overlap(clean_index, tmp_path):
         pytest.skip("no salted slice in fixture")
     checks = {r["check"] for r in check_index(idx).to_pylist()}
     assert "salt_range_overlap" in checks
+
+
+# -- doc-norms store audit (ciff_ray.tfidf + fsck.check_norms) -------------
+
+
+@pytest.fixture(scope="module")
+def norms_pair(clean_index, tmp_path_factory, ray_session):
+    """(index, norms_dir) — norms built over the SAME corpus in docid
+    order (generate_transcripts permutes rows; docid = byte-ascending
+    (conv_id, turn_idx) rank)."""
+    tbl = generate_transcripts(n_convs=40, max_turns=8, seed=17, mean_tokens=20)
+    conv, turn = tbl["conv_id"].to_pylist(), tbl["turn_idx"].to_pylist()
+    order = sorted(range(len(conv)), key=lambda i: (conv[i].encode(), turn[i]))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(tbl)), type=pa.int64()),
+            "text": tbl["text"].take(pa.array(order)).combine_chunks(),
+        }
+    )
+    from ciff_ray.tfidf import build_docnorms
+
+    root = tmp_path_factory.mktemp("norms")
+    norms = build_docnorms(
+        ray.data.from_arrow(docs).repartition(2), clean_index, str(root / "n")
+    )
+    return clean_index, norms
+
+
+def test_norms_clean(norms_pair):
+    from ciff_ray.fsck import check_norms
+
+    idx, norms = norms_pair
+    t = check_norms(norms, idx)
+    assert t.num_rows == 0, t.to_pylist()
+
+
+def _copy_norms(norms: str, tmp_path) -> str:
+    dst = str(tmp_path / "norms")
+    shutil.copytree(norms, dst)
+    return dst
+
+
+def test_norms_detects_value_corruption(norms_pair, tmp_path):
+    from ciff_ray.fsck import check_norms
+
+    idx, norms = norms_pair
+    bad = _copy_norms(norms, tmp_path)
+    f = sorted(glob.glob(os.path.join(bad, "*.parquet")))[0]
+    t = pq.read_table(f)
+    vals = t["norm"].to_pylist()
+    vals[0] += 0.5  # silently wrong norm: density intact, energy broken
+    t = t.set_column(
+        t.schema.get_field_index("norm"), "norm",
+        pa.array(vals, type=pa.float64()),
+    )
+    pq.write_table(t, f)
+    checks = {r["check"] for r in check_norms(bad, idx).to_pylist()}
+    assert checks == {"norms_energy_mismatch"}
+
+
+def test_norms_detects_missing_rows(norms_pair, tmp_path):
+    from ciff_ray.fsck import check_norms
+
+    idx, norms = norms_pair
+    bad = _copy_norms(norms, tmp_path)
+    f = sorted(glob.glob(os.path.join(bad, "*.parquet")))[0]
+    t = pq.read_table(f)
+    pq.write_table(t.slice(1), f)  # drop one doc
+    checks = {r["check"] for r in check_norms(bad, idx).to_pylist()}
+    assert "norms_row_count" in checks
+    assert "norms_docid_moments" in checks
+
+
+def test_norms_detects_negative_value(norms_pair, tmp_path):
+    from ciff_ray.fsck import check_norms
+
+    idx, norms = norms_pair
+    bad = _copy_norms(norms, tmp_path)
+    f = sorted(glob.glob(os.path.join(bad, "*.parquet")))[0]
+    t = pq.read_table(f)
+    vals = t["norm"].to_pylist()
+    vals[0] = -vals[0] if vals[0] else -1.0
+    t = t.set_column(
+        t.schema.get_field_index("norm"), "norm",
+        pa.array(vals, type=pa.float64()),
+    )
+    pq.write_table(t, f)
+    checks = {r["check"] for r in check_norms(bad, idx).to_pylist()}
+    assert "norms_value_domain" in checks
