@@ -11,14 +11,17 @@ for this entry).
 
 Shape: the query registry is the SMALL side — it broadcasts into the
 actor (constructor args; a production registry would be `ray.put`
-once), and the document stream is one stateless map_batches pass:
-tokenize the batch, build one (row, vocab-id) EXISTENCE table, then
-evaluate each query as an AND over its terms' membership columns.
-Cost per batch is O(tokens + |registry terms| x rows) with no shuffle
-and nothing corpus-sized anywhere; at a large registry you'd invert
-it (term -> queries, exactly the engine's own index structure) and
-count satisfied terms per (doc, query) instead — noted, not needed at
-a |Q| = 8 registry.
+once), INVERTED into term -> queries adjacency (exactly the engine's
+own index structure, built once per actor).  The document stream is
+one stateless map_batches pass: tokenize the batch, keep only tokens
+that are registry terms, reduce to DISTINCT (row, term) pairs, expand
+each through the adjacency, and count satisfied terms per (row,
+query); a query matches where its full term count is satisfied.
+Every step is a vectorized composite-key unique/bincount — cost per
+batch is O(tokens + matched (row, term) pairs x avg queries per
+term), independent of |registry| itself, so a million-rule registry
+costs what its actually-hit rules cost.  No shuffle, nothing
+corpus-sized anywhere.
 
 No index required: percolation is a pure streaming transform (the
 one entry in the retrieval family that runs BEFORE indexing).
@@ -43,15 +46,36 @@ def parse_registry(queries: list[str]) -> list[tuple[int, list[str]]]:
 
 class _PercolateActor:
     """map_batches actor: (doc_id, text) -> (doc_id, query_id) match
-    pairs.  The registry parses once per actor."""
+    pairs.  The registry parses + inverts once per actor."""
 
     def __init__(self, queries: list[str]):
-        self.registry = [(qid, ts) for qid, ts in parse_registry(queries) if ts]
+        registry = [(qid, ts) for qid, ts in parse_registry(queries) if ts]
+        # invert: registry term -> CSR adjacency of registry rows
+        self.tid_of: dict[str, int] = {}
+        adj: list[list[int]] = []
+        for r, (_, terms) in enumerate(registry):
+            for t in terms:
+                tid = self.tid_of.setdefault(t, len(adj))
+                if tid == len(adj):
+                    adj.append([])
+                adj[tid].append(r)
+        counts = np.array([len(a) for a in adj], dtype=np.int64)
+        self.offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        self.qrows = (
+            np.concatenate([np.asarray(a, dtype=np.int64) for a in adj])
+            if adj
+            else np.empty(0, np.int64)
+        )
+        self.reg_qid = np.array([qid for qid, _ in registry], dtype=np.int64)
+        self.need = np.array(
+            [len(terms) for _, terms in registry], dtype=np.int64
+        )
+        self.n_tids = len(adj)
+        self.n_reg = len(registry)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ciff_ray.tokenizer import token_ids
 
-        n_rows = batch.num_rows
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         empty = pa.table(
             {
@@ -59,39 +83,51 @@ class _PercolateActor:
                 "query_id": pa.array([], type=pa.int64()),
             }
         )
+        if self.n_reg == 0:
+            return empty
         vocab, tidx, rows = token_ids(batch["text"])
         if tidx.size == 0:
             return empty
-        vid_of = {t: i for i, t in enumerate(vocab.to_pylist())}
-        out_doc, out_q = [], []
-        # membership column per registry term, cached across queries
-        # sharing a term (stopwords repeat across stored queries)
-        memb: dict[str, np.ndarray] = {}
-        for qid, terms in self.registry:
-            hit = np.ones(n_rows, dtype=bool)
-            for t in terms:
-                m = memb.get(t)
-                if m is None:
-                    vid = vid_of.get(t)
-                    if vid is None:
-                        m = np.zeros(n_rows, dtype=bool)
-                    else:
-                        m = np.zeros(n_rows, dtype=bool)
-                        m[rows[tidx == vid]] = True
-                    memb[t] = m
-                hit &= m
-                if not hit.any():
-                    break
-            matched = np.flatnonzero(hit)
-            if matched.size:
-                out_doc.extend(doc_ids[matched].tolist())
-                out_q.extend([qid] * matched.size)
-        if not out_doc:
+        # batch-vocab -> registry term id (-1 = not a registry term);
+        # vocabulary-scale loop, the only per-string work in the pass
+        vtid = np.array(
+            [self.tid_of.get(t, -1) for t in vocab.to_pylist()],
+            dtype=np.int64,
+        )
+        vt = vtid[tidx]
+        mask = vt >= 0
+        if not mask.any():
+            return empty
+        # distinct (row, registry-term) pairs via one composite unique
+        key = rows[mask] * np.int64(self.n_tids) + vt[mask]
+        key = np.unique(key)
+        rr, tt = key // self.n_tids, key % self.n_tids
+        # expand each pair through the term's adjacency slice (CSR
+        # gather: pure arithmetic, no Python loop)
+        lens = self.offs[tt + 1] - self.offs[tt]
+        if int(lens.sum()) == 0:
+            return empty
+        starts = np.repeat(self.offs[tt], lens)
+        local = np.arange(int(lens.sum())) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        reg_exp = self.qrows[starts + local]
+        rows_exp = np.repeat(rr, lens)
+        # satisfied-term count per (row, registry row): a query matches
+        # where the count equals its full term count
+        key2, cnt2 = np.unique(
+            rows_exp * np.int64(self.n_reg) + reg_exp, return_counts=True
+        )
+        reg2 = key2 % self.n_reg
+        hit = cnt2 == self.need[reg2]
+        if not hit.any():
             return empty
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, type=pa.int64()),
-                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(
+                    doc_ids[(key2[hit] // self.n_reg)], type=pa.int64()
+                ),
+                "query_id": pa.array(self.reg_qid[reg2[hit]], type=pa.int64()),
             }
         )
 

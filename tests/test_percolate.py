@@ -91,3 +91,40 @@ def test_percolate_e2e_matches_oracle_sql(ray_session):
     a = t[key].sort_values(key).reset_index(drop=True)
     b = o[key].sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_percolate_large_registry_bruteforce():
+    """The inverted-registry path at a few hundred stored queries:
+    identical to a plain-Python conjunctive evaluation, including
+    shared-term and subset-term rules."""
+    import itertools
+    import re
+
+    words = [f"w{i}" for i in range(40)]
+    # deterministic registry: all 2-term combos of the first 20 words
+    # (190 rules) + some 3-term rules + duplicates-of-earlier rules
+    registry = [
+        f"{a} {b}" for a, b in itertools.combinations(words[:20], 2)
+    ] + [f"{a} {b} {c}" for a, b, c in zip(words[:5], words[5:10], words[10:15])]
+    # deterministic docs: doc i contains words whose index divides i+2
+    texts = [
+        " ".join(w for j, w in enumerate(words) if (i + 2) % (j + 2) == 0)
+        for i in range(60)
+    ]
+    actor = _PercolateActor(registry)
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = actor(batch)
+    got = set(zip(out["doc_id"].to_pylist(), out["query_id"].to_pylist()))
+    exp = set()
+    for qid, q in enumerate(registry):
+        terms = set(re.split(r"[^a-z0-9]+", q))
+        for d, text in enumerate(texts):
+            toks = set(re.split(r"[^a-z0-9]+", text)) - {""}
+            if terms <= toks:
+                exp.add((d, qid))
+    assert got == exp and len(got) > 100
