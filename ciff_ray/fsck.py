@@ -39,6 +39,13 @@ docmap (map_batches, one pass):
 manifest / layout:
   * every partition's segment + done marker present, fingerprints match
   * tombstones (if any) within [0, num_docs)
+
+derived stores (each against the frequency index):
+  * positional store — check_positions: row structure, partition
+    placement, signed per-term (rows, Σ positions) vs (df, cf)
+  * pruned index — check_pruned: tau-bound soundness audit
+  * doc-norms store — check_norms: docid density moments + the
+    postings energy identity Σ norm² == Σ ((1+ln tf)·ln(N/df))²
 """
 
 from __future__ import annotations
