@@ -128,3 +128,42 @@ def test_percolate_large_registry_bruteforce():
             if terms <= toks:
                 exp.add((d, qid))
     assert got == exp and len(got) > 100
+
+
+def test_percolate_property_random_registries():
+    """Hypothesis: for random registries and documents over a small
+    alphabet, the inverted CSR evaluation equals the set-inclusion
+    definition exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from([f"t{i}" for i in range(8)])
+    query = st.lists(word, min_size=0, max_size=4).map(" ".join)
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @given(
+        st.lists(query, min_size=1, max_size=12),
+        st.lists(doc, min_size=1, max_size=16),
+    )
+    @settings(max_examples=200, deadline=None)
+    def run(registry, texts):
+        actor = _PercolateActor(registry)
+        batch = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+        out = actor(batch)
+        got = set(zip(out["doc_id"].to_pylist(), out["query_id"].to_pylist()))
+        exp = set()
+        for qid, q in enumerate(registry):
+            terms = set(tokenize(q))
+            if not terms:
+                continue
+            for d, text in enumerate(texts):
+                if terms <= set(tokenize(text)):
+                    exp.add((d, qid))
+        assert got == exp
+
+    run()
