@@ -82,6 +82,35 @@ def cmd_query(args) -> None:
         print(f"{rank}\t{d}\t{s:.6f}\t{t}")
 
 
+def cmd_ltr(args) -> None:
+    """Five-family LTR feature vectors for a query workload over an
+    index + doc-norms pair, to partitioned Parquet."""
+    _ray_session()
+    import ray.data
+
+    from ciff_ray.ltr import _LTRFeatureActor
+
+    with open(args.queries) as f:
+        queries = [ln.strip() for ln in f if ln.strip()]
+    import pyarrow as pa
+
+    qs = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(range(len(queries)), type=pa.int64()),
+                "query": pa.array(queries),
+            }
+        )
+    )
+    qs.repartition(4).map_batches(
+        _LTRFeatureActor,
+        fn_constructor_args=(args.index, args.norms, args.k),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).write_parquet(args.out)
+    print(f"ltr features for {len(queries)} queries -> {args.out}")
+
+
 def cmd_percolate(args) -> None:
     import ray.data
 
@@ -370,6 +399,17 @@ def main(argv=None) -> None:
     )
     q.add_argument("--norms", help="doc-norms dir (required for --model tfidf)")
     q.set_defaults(fn=cmd_query)
+
+    lt = sub.add_parser(
+        "ltr",
+        help="five-family LTR feature vectors over each query's BM25 pool",
+    )
+    lt.add_argument("index")
+    lt.add_argument("norms", help="doc-norms dir (ciff_ray.tfidf.build_docnorms)")
+    lt.add_argument("queries", help="text file, one query per line")
+    lt.add_argument("out", help="output parquet dir")
+    lt.add_argument("-k", type=int, default=10)
+    lt.set_defaults(fn=cmd_ltr)
 
     pc = sub.add_parser(
         "percolate",

@@ -259,3 +259,39 @@ def test_cli_query_models_and_percolate(tmp_path, capsys, ray_session):
     t = pq.read_table(out_dir)
     assert t.num_rows > 0
     assert set(t["query_id"].to_pylist()) == {0}
+
+
+def test_cli_ltr(tmp_path, capsys, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ciff_ray.synth import generate_transcripts
+    from ciff_ray.tfidf import build_docnorms
+
+    tbl = generate_transcripts(n_convs=20, max_turns=4, seed=5, mean_tokens=15)
+    pq.write_table(tbl, str(tmp_path / "t.parquet"))
+    idx = str(tmp_path / "idx")
+    main(["build", str(tmp_path / "t.parquet"), idx, "--partitions", "3"])
+    capsys.readouterr()
+    conv, turn = tbl["conv_id"].to_pylist(), tbl["turn_idx"].to_pylist()
+    order = sorted(range(len(conv)), key=lambda i: (conv[i].encode(), turn[i]))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(tbl)), type=pa.int64()),
+            "text": tbl["text"].take(pa.array(order)),
+        }
+    )
+    norms = build_docnorms(
+        ray.data.from_arrow(docs).repartition(2), idx, str(tmp_path / "norms")
+    )
+    (tmp_path / "qs.txt").write_text("the time\npeople\n")
+    out = str(tmp_path / "ltr")
+    main(["ltr", idx, norms, str(tmp_path / "qs.txt"), out, "-k", "5"])
+    capsys.readouterr()
+    t = pq.read_table(out)
+    assert t.num_rows > 0
+    assert t.schema.names == [
+        "query_id", "doc_id", "rank", "dl",
+        "bm25_r", "lmdir_r", "lmjm_r", "pl2_r", "tfidf_r",
+    ]
