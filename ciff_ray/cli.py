@@ -82,6 +82,14 @@ def cmd_query(args) -> None:
         print(f"{rank}\t{d}\t{s:.6f}\t{t}")
 
 
+def cmd_stats(args) -> None:
+    """Index observability rollup (the `_cat/indices` analogue)."""
+    _ray_session()
+    from ciff_ray.report import index_report
+
+    print(json.dumps(index_report(args.index)))
+
+
 def cmd_ltr(args) -> None:
     """Five-family LTR feature vectors for a query workload over an
     index + doc-norms pair, to partitioned Parquet."""
@@ -399,6 +407,12 @@ def main(argv=None) -> None:
     )
     q.add_argument("--norms", help="doc-norms dir (required for --model tfidf)")
     q.set_defaults(fn=cmd_query)
+
+    st = sub.add_parser(
+        "stats", help="index observability rollup (slices/postings/bytes/codecs)"
+    )
+    st.add_argument("index")
+    st.set_defaults(fn=cmd_stats)
 
     lt = sub.add_parser(
         "ltr",
