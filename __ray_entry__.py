@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from ciff_ray.ltr import q_ltr_features as _ltr_features
     from ciff_ray.percolate import q_percolate as _percolate
+    from ciff_ray.percolate import q_percolate_phrase as _percolate_phrase
     from ciff_ray.positions import q_proximity_pairs as _proximity
     from ciff_ray.quantized import q_bm25_topk_quantized as _bm25_quantized
     from ciff_ray.positions import q_span_near as _span_near
@@ -186,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ltr_features": _ltr_features,
         "hit_context": _hit_context,
         "match_stats": _match_stats,
+        "percolate_phrase": _percolate_phrase,
         "date_histogram": _date_histogram,
         "significant_terms": _significant_terms,
         "phrase_match": p.q_phrase_match,
@@ -289,9 +291,13 @@ def oracle_sql() -> dict[str, str]:
     from ciff_ray.surprisal import doc_surprisal_oracle_sql
 
     sqls["bm25_topk_quantized"] = bm25_topk_quantized_oracle_sql()
-    from ciff_ray.percolate import percolate_oracle_sql
+    from ciff_ray.percolate import (
+        percolate_oracle_sql,
+        percolate_phrase_oracle_sql,
+    )
 
     sqls["doc_surprisal"] = doc_surprisal_oracle_sql()
+    sqls["percolate_phrase"] = percolate_phrase_oracle_sql()
     from ciff_ray.ltr import ltr_features_oracle_sql
 
     sqls["percolate"] = percolate_oracle_sql()

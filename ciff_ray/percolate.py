@@ -143,6 +143,71 @@ def percolate(docs: ray.data.Dataset, queries: list[str]) -> ray.data.Dataset:
     )
 
 
+class _PhrasePercolateActor:
+    """map_batches actor: (doc_id, text) -> (doc_id, query_id) EXACT
+    PHRASE matches against a registry of stored phrases.  Two stages,
+    both in-batch: the inverted conjunctive screen (a phrase's terms
+    must all be present — _PercolateActor verbatim), then one
+    vectorized adjacency regex per rule over ONLY that rule's candidate
+    rows (the same token-boundary RE2 the phrase_match entry and its
+    SQL oracle share, pipelines._phrase_regex)."""
+
+    def __init__(self, phrases: list[str]):
+        from ciff_ray.oracle import tokenize
+        from ciff_ray.pipelines import _phrase_regex
+
+        self.screen = _PercolateActor(phrases)
+        self.pattern_of = {
+            qid: _phrase_regex(tokenize(p))
+            for qid, p in enumerate(phrases)
+            if tokenize(p)
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cand = self.screen(batch)
+        if cand.num_rows == 0:
+            return cand
+        batch_docs = (
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        order = np.argsort(batch_docs)
+        low = pc.utf8_lower(batch["text"].combine_chunks())
+        c_doc = cand["doc_id"].to_numpy(zero_copy_only=False)
+        c_qid = cand["query_id"].to_numpy(zero_copy_only=False)
+        rows = order[np.searchsorted(batch_docs[order], c_doc)]
+        out_doc, out_q = [], []
+        for qid in np.unique(c_qid):
+            m = c_qid == qid
+            sub = rows[m]
+            hit = pc.match_substring_regex(
+                low.take(pa.array(sub)), self.pattern_of[int(qid)]
+            ).to_numpy(zero_copy_only=False)
+            if hit.any():
+                out_doc.extend(c_doc[m][hit].tolist())
+                out_q.extend([int(qid)] * int(hit.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "query_id": pa.array(out_q, type=pa.int64()),
+            }
+        )
+
+
+def percolate_phrases(
+    docs: ray.data.Dataset, phrases: list[str]
+) -> ray.data.Dataset:
+    """Match every (doc_id, text) row against stored EXACT PHRASES —
+    (doc_id, query_id) pairs."""
+    return docs.map_batches(
+        _PhrasePercolateActor,
+        fn_constructor_args=(phrases,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
 def q_percolate(sf_dir: str) -> ray.data.Dataset:
     """Percolate the documents table against the fixed query registry
     — (doc_id, query_id) conjunctive matches."""
@@ -154,6 +219,31 @@ def q_percolate(sf_dir: str) -> ray.data.Dataset:
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return percolate(docs, QUERY_SET)
+
+
+def q_percolate_phrase(sf_dir: str) -> ray.data.Dataset:
+    """Percolate the documents table against the stored PHRASE
+    registry (pipelines.PHRASE_SET) — (doc_id, query_id) exact
+    adjacency matches."""
+    import os
+
+    from ciff_ray.pipelines import PHRASE_SET
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return percolate_phrases(docs, PHRASE_SET)
+
+
+def percolate_phrase_oracle_sql() -> str:
+    from ciff_ray.pipelines import _phrase_query_values
+    from ciff_ray.synth import SQL_TRANSCRIPTS_CTE
+
+    return f"""WITH {SQL_TRANSCRIPTS_CTE.strip()},
+q(query_id, pattern) AS (VALUES {_phrase_query_values()})
+SELECT t.doc_id, CAST(q.query_id AS BIGINT) AS query_id
+FROM transcripts t
+JOIN q ON regexp_matches(lower(t.text), q.pattern)"""
 
 
 def percolate_oracle_sql() -> str:

@@ -167,3 +167,47 @@ def test_percolate_property_random_registries():
         assert got == exp
 
     run()
+
+
+def test_phrase_percolate_actor_bruteforce():
+    """Exact-phrase percolation vs a regex recompute: adjacency
+    required, conjunctive presence alone is NOT a match."""
+    import re
+
+    from ciff_ray.percolate import _PhrasePercolateActor
+
+    phrases = ["the cat", "hat hat", "zzznever term", "the the"]
+    texts = [
+        "the cat sat",        # 0: "the cat"
+        "cat ... the",        # 1: both terms, wrong order -> no match
+        "a hat, hat!",        # 2: "hat hat" across separators
+        "hat and hat",        # 3: both present, not adjacent
+        "the the the cat",    # 4: "the the" and "the cat"
+        "",                   # 5: nothing
+    ]
+    actor = _PhrasePercolateActor(phrases)
+    batch = pa.table(
+        {
+            # deliberately unsorted doc ids: the row mapping must not
+            # assume sorted input
+            "doc_id": pa.array([10, 3, 7, 0, 5, 2], type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = actor(batch)
+    got = set(zip(out["doc_id"].to_pylist(), out["query_id"].to_pylist()))
+    ids = [10, 3, 7, 0, 5, 2]
+    exp = set()
+    pats = {
+        0: r"(^|[^a-z0-9])the[^a-z0-9]+cat([^a-z0-9]|$)",
+        1: r"(^|[^a-z0-9])hat[^a-z0-9]+hat([^a-z0-9]|$)",
+        3: r"(^|[^a-z0-9])the[^a-z0-9]+the([^a-z0-9]|$)",
+    }
+    for qid, pat in pats.items():
+        for d, text in zip(ids, texts):
+            if re.search(pat, text.lower()):
+                exp.add((d, qid))
+    assert got == exp
+    assert (10, 0) in got and (3, 0) not in got  # order matters
+    assert (7, 1) in got and (0, 1) not in got   # adjacency matters
+    assert (5, 3) in got                          # overlapping duplicate
