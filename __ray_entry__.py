@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ciff_ray.surprisal import q_doc_surprisal as _doc_surprisal
     from ciff_ray.synonyms import q_bm25_synonyms as _bm25_synonyms
     from ciff_ray.tfidf import q_tfidf_cosine as _tfidf_cosine
+    from ciff_ray.trending import q_trending_terms as _trending_terms
 
     entries: dict[str, Callable[[str], Any]] = {
         # inverted-index engine family (SURVEY.md §2; north_rule gate)
@@ -188,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hit_context": _hit_context,
         "match_stats": _match_stats,
         "percolate_phrase": _percolate_phrase,
+        "trending_terms": _trending_terms,
         "date_histogram": _date_histogram,
         "significant_terms": _significant_terms,
         "phrase_match": p.q_phrase_match,
@@ -297,7 +299,10 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sqls["doc_surprisal"] = doc_surprisal_oracle_sql()
+    from ciff_ray.trending import trending_terms_oracle_sql
+
     sqls["percolate_phrase"] = percolate_phrase_oracle_sql()
+    sqls["trending_terms"] = trending_terms_oracle_sql()
     from ciff_ray.ltr import ltr_features_oracle_sql
 
     sqls["percolate"] = percolate_oracle_sql()
