@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q_phrase_match_positional as _positional_phrase,
     )
     from ciff_ray.ltr import q_ltr_features as _ltr_features
+    from ciff_ray.nextterm import q_suggest_next_term as _suggest_next_term
     from ciff_ray.percolate import q_percolate as _percolate
     from ciff_ray.percolate import q_percolate_phrase as _percolate_phrase
     from ciff_ray.positions import q_proximity_pairs as _proximity
@@ -190,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_stats": _match_stats,
         "percolate_phrase": _percolate_phrase,
         "trending_terms": _trending_terms,
+        "suggest_next_term": _suggest_next_term,
         "date_histogram": _date_histogram,
         "significant_terms": _significant_terms,
         "phrase_match": p.q_phrase_match,
@@ -302,7 +304,10 @@ def oracle_sql() -> dict[str, str]:
     from ciff_ray.trending import trending_terms_oracle_sql
 
     sqls["percolate_phrase"] = percolate_phrase_oracle_sql()
+    from ciff_ray.nextterm import suggest_next_term_oracle_sql
+
     sqls["trending_terms"] = trending_terms_oracle_sql()
+    sqls["suggest_next_term"] = suggest_next_term_oracle_sql()
     from ciff_ray.ltr import ltr_features_oracle_sql
 
     sqls["percolate"] = percolate_oracle_sql()
