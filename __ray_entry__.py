@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ciff_ray.lmdir import q_lm_dirichlet as _lm_dirichlet
     from ciff_ray.lmdir import q_lm_jm as _lm_jm
     from ciff_ray.recency import q_bm25_recency as _bm25_recency
+    from ciff_ray.reorder import q_bm25_topk_reordered as _bm25_reordered
     from ciff_ray.searchdsl import q_search_dsl as _search_dsl
     from ciff_ray.searchdsl import q_search_dsl_ranked as _search_dsl_ranked
     from ciff_ray.surprisal import q_doc_surprisal as _doc_surprisal
@@ -192,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_phrase": _percolate_phrase,
         "trending_terms": _trending_terms,
         "suggest_next_term": _suggest_next_term,
+        "bm25_topk_reordered": _bm25_reordered,
         "date_histogram": _date_histogram,
         "significant_terms": _significant_terms,
         "phrase_match": p.q_phrase_match,
@@ -231,6 +233,10 @@ def oracle_sql() -> dict[str, str]:
     # monolithic pair by construction (byte-order split), so the merged
     # phrase entry shares the positional phrase oracle verbatim
     sqls["phrase_match_merged"] = sqls["phrase_match_positional"]
+    # the signature-reordered index serves in the ORIGINAL id space and
+    # is rank-and-score-identical by construction — same monolithic
+    # BM25 oracle (the merged/sharded entries' device)
+    sqls["bm25_topk_reordered"] = sqls["bm25_topk"]
     from ciff_ray.booleanq import (
         boolean_and_not_oracle_sql,
         boolean_or_msm_oracle_sql,
