@@ -259,6 +259,12 @@ def cmd_fsck(args) -> None:
         )
     if args.norms:
         t = pa.concat_tables([t, check_norms(args.norms, args.index)])
+    if args.mapping:
+        from ciff_ray.fsck import check_mapping
+        from ciff_ray.layout import IndexPaths, Manifest
+
+        n = Manifest.read(IndexPaths(args.index).manifest).num_docs
+        t = pa.concat_tables([t, check_mapping(args.mapping, n)])
     if args.full:
         t = pa.concat_tables([t, check_pruned(args.index, args.full)])
     for r in t.to_pylist():
@@ -579,6 +585,11 @@ def main(argv=None) -> None:
     fs.add_argument(
         "--norms", default="",
         help="also validate this doc-norms store against the index",
+    )
+    fs.add_argument(
+        "--mapping", default="",
+        help="also validate this reorder new->old mapping store "
+             "(permutation audit against the index's num_docs)",
     )
     fs.add_argument(
         "--full", default="",

@@ -987,3 +987,69 @@ def check_norms(
              f"store={store_energy!r} index={idx_energy!r}")
         )
     return _findings(findings)
+
+
+# ---------------------------------------------------------------------------
+# reorder mapping store (ciff_ray.reorder) — permutation audit
+
+
+def check_mapping(mapping_dir: str, num_docs: int) -> pa.Table:
+    """Validate a new->old docid mapping store (ciff_ray.reorder):
+    `_DONE` marker; doc_id moments match dense 0..N−1 (the docmap
+    device); and the old_id VALUES' moments also match dense 0..N−1 —
+    count + min + max + Σ + Σ² together are sound (not adversarial-
+    proof, same caveat as the docmap check) evidence of a permutation,
+    with no driver-side N-array."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    findings: list[tuple[str, str, str]] = []
+    if not os.path.exists(os.path.join(mapping_dir, "_DONE")):
+        return _findings([("mapping_done_marker", mapping_dir, "missing")])
+
+    def _moments(t: pa.Table) -> pa.Table:
+        out = {}
+        for col in ("doc_id", "old_id"):
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            out[f"{col}_min"] = [int(v.min()) if v.size else 0]
+            out[f"{col}_max"] = [int(v.max()) if v.size else 0]
+            out[f"{col}_sum"] = [int(v.sum())]
+            out[f"{col}_sq"] = [int((v * v).sum())]
+        out["cnt"] = [t.num_rows]
+        return pa.table(
+            {k: pa.array(vs, type=pa.int64()) for k, vs in out.items()}
+        )
+
+    aggs = [Sum("cnt", alias_name="cnt")]
+    for col in ("doc_id", "old_id"):
+        aggs += [
+            Min(f"{col}_min", alias_name=f"{col}_min"),
+            Max(f"{col}_max", alias_name=f"{col}_max"),
+            Sum(f"{col}_sum", alias_name=f"{col}_sum"),
+            Sum(f"{col}_sq", alias_name=f"{col}_sq"),
+        ]
+    agg = (
+        ray.data.read_parquet(mapping_dir, file_extensions=["parquet"])
+        .map_batches(_moments, batch_format="pyarrow")
+        .aggregate(*aggs)
+    )
+    n = num_docs
+    if agg["cnt"] != n:
+        findings.append(
+            ("mapping_row_count", mapping_dir, f"{agg['cnt']} rows for {n} docs")
+        )
+    exp_sum = n * (n - 1) // 2
+    exp_sq = (n - 1) * n * (2 * n - 1) // 6
+    for col in ("doc_id", "old_id"):
+        if n and (
+            agg[f"{col}_min"] != 0
+            or agg[f"{col}_max"] != n - 1
+            or agg[f"{col}_sum"] != exp_sum
+            or agg[f"{col}_sq"] != exp_sq
+        ):
+            findings.append(
+                (f"mapping_{col}_moments", mapping_dir,
+                 f"min={agg[f'{col}_min']} max={agg[f'{col}_max']} "
+                 f"sum={agg[f'{col}_sum']} sq={agg[f'{col}_sq']} "
+                 f"(dense 0..{n - 1} expected)")
+            )
+    return _findings(findings)

@@ -71,3 +71,37 @@ def test_reorder_preserves_postings_and_shrinks_gaps(reordered):
     b = index_report(idx)
     assert a["postings"] == b["postings"]
     assert b["doc_bytes"] <= a["doc_bytes"] * 1.02
+
+
+def test_mapping_fsck_clean_and_detects_corruption(reordered, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ciff_ray.fsck import check_mapping
+    from ciff_ray.layout import IndexPaths, Manifest
+
+    idx, mapping = reordered
+    n = Manifest.read(IndexPaths(idx).manifest).num_docs
+    assert check_mapping(mapping, n).num_rows == 0
+    # corrupt: duplicate one old_id (no longer a permutation; count and
+    # min/max stay right, Σ/Σ² catch it)
+    bad = str(tmp_path / "map")
+    shutil.copytree(mapping, bad)
+    f = sorted(glob.glob(os.path.join(bad, "*.parquet")))[0]
+    t = pq.read_table(f)
+    vals = t["old_id"].to_pylist()
+    # replace one mid-range value with another existing one
+    mid = sorted(vals)[len(vals) // 2]
+    other = sorted(vals)[len(vals) // 3]
+    vals[vals.index(mid)] = other
+    t = t.set_column(
+        t.schema.get_field_index("old_id"), "old_id",
+        pa.array(vals, type=pa.int64()),
+    )
+    pq.write_table(t, f)
+    checks = {r["check"] for r in check_mapping(bad, n).to_pylist()}
+    assert "mapping_old_id_moments" in checks
