@@ -26,69 +26,51 @@ def entry() -> Any:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries in
-# dict order.  Round-3 verdict: the dedup/ANN/sketch extras family fell
-# outside that window every round (only judge-run crosscheck covered it),
-# so the window is now allocated deliberately: the previously
-# never-driver-checked extras first, then this round's new entries, then
-# the highest-value engine gates; the long-stable remainder (green in
-# CORRECTNESS_r01..r03) follows after slot 50.
+# dict order.  The window is allocated deliberately each round so every
+# entry eventually gets a hard driver-gate row.  Round-5 allocation, per
+# the round-4 verdict ("keep rotating"): (1) the 20 entries that have
+# NEVER had a driver row in any CORRECTNESS_r* file (the round-4 tail
+# families: highlight/surprisal/percolate/LTR/context/aggs/trending/
+# nextterm/reorder, the lm_jm + boolean-MSM + wildcard-suffix + regex +
+# unordered-span + ranked-DSL variants, and the dense-serving
+# collapsed/page2/hit-counts/scores-bulk four); (2) re-seat the flagship
+# bm25_topk / bm25_scores pair once (last driver row r03); (3) every
+# entry whose serving code is touched by round-5 changes (positions
+# conjunction moved off-driver -> span/proximity/positional-phrase
+# family; sharded default; tfidf nan fix; quantized range/tombstone
+# coupling); (4) the r03-only singles, re-seated.  Everything displaced
+# is green in CORRECTNESS_r03/r04 and still covered by
+# tools/crosscheck.py (full 119-entry run).
 _DRIVER_WINDOW_PRIORITY = [
-    # -- extras family: never driver-checked before round 4 --------------
-    "dedup_incremental", "dup_substring_coverage", "dedup_minhash",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
-    "dedup_embedding_ann", "decontaminate", "dup_clusters",
-    "knn_brute", "knn_filtered", "embedding_centroids", "ann_ivf",
-    "kmeans", "mmr_diversify", "ann_pq", "media_features", "media_frames",
-    "source_mixture", "pack_sequences", "fuzzy_terms", "pagerank",
-    "approx_distinct", "top_terms", "quantile_sketch", "exact_quantiles",
-    "term_freq_cms", "clean_corpus",
-    # -- new round-4 entries ----------------------------------------------
-    "bm25_topk_tiered", "bm25_proximity", "bm25_topk_stemmed",
-    "bm25_topk_bulk", "bm25f_topk",
-    # round-4 late adds, never driver-checked — they also exercise the
-    # serving paths changed late in round 4 (dense top-k, cache LRU)
-    "bm25_explain",
-    # round-4 tail adds: the PL2 divergence-from-randomness scoring
-    # family and the aggregations pair (date-histogram facet,
-    # JLH significant terms) — they replace the in-window top-k
-    # variants bm25_topk_collapsed / bm25_topk_page2 / bm25_hit_counts,
-    # whose dense-top-k serving path bm25_explain + bm25_scores_bulk
-    # still cover
-    "dfr_pl2", "date_histogram", "significant_terms",
-    # round-4 tail-2 adds: two more genuinely-new scoring families take
-    # the slots of same-family variants (bm25_scores_bulk — bulk_topk
-    # still in-window covers ciff_ray/bulk.py; lm_jm — lm_dirichlet
-    # still in-window covers ciff_ray/lmdir.py); the rest of the tail-2
-    # family (highlight_spans, doc_surprisal, percolate, ltr_features)
-    # is outside the window and covered by tools/crosscheck.py
-    "tfidf_cosine", "bm25_topk_quantized",
-    # the conversation-upsert lifecycle gate (delete_convs +
-    # upsert_convs + compact under a CASE-updated-corpus oracle)
-    "bm25_scores_upserted",
-    # round-4 final adds: boolean OR / AND-NOT, wildcard prefix
-    # retrieval, ordered span-near over the positional store,
-    # trec_eval-style ranking metrics
-    "boolean_or", "boolean_and_not", "wildcard_match", "span_near",
-    "ranking_metrics",
-    # round-4 continuation adds: query-time synonym expansion and
-    # recency-decayed ranking over the transcript ts column (replace the
-    # long-stable r01-r03-green conv_topk / phrase_match_positional in
-    # the window)
-    "bm25_synonyms", "bm25_recency", "lm_dirichlet",
-    # the Lucene-style search DSL (composes terms/phrases/role filters
-    # through the boolean + positional kernels) — replaces the
-    # long-stable bm25_scores
-    "search_dsl",
-    # phrase retrieval through a merged index + merged positional store
-    # — the driver gate for the store-side lifecycle (merge_positions);
-    # fills the window to 50, rotating out the long-stable r01-r03-green
-    # bm25_topk (still smoke-run by entry()).  Previously rotated out:
-    # bm25_topk_merged, bm25_topk_compacted, bm25_topk_filtered,
-    # proximity_pairs, ranking_eval, hybrid_rrf, doc_fingerprint,
-    # chunk_docs, bm25_scores, bm25_topk_pruned, tokenize_tf,
-    # postings_stats, docmap, collection_stats, postings_lists,
-    # bm25_topk_sharded ----------------------------------------------------
-    "phrase_match_merged",
+    # -- (1) never driver-checked in r01-r04 ------------------------------
+    "highlight_spans", "doc_surprisal", "percolate", "percolate_phrase",
+    "ltr_features", "hit_context", "match_stats", "trending_terms",
+    "suggest_next_term", "bm25_topk_reordered", "lm_jm", "boolean_or_msm",
+    "wildcard_suffix", "term_regex", "span_unordered", "search_dsl_ranked",
+    "bm25_topk_collapsed", "bm25_topk_page2", "bm25_hit_counts",
+    "bm25_scores_bulk",
+    # -- (2) flagship pair, re-seated -------------------------------------
+    "bm25_topk", "bm25_scores",
+    # -- (3) round-5 touched serving paths ---------------------------------
+    "span_near", "proximity_pairs", "bm25_proximity",
+    "phrase_match_positional", "bm25_topk_sharded", "tfidf_cosine",
+    "bm25_topk_quantized",
+    # -- (4) r03-only singles, re-seated -----------------------------------
+    "bm25_topk_merged", "bm25_topk_compacted", "bm25_topk_filtered",
+    "bm25_feedback", "bm25_boosted", "bm25_fuzzy", "bm25_facets",
+    "bm25_snippets", "boolean_and", "phrase_match", "doc_top_tfidf",
+    "hybrid_rrf", "conv_topk", "ranking_eval", "term_suggest",
+    "more_like_this", "role_top_terms", "doclength_quantiles",
+    "sessionize", "funnel", "cohort_retention",
+    # ----------------------------------------------------------------------
+    # Rotated out this round (all green in r04): the extras window family
+    # (dedup_*, knn_*, ann_*, media_*, sketches, clean_corpus,
+    # pack_sequences, source_mixture, fuzzy_terms, pagerank), the
+    # round-4 scoring families (dfr_pl2, lm_dirichlet, bm25f_topk,
+    # bm25_topk_tiered/stemmed/bulk, bm25_explain, date_histogram,
+    # significant_terms, bm25_synonyms, bm25_recency, search_dsl,
+    # boolean_or, boolean_and_not, wildcard_match, ranking_metrics,
+    # bm25_scores_upserted, phrase_match_merged).
 ]
 
 
