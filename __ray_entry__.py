@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_terms": _trending_terms,
         "suggest_next_term": _suggest_next_term,
         "bm25_topk_reordered": _bm25_reordered,
+        "bm25_topk_reordered_bp": lambda sf: _bm25_reordered(sf, "bp"),
         "date_histogram": _date_histogram,
         "significant_terms": _significant_terms,
         "phrase_match": p.q_phrase_match,
@@ -219,6 +220,8 @@ def oracle_sql() -> dict[str, str]:
     # is rank-and-score-identical by construction — same monolithic
     # BM25 oracle (the merged/sharded entries' device)
     sqls["bm25_topk_reordered"] = sqls["bm25_topk"]
+    # ... and so is the BP (recursive-graph-bisection) order
+    sqls["bm25_topk_reordered_bp"] = sqls["bm25_topk"]
     from ciff_ray.booleanq import (
         boolean_and_not_oracle_sql,
         boolean_or_msm_oracle_sql,

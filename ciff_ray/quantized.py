@@ -86,6 +86,19 @@ def _range_partition(index_dir: str, pid: int) -> tuple[float, float]:
             np.cumsum(gaps, out=docs[1:])
             docs[1:] += firsts[i]
         tfs = codecs.decode(tf_bufs[i], df, int(tcodec[i])).astype(np.int64)
+        if scorer._dead.size:
+            # deferred deletes: exclude tombstoned docs so the cached
+            # [lo, hi] matches what quantized_score_all actually serves
+            # (postings() masks the same set) — otherwise a dead doc
+            # could pin the range a live-corpus oracle never sees
+            pos = np.searchsorted(scorer._dead, docs)
+            hit = (pos < scorer._dead.size) & (
+                scorer._dead[np.minimum(pos, scorer._dead.size - 1)] == docs
+            )
+            if hit.any():
+                docs, tfs = docs[~hit], tfs[~hit]
+                if docs.size == 0:
+                    continue
         dl = scorer._dl[docs].astype(np.float64)
         c = scorer._contrib(
             tfs.astype(np.float64), dl, scorer.idf(terms_py[i])

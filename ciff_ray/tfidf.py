@@ -120,22 +120,24 @@ def build_docnorms(
     actor pass, the parquet write is the only materialization; the
     reader locates doc ranges via row-group statistics, so no sort is
     required (the same contract as the docmap)."""
-    tmp = out_dir + ".tmp"
     import shutil
 
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    # positions._publish_store discipline: pid-suffixed tmp, _DONE
+    # written INSIDE tmp, one atomic rename; the loser of a concurrent
+    # publish race cleans up instead of clobbering a live store
+    tmp = f"{out_dir}.tmp-{os.getpid()}"
     docs.map_batches(
         _NormPartials,
         fn_constructor_args=(index_dir,),
         batch_format="pyarrow",
         concurrency=(1, 8),
     ).write_parquet(tmp)
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
-    os.replace(tmp, out_dir)
-    with open(os.path.join(out_dir, "_DONE"), "w") as f:
-        f.write("ok")
+    with open(os.path.join(tmp, "_DONE"), "w", encoding="utf-8") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
     return out_dir
 
 
@@ -187,8 +189,14 @@ def tfidf_score_all(
     all_docs = np.concatenate(doc_parts)
     u, inv = np.unique(all_docs, return_inverse=True)
     sums = np.bincount(inv, weights=np.concatenate(w_parts))
-    scores = sums / norms.gather_sorted(u)
-    return u, scores
+    nm = norms.gather_sorted(u)
+    # a doc whose every term has df == N has zero weight vector — its
+    # cosine direction is undefined, so DROP it (0/0 would be nan and
+    # the SQL oracle mirrors the drop with `n.norm > 0`)
+    ok = nm > 0.0
+    if not ok.all():
+        u, sums, nm = u[ok], sums[ok], nm[ok]
+    return u, sums / nm
 
 
 class _TfidfScorerActor:
@@ -266,6 +274,7 @@ scored AS (
   SELECT CAST(q.query_id AS BIGINT) AS query_id, wt.doc_id AS doc_id,
          SUM(wt.w) / n.norm AS score
   FROM q JOIN wt USING (term) JOIN norms n ON wt.doc_id = n.doc_id
+  WHERE n.norm > 0
   GROUP BY q.query_id, wt.doc_id, n.norm
 )
 SELECT query_id, CAST(rnk AS INT) AS rank, doc_id FROM (

@@ -122,3 +122,32 @@ def test_quantized_actor_topk_integer_rank(quant_fixture):
             key=lambda kv: (-kv[1], kv[0]),
         )[:TOPK_K]
         assert per_q.get(qid, []) == exp, q
+
+
+def test_range_scan_filters_tombstones(quant_fixture, tmp_path):
+    """Deferred deletes: compute_score_range over a tombstoned index
+    must equal the brute-force range over LIVE postings only — the
+    same mask quantized_score_all serves through (r4 ADVICE item)."""
+    import shutil
+
+    from ciff_ray.lifecycle import delete_docs
+
+    idx, oracle = quant_fixture
+    copy = str(tmp_path / "idx")
+    shutil.copytree(idx, copy)
+    # kill the doc holding the global max contribution plus a spread
+    contribs = []
+    for t, plist in oracle.postings.items():
+        w = oracle.idf(t)
+        for doc_id, tf in plist:
+            dl = oracle.doclengths[doc_id]
+            norm = tf + 0.9 * (1.0 - 0.4 + 0.4 * dl / oracle.avg_doclength)
+            contribs.append((w * tf * (0.9 + 1.0) / norm, doc_id))
+    top_doc = max(contribs)[1]
+    dead = {top_doc, 0, 7}
+    delete_docs(copy, sorted(dead))
+    lo, hi = compute_score_range(copy)
+    live = [c for c, d in contribs if c > 0 and d not in dead]
+    assert lo == pytest.approx(min(live), abs=1e-12)
+    assert hi == pytest.approx(max(live), abs=1e-12)
+    assert hi < max(c for c, _ in contribs)  # the dead max is excluded

@@ -73,6 +73,111 @@ def test_reorder_preserves_postings_and_shrinks_gaps(reordered):
     assert b["doc_bytes"] <= a["doc_bytes"] * 1.02
 
 
+def test_permutation_build_no_driver_n_array(ray_session, tmp_path):
+    """Round-4 verdict item 1's done-criterion: nothing O(num_docs)
+    crosses the driver during the permutation build — only one int per
+    sorted block (the _DIAG audit, sketch.py's device)."""
+    import ray.data
+
+    from ciff_ray import reorder
+    from ciff_ray.reorder import write_permutation_stores
+
+    docs = ray.data.read_parquet(
+        SF + "/documents.parquet", columns=["doc_id", "text"]
+    )
+    n = write_permutation_stores(
+        docs, str(tmp_path / "map"), str(tmp_path / "inv")
+    )
+    d = reorder._DIAG
+    assert d["num_docs"] == n
+    # driver touched one row-count per block, not one per doc
+    assert d["driver_rows"] < n
+    assert d["driver_rows"] <= 64
+    assert d["max_block_rows"] < n
+
+
+def test_bp_order_permutation_and_parity(ray_session):
+    """BP ordering: valid permutation, same postings multiset, and
+    serving in the original id space stays bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    from ciff_ray.layout import IndexPaths, Manifest
+    from ciff_ray.pipelines import q_bm25_topk
+    from ciff_ray.reorder import (
+        OldIdStore,
+        ensure_reordered,
+        q_bm25_topk_reordered,
+    )
+    from ciff_ray.report import index_report
+    from ciff_ray.pipelines import ensure_index
+
+    idx, mapping = ensure_reordered(SF, order="bp")
+    n = Manifest.read(IndexPaths(idx).manifest).num_docs
+    old = OldIdStore(mapping, n).gather_sorted(np.arange(n, dtype=np.int64))
+    assert np.array_equal(np.sort(old), np.arange(n))
+    a = index_report(ensure_index(SF))
+    b = index_report(idx)
+    assert a["postings"] == b["postings"]
+    assert b["doc_bytes"] <= a["doc_bytes"]  # BP must not inflate
+
+    key = ["query_id", "rank", "doc_id"]
+    got = (
+        pd.concat(
+            t.to_pandas()
+            for t in q_bm25_topk_reordered(SF, order="bp").iter_batches(
+                batch_format="pyarrow"
+            )
+        )[key]
+        .astype("int64")
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.concat(
+            t.to_pandas()
+            for t in q_bm25_topk(SF).iter_batches(batch_format="pyarrow")
+        )[key]
+        .astype("int64")
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0 and got.equals(want)
+
+
+def test_bp_local_bisection_reduces_loggap_cost(ray_session):
+    """_local_bp on a planted two-cluster bucket must separate the
+    clusters (the paper's objective: co-occurring docs adjacent)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ciff_ray.bporder import _local_bp
+
+    rng = np.random.default_rng(7)
+    n = 120
+    # two vocab-disjoint clusters, interleaved doc ids
+    terms = []
+    for i in range(n):
+        base = 0 if i % 2 == 0 else 1000
+        terms.append((base + rng.choice(40, size=8, replace=False)).tolist())
+    g = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "bucket": pa.array(np.zeros(n, dtype=np.int64)),
+            "terms": pa.array(terms, type=pa.large_list(pa.int64())),
+        }
+    )
+    out = _local_bp(g)
+    pos = np.array(out["pos"].to_pylist())
+    doc = np.array(out["doc_id"].to_pylist())
+    order = np.empty(n, dtype=np.int64)
+    order[pos] = doc
+    # cluster labels along the BP order: the two halves must be pure
+    labels = (order % 2)[: n // 2]
+    purity = max(labels.mean(), 1 - labels.mean())
+    assert purity >= 0.95
+
+
 def test_mapping_fsck_clean_and_detects_corruption(reordered, tmp_path):
     import glob
     import os

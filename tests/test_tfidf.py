@@ -145,3 +145,50 @@ def test_tfidf_actor_topk_rank_key(tfidf_fixture):
             key=lambda kv: (-round(kv[1], 9), kv[0]),
         )
         assert per_q.get(qid, []) == [d for d, _ in exp[:TOPK_K]], q
+
+
+def test_tfidf_zero_norm_doc_is_dropped(ray_session, tmp_path):
+    """A doc whose every term has df == N has a zero weight vector —
+    undefined cosine direction.  It must be DROPPED (not nan) and the
+    oracle SQL mirrors the drop with `n.norm > 0` (r4 ADVICE item)."""
+    import warnings
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c0", "c1", "c2", "c3"]),
+            "turn_idx": pa.array([0, 0, 0, 0], type=pa.int32()),
+            "role": pa.array(["user"] * 4),
+            "text": pa.array(
+                [
+                    "common common",  # df(common)=4=N -> norm 0
+                    "common alpha",
+                    "common beta",
+                    "common gamma",
+                ]
+            ),
+            "tool": pa.array([""] * 4),
+        }
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        ray.data.from_arrow(tbl),
+        idx,
+        BuildParams(num_partitions=2, sample_frac=1.0),
+    )
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(4), type=pa.int64()),
+            "text": tbl["text"],
+        }
+    )
+    norms_dir = build_docnorms(
+        ray.data.from_arrow(docs), idx, str(tmp_path / "norms")
+    )
+    scorer = LocalScorer(idx)
+    store = DocnormStore(norms_dir, 4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # 0/0 would raise RuntimeWarning
+        u, sc = tfidf_score_all(scorer, store, "common")
+    assert 0 not in u.tolist()  # the zero-norm doc is gone
+    assert set(u.tolist()) == {1, 2, 3}
+    assert np.isfinite(sc).all()
