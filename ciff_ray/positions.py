@@ -235,19 +235,30 @@ class PositionStore:
 
 class _PhrasePositionalVerify:
     """map_batches stage over (query_id, phrase) rows: AND candidates
-    come in via a broadcast spec ref; adjacency is verified against the
-    positional store only — no document text is touched."""
+    are resolved HERE, inside the actor (index state loaded once per
+    actor — the driver never decodes postings); adjacency is then
+    verified against the positional store only — no document text."""
 
-    def __init__(self, store_root: str, spec_ref):
-        import ray
+    def __init__(self, store_root: str, index_dir: str):
+        from ciff_ray.pipelines import _BooleanAndActor
 
         self.store = PositionStore(store_root)
-        self.spec = ray.get(spec_ref)  # {qid: (terms, sorted cand ids)}
+        self._and = _BooleanAndActor(index_dir)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ciff_ray.tokenizer import tokenize_column
+
         qids, docs = [], []
-        for qid in batch["query_id"].to_pylist():
-            terms, cand = self.spec[qid]
+        for qid, phrase in zip(
+            batch["query_id"].to_pylist(), batch["phrase"].to_pylist()
+        ):
+            toks = pc.list_flatten(
+                tokenize_column(pa.array([phrase], type=pa.string()))
+            )
+            terms = [t for t in toks.to_pylist() if t]
+            cand = self._and._conjunction(phrase)
+            if not terms or cand.size == 0:
+                continue
             d = self.store.phrase_docs(terms, cand)
             qids.append(np.full(d.size, qid, dtype=np.int64))
             docs.append(d)
@@ -270,40 +281,21 @@ def phrase_match_ds(idx: str, store: str) -> ray.data.Dataset:
     (rarest-term df), the store proves adjacency.  The two roots must
     share a docID space — build/ensure pairs do by construction,
     lifecycle pairs via merge_positions/compact_positions."""
-    import ray
+    from ciff_ray.pipelines import PHRASE_SET
 
-    from ciff_ray.pipelines import PHRASE_SET, _BooleanAndActor
-    from ciff_ray.tokenizer import tokenize_column
-
-    and_actor = _BooleanAndActor(idx)
-    spec: dict[int, tuple[list[str], np.ndarray]] = {}
-    qids = []
-    for qid, phrase in enumerate(PHRASE_SET):
-        toks = pc.list_flatten(
-            tokenize_column(pa.array([phrase], type=pa.string()))
-        )
-        terms = [t for t in toks.to_pylist() if t]
-        cand = and_actor._conjunction(phrase)
-        if not terms or cand.size == 0:
-            continue
-        spec[qid] = (terms, cand)
-        qids.append(qid)
-    if not qids:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    "doc_id": pa.array([], type=pa.int64()),
-                }
-            )
-        )
-    spec_ref = ray.put(spec)
     queries = ray.data.from_arrow(
-        pa.table({"query_id": pa.array(qids, type=pa.int64())})
-    ).repartition(min(4, len(qids)))
+        pa.table(
+            {
+                "query_id": pa.array(
+                    range(len(PHRASE_SET)), type=pa.int64()
+                ),
+                "phrase": pa.array(PHRASE_SET, type=pa.string()),
+            }
+        )
+    ).repartition(min(4, len(PHRASE_SET)))
     return queries.map_batches(
         _PhrasePositionalVerify,
-        fn_constructor_args=(store, spec_ref),
+        fn_constructor_args=(store, idx),
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
@@ -379,20 +371,28 @@ def _min_dist_per_doc(
 
 
 class _ProximityVerify:
-    """map_batches stage over (query_id,) rows: per pair, the per-doc
-    min token distance from the positional store, windowed."""
+    """map_batches stage over (query_id, term_a, term_b) rows: AND
+    candidates are resolved inside the actor (no driver postings
+    decode); then the per-doc min token distance from the positional
+    store, windowed."""
 
-    def __init__(self, store_root: str, spec_ref, window: int):
-        import ray
+    def __init__(self, store_root: str, index_dir: str, window: int):
+        from ciff_ray.pipelines import _BooleanAndActor
 
         self.store = PositionStore(store_root)
-        self.spec = ray.get(spec_ref)  # {qid: (term_a, term_b, cand)}
+        self._and = _BooleanAndActor(index_dir)
         self.window = window
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, docs, dists = [], [], []
-        for qid in batch["query_id"].to_pylist():
-            ta, tb, cand = self.spec[qid]
+        for qid, ta, tb in zip(
+            batch["query_id"].to_pylist(),
+            batch["term_a"].to_pylist(),
+            batch["term_b"].to_pylist(),
+        ):
+            cand = self._and._conjunction(f"{ta} {tb}")
+            if cand.size == 0:
+                continue
             d, m = _min_dist_per_doc(
                 self.store.keys(ta, cand), self.store.keys(tb, cand)
             )
@@ -423,38 +423,22 @@ def q_proximity_pairs(sf_dir: str) -> ray.data.Dataset:
     PROX_WINDOW tokens (any order), with the per-doc min distance —
     answered from the positional store alone (AND candidates bound the
     reads; no document text)."""
-    import ray
-
-    from ciff_ray.pipelines import _BooleanAndActor, ensure_index
+    from ciff_ray.pipelines import ensure_index
 
     idx = ensure_index(sf_dir)
     store = ensure_positions(sf_dir)
-    and_actor = _BooleanAndActor(idx)
-    spec: dict[int, tuple[str, str, np.ndarray]] = {}
-    qids = []
-    for qid, (ta, tb) in enumerate(PROX_PAIRS):
-        cand = and_actor._conjunction(f"{ta} {tb}")
-        if cand.size == 0:
-            continue
-        spec[qid] = (ta, tb, cand)
-        qids.append(qid)
-    if not qids:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "min_dist": pa.array([], type=pa.int64()),
-                }
-            )
-        )
-    spec_ref = ray.put(spec)
     queries = ray.data.from_arrow(
-        pa.table({"query_id": pa.array(qids, type=pa.int64())})
-    ).repartition(min(4, len(qids)))
+        pa.table(
+            {
+                "query_id": pa.array(range(len(PROX_PAIRS)), type=pa.int64()),
+                "term_a": pa.array([a for a, _ in PROX_PAIRS]),
+                "term_b": pa.array([b for _, b in PROX_PAIRS]),
+            }
+        )
+    ).repartition(min(4, len(PROX_PAIRS)))
     return queries.map_batches(
         _ProximityVerify,
-        fn_constructor_args=(store, spec_ref, PROX_WINDOW),
+        fn_constructor_args=(store, idx, PROX_WINDOW),
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
@@ -664,21 +648,30 @@ def _span_min_gaps(
 
 
 class _SpanNearVerify:
-    """map_batches stage over (query_id) rows: AND candidates ride in a
-    broadcast spec ref; ordered-window verification runs against the
-    positional store only — no document text."""
+    """map_batches stage over (query_id, terms, slop) rows: AND
+    candidates are resolved inside the actor (no driver postings
+    decode); ordered-window verification runs against the positional
+    store only — no document text."""
 
-    def __init__(self, store_root: str, spec_ref):
-        import ray
+    KERNEL = staticmethod(_span_min_gaps)
+
+    def __init__(self, store_root: str, index_dir: str):
+        from ciff_ray.pipelines import _BooleanAndActor
 
         self.store = PositionStore(store_root)
-        self.spec = ray.get(spec_ref)  # {qid: (terms, slop, cand ids)}
+        self._and = _BooleanAndActor(index_dir)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, docs, gaps = [], [], []
-        for qid in batch["query_id"].to_pylist():
-            terms, slop, cand = self.spec[qid]
-            d, g = _span_min_gaps(self.store, terms, cand)
+        for qid, terms, slop in zip(
+            batch["query_id"].to_pylist(),
+            batch["terms"].to_pylist(),
+            batch["slop"].to_pylist(),
+        ):
+            cand = self._and._conjunction(" ".join(terms))
+            if cand.size == 0:
+                continue
+            d, g = self.KERNEL(self.store, terms, cand)
             keep = g <= slop
             d, g = d[keep], g[keep]
             qids.append(np.full(d.size, qid, dtype=np.int64))
@@ -703,46 +696,44 @@ class _SpanNearVerify:
         )
 
 
+def _span_queries_ds(qset: list[tuple[list[str], int]]) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(range(len(qset)), type=pa.int64()),
+                "terms": pa.array(
+                    [t for t, _ in qset], type=pa.list_(pa.string())
+                ),
+                "slop": pa.array([s for _, s in qset], type=pa.int64()),
+            }
+        )
+    ).repartition(min(4, len(qset)))
+
+
+def span_near_ds(
+    sf_dir: str, qset: list[tuple[list[str], int]], *, ordered: bool = True
+) -> ray.data.Dataset:
+    """Span-near retrieval over an arbitrary (terms, slop) workload —
+    candidate resolution AND window verification both run inside the
+    actor pool, so workload size never touches the driver."""
+    from ciff_ray.pipelines import ensure_index
+
+    idx = ensure_index(sf_dir)
+    store = ensure_positions(sf_dir)
+    return _span_queries_ds(qset).map_batches(
+        _SpanNearVerify if ordered else _SpanUnorderedVerify,
+        fn_constructor_args=(store, idx),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
 def q_span_near(sf_dir: str) -> ray.data.Dataset:
     """Ordered span-near search: docs where the query terms appear IN
     ORDER within ``slop`` total gap tokens, with the per-doc minimal
     gap — the ordered sibling of q_proximity_pairs, answered from the
     positional store alone (AND candidates bound the reads)."""
-    import ray
-
-    from ciff_ray.pipelines import _BooleanAndActor, ensure_index
-
-    idx = ensure_index(sf_dir)
-    store = ensure_positions(sf_dir)
-    and_actor = _BooleanAndActor(idx)
-    spec: dict[int, tuple[list[str], int, np.ndarray]] = {}
-    qids = []
-    for qid, (terms, slop) in enumerate(SPAN_QUERY_SET):
-        cand = and_actor._conjunction(" ".join(terms))
-        if cand.size == 0:
-            continue
-        spec[qid] = (terms, slop, cand)
-        qids.append(qid)
-    if not qids:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "min_gaps": pa.array([], type=pa.int64()),
-                }
-            )
-        )
-    spec_ref = ray.put(spec)
-    queries = ray.data.from_arrow(
-        pa.table({"query_id": pa.array(qids, type=pa.int64())})
-    ).repartition(min(4, len(qids)))
-    return queries.map_batches(
-        _SpanNearVerify,
-        fn_constructor_args=(store, spec_ref),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    return span_near_ds(sf_dir, SPAN_QUERY_SET, ordered=True)
 
 
 # ---------------------------------------------------------------------------
@@ -802,76 +793,17 @@ def _span_unordered_min_gaps(
 
 
 class _SpanUnorderedVerify(_SpanNearVerify):
-    """Same broadcast-spec shape as _SpanNearVerify, unordered kernel."""
+    """Same in-actor candidate resolution as _SpanNearVerify, with the
+    unordered window kernel."""
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        qids, docs, gaps = [], [], []
-        for qid in batch["query_id"].to_pylist():
-            terms, slop, cand = self.spec[qid]
-            d, g = _span_unordered_min_gaps(self.store, terms, cand)
-            keep = g <= slop
-            d, g = d[keep], g[keep]
-            qids.append(np.full(d.size, qid, dtype=np.int64))
-            docs.append(d)
-            gaps.append(g)
-        if not qids:
-            q: np.ndarray = np.empty(0, np.int64)
-            d2: np.ndarray = np.empty(0, np.int64)
-            g2: np.ndarray = np.empty(0, np.int64)
-        else:
-            q, d2, g2 = (
-                np.concatenate(qids),
-                np.concatenate(docs),
-                np.concatenate(gaps),
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(q, type=pa.int64()),
-                "doc_id": pa.array(d2, type=pa.int64()),
-                "min_gaps": pa.array(g2, type=pa.int64()),
-            }
-        )
+    KERNEL = staticmethod(_span_unordered_min_gaps)
 
 
 def q_span_unordered(sf_dir: str) -> ray.data.Dataset:
     """Unordered span-near search: docs where the query terms all
     appear within ``slop`` total gap tokens IN ANY ORDER, with the
     per-doc minimal gap (AND candidates bound the positional reads)."""
-    import ray
-
-    from ciff_ray.pipelines import _BooleanAndActor, ensure_index
-
-    idx = ensure_index(sf_dir)
-    store = ensure_positions(sf_dir)
-    and_actor = _BooleanAndActor(idx)
-    spec: dict[int, tuple[list[str], int, np.ndarray]] = {}
-    qids = []
-    for qid, (terms, slop) in enumerate(SPAN_UNORDERED_QUERY_SET):
-        cand = and_actor._conjunction(" ".join(terms))
-        if cand.size == 0:
-            continue
-        spec[qid] = (terms, slop, cand)
-        qids.append(qid)
-    if not qids:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "min_gaps": pa.array([], type=pa.int64()),
-                }
-            )
-        )
-    spec_ref = ray.put(spec)
-    queries = ray.data.from_arrow(
-        pa.table({"query_id": pa.array(qids, type=pa.int64())})
-    ).repartition(min(4, len(qids)))
-    return queries.map_batches(
-        _SpanUnorderedVerify,
-        fn_constructor_args=(store, spec_ref),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    return span_near_ds(sf_dir, SPAN_UNORDERED_QUERY_SET, ordered=False)
 
 
 def _span_unordered_values(n: int) -> str:

@@ -55,6 +55,13 @@ _DENSE_TOPK_CHUNK = 1 << 22
 from ciff_ray.oracle import EPS_IDF, tokenize
 from ciff_ray.schemas import CODEC_BP, CODEC_BPG, CODEC_GAMMA
 
+# per-PROCESS posting-slice decode tally (every decode path funnels
+# through LocalScorer._decode_slice).  Tests snapshot it around a
+# pipeline run in the DRIVER process to pin the no-driver-decode
+# contract — worker-actor decodes happen in other processes and
+# leave the driver's tally untouched.
+DECODE_DIAG = {"slices": 0}
+
 
 @dataclass
 class BM25Params:
@@ -617,6 +624,9 @@ class LocalScorer:
         return {name: tbl[name][i] for name in tbl.column_names}
 
     def _decode_slice(self, row: dict) -> tuple[np.ndarray, np.ndarray]:
+        # per-PROCESS decode tally: tests read it in the driver process
+        # to prove a pipeline decoded postings only in worker actors
+        DECODE_DIAG["slices"] += 1
         df = row["df"].as_py()
         first = row["first_doc"].as_py()
         gaps = codecs.decode(

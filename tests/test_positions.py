@@ -193,3 +193,37 @@ def test_bm25_proximity_matches_bruteforce_rescore(ray_session):
         bd, _ = LocalScorer._rank(docs, scores, TOPK_K)
         reordered += bd.tolist() != ed.tolist()
     assert reordered >= 1  # the boost changes at least one ranking
+
+
+def test_span_workload_no_driver_postings_decode(ray_session):
+    """Round-4 verdict item 5's done-criterion: a workload-sized span
+    run (>=10^3 queries) completes WITHOUT the driver decoding a single
+    posting slice — candidate conjunction happens inside the verify
+    actors (worker processes), pinned by query.DECODE_DIAG."""
+    import itertools
+
+    from ciff_ray import query as qmod
+    from ciff_ray.positions import span_near_ds
+
+    pool = [
+        "the", "key", "merge", "join", "sort", "order", "table", "fast",
+        "batch", "window", "stream", "filter", "customer", "index",
+        "people", "time", "year", "go", "came", "life",
+    ]
+    pairs = list(itertools.permutations(pool, 2))
+    qset = [
+        ([a, b], 1 + (i % 10)) for i, (a, b) in enumerate(pairs)
+    ][:1024]
+    while len(qset) < 1024:
+        qset.extend(qset[: 1024 - len(qset)])
+    assert len(qset) >= 1024
+
+    before = qmod.DECODE_DIAG["slices"]
+    total = 0
+    for t in span_near_ds("/root/testdata/sf0.001", qset).iter_batches(
+        batch_format="pyarrow"
+    ):
+        total += t.num_rows
+    after = qmod.DECODE_DIAG["slices"]
+    assert total > 0  # the workload actually matched docs
+    assert after == before, "driver process decoded posting slices"
