@@ -363,6 +363,142 @@ def run_sharded_serve_bench(
     return r
 
 
+def run_auto_serve_bench(sf_dir: str, num_cpus: int, n_queries: int = 1024) -> dict:
+    """Serving through the TOPOLOGY DECISION (sharded.make_serving_pool):
+    the caller hands over a corpus path and the library picks monolithic
+    vs sharded from corpus size (plan_shards) — the round-4 verdict's
+    "default large-N topology" gate.  Same workload as --serve-sharded
+    so the rows are directly comparable."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ciff_ray.sharded import make_serving_pool, plan_shards
+
+    sf = _sf_label(sf_dir)
+    tpath = _transcripts_path(sf)
+    t0 = time.monotonic()
+    pool = make_serving_pool(tpath, f"/tmp/ciff_bench/auto_{sf}")
+    ensure_sec = time.monotonic() - t0
+
+    rng = np.random.default_rng(5)
+    from ciff_ray.synth import _WORDS
+
+    words = np.array(_WORDS)
+    qs = [
+        " ".join(rng.choice(words, size=rng.integers(2, 4), replace=False))
+        for _ in range(n_queries)
+    ]
+    try:
+        t0 = time.monotonic()
+        pool.topk_table(qs[:128], k=10)
+        cold = time.monotonic() - t0
+        t0 = time.monotonic()
+        out = pool.topk_table(qs, k=10)
+        warm = time.monotonic() - t0
+    finally:
+        pool.close()
+    import pyarrow.dataset as pads
+
+    n_docs = pads.dataset(tpath, format="parquet").count_rows()
+    return {
+        "topology": type(pool).__name__,
+        "planned_shards": plan_shards(n_docs),
+        "num_docs": n_docs,
+        "ensure_sec": round(ensure_sec, 3),
+        "serve_queries": n_queries,
+        "cold_128_sec": round(cold, 3),
+        "cold_queries_per_sec": round(128 / cold, 2),
+        "warm_sec": round(warm, 3),
+        "warm_queries_per_sec": round(n_queries / warm, 2),
+        "result_rows": len(out),
+    }
+
+
+def run_percolate_bench(
+    sf_dir: str, num_cpus: int, n_rules: int = 10_000
+) -> dict:
+    """Registry-size independence of the percolator (round-4 verdict
+    item 7): per-batch work is O(batch tokens that ARE registry terms),
+    not O(|registry|), so a 10^4-rule registry should stream documents
+    within ~2x of a 5-rule one.  Both runs percolate the same
+    documents table in one session, docs/s reported for each."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ciff_ray.percolate import percolate
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    n_docs = pads.dataset(docs_path, format="parquet").count_rows()
+
+    # rules from the CORPUS vocabulary so the registry actually fires
+    # (matches > 0) — a registry of never-occurring terms would measure
+    # only the token screen, not the match expansion
+    sample = pq.read_table(docs_path, columns=["text"]).slice(0, 200)
+    vocab = sorted(
+        {w for s in sample["text"].to_pylist() for w in s.lower().split()}
+    )
+    rng = np.random.default_rng(3)
+    words = np.array(vocab)
+    # alert-registry shape: each rule is 3 corpus terms + one nonce
+    # term, so rules screen and count against real postings-in-batch
+    # but almost never complete a conjunction — percolation measures
+    # REGISTRY work, not match-row emission (the ~100-word synthetic
+    # vocabulary makes all-corpus-term conjunctions match thousands of
+    # docs each, which would time Arrow row output instead).  A tenth
+    # of the rules drop the nonce so the match path stays exercised.
+    big = []
+    for i in range(n_rules):
+        ts = list(rng.choice(words, size=3, replace=False))
+        if i % 10 != 0:
+            ts.append(f"qqnonce{i}x")
+        big.append(" ".join(ts))
+    small = big[:5]
+
+    out = {}
+    for label, rules in (("rules_5", small), (f"rules_{n_rules}", big)):
+        docs = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+        # warm the read path once so both legs measure percolation
+        t0 = time.monotonic()
+        n_matches = percolate(docs, rules).count()
+        wall = time.monotonic() - t0
+        out[label] = {
+            "sec": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1),
+            "matches": n_matches,
+        }
+    out["docs"] = n_docs
+    out["ratio_docs_per_sec"] = round(
+        out["rules_5"]["docs_per_sec"]
+        / out[f"rules_{n_rules}"]["docs_per_sec"],
+        3,
+    )
+    return out
+
+
 def run_bulk_bench(sf_dir: str, num_cpus: int, n_queries: int = 1024) -> dict:
     """Offline bulk retrieval (ciff_ray.bulk): one Dataset pass scores a
     DISTINCT-query workload via the doc-range-partitioned layout flip.
@@ -482,6 +618,44 @@ def main() -> None:
                 {
                     "metric": "distributed BM25 serving throughput",
                     "value": r["queries_per_sec"],
+                    "unit": "queries/sec",
+                    "queries": r,
+                    "sf": _sf_label(sf_dir),
+                    "num_cpus": num_cpus,
+                }
+            )
+        )
+        import ray
+
+        ray.shutdown()
+        return
+
+    if "--percolate" in sys.argv:
+        r = run_percolate_bench(sf_dir, num_cpus)
+        print(
+            json.dumps(
+                {
+                    "metric": "percolation throughput (5 vs 10^4 rules)",
+                    "value": r["ratio_docs_per_sec"],
+                    "unit": "x",
+                    "queries": r,
+                    "sf": _sf_label(sf_dir),
+                    "num_cpus": num_cpus,
+                }
+            )
+        )
+        import ray
+
+        ray.shutdown()
+        return
+
+    if "--serve-auto" in sys.argv:
+        r = run_auto_serve_bench(sf_dir, num_cpus)
+        print(
+            json.dumps(
+                {
+                    "metric": "auto-topology BM25 serving throughput",
+                    "value": r["warm_queries_per_sec"],
                     "unit": "queries/sec",
                     "queries": r,
                     "sf": _sf_label(sf_dir),

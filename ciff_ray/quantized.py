@@ -290,3 +290,136 @@ SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, impact FROM (
                             ORDER BY impact DESC, doc_id ASC) AS rnk
   FROM scored
 ) WHERE rnk <= {TOPK_K}"""
+
+
+# ---------------------------------------------------------------------------
+# CIFF interop for the quantized index (round-4 verdict item 8): the
+# inverse of jsonl2ciff --quantize.  PISA-side quantized serving is the
+# reference's stated purpose for M6 (/root/reference/src/lib.rs:94-148):
+# a CIFF whose tf slot carries 8-bit impacts ranks by plain tf sums.
+
+
+def export_quantized_ciff(
+    index_dir: str,
+    output_path: str,
+    lo: float,
+    hi: float,
+    description: str | None = None,
+):
+    """Export ``index_dir`` as an impact-quantized CIFF: every posting's
+    tf is replaced by its M6-quantized BM25 contribution (the same
+    quantize_array the JSONL --quantize writer uses), so any
+    impact-ordered consumer ranks by integer tf sums.  Streaming like
+    index_to_ciff (k-way segment merge + docmap record batches).
+
+    Doc records keep the ORIGINAL doclengths — impact serving never
+    reads them, and the header keeps describing the source collection
+    (the same convention as quantized PISA indexes).  Zero impacts
+    (contributions <= 0) are dropped per the M4 tf>0 filter; a list
+    whose every posting quantizes to zero is dropped whole, and the
+    header's list count reflects that."""
+    from ciff_ray.interop.bridge import _docmap_batches, _merged_postings
+    from ciff_ray.interop.convert import CiffWriter, ScoreQuantizer
+    from ciff_ray.interop.proto import (
+        CiffHeader,
+        CiffPostingsList,
+        serialize_doc_records,
+    )
+    from ciff_ray.layout import IndexPaths, Manifest
+    from ciff_ray.query import LocalScorer
+
+    paths = IndexPaths(index_dir)
+    if os.path.exists(paths.tombstones):
+        raise ValueError(
+            "index has pending tombstones — run lifecycle.compact_index "
+            "before exporting to CIFF"
+        )
+    m = Manifest.read(paths.manifest)
+    scorer = LocalScorer(index_dir)
+    qz = ScoreQuantizer(min=lo, max=hi)
+
+    # pass 0 over the merged stream to count surviving lists (the CIFF
+    # header is length-prefixed, so the count must precede the lists;
+    # contributions are positive for every live posting under the
+    # floored idf, so in practice this equals the manifest count)
+    n_lists = 0
+    for term, docs, tfs in _merged_postings(paths):
+        c = scorer._contrib(
+            tfs.astype(np.float64),
+            scorer._dl.gather_sorted(docs).astype(np.float64),
+            scorer.idf(term),
+        )
+        if (qz.quantize_array(c) > 0).any():
+            n_lists += 1
+
+    header = CiffHeader(
+        version=1,
+        num_postings_lists=n_lists,
+        num_docs=m.num_docs,
+        total_postings_lists=n_lists,
+        total_docs=m.num_docs,
+        total_terms_in_collection=m.total_terms_in_collection,
+        average_doclength=m.average_doclength,
+        description=(
+            description
+            if description is not None
+            else f"{m.description} [quantized {lo:.6g}..{hi:.6g}]"
+        ),
+    )
+    with CiffWriter(output_path, header) as w:
+        written = 0
+        for term, docs, tfs in _merged_postings(paths):
+            c = scorer._contrib(
+                tfs.astype(np.float64),
+                scorer._dl.gather_sorted(docs).astype(np.float64),
+                scorer.idf(term),
+            )
+            impacts = qz.quantize_array(c).astype(np.int64)
+            keep = impacts > 0
+            if not keep.any():
+                continue
+            w.write_postings_list(
+                CiffPostingsList.from_absolute(
+                    term, docs[keep], impacts[keep]
+                )
+            )
+            written += 1
+        if written != n_lists:
+            raise AssertionError(
+                f"quantized export wrote {written} lists, counted {n_lists}"
+            )
+        for rb in _docmap_batches(paths.docmap_dir):
+            w.write_serialized(
+                serialize_doc_records(
+                    rb.column(0).to_numpy(zero_copy_only=False),
+                    rb.column(1),
+                    rb.column(2).to_numpy(zero_copy_only=False),
+                )
+            )
+    return header
+
+
+def impact_score_all(scorer, query: str) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, integer impact sums) over a PRE-QUANTIZED index — the
+    stored tf IS the impact (export_quantized_ciff / jsonl2ciff
+    --quantize layout), so ranking is a plain tf sum per doc.  The
+    serving twin of quantized_score_all for materialized impacts."""
+    terms = sorted(
+        {t for t in scorer._query_terms(query) if scorer._term_stat(t)},
+        key=lambda s: s.encode(),
+    )
+    if not terms:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    doc_parts, tf_parts = [], []
+    for t in terms:
+        docs, tfs = scorer.postings(t)
+        if docs.size == 0:
+            continue
+        doc_parts.append(docs)
+        tf_parts.append(tfs)
+    if not doc_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    all_docs = np.concatenate(doc_parts)
+    u, inv = np.unique(all_docs, return_inverse=True)
+    sums = np.bincount(inv, weights=np.concatenate(tf_parts)).astype(np.int64)
+    return u, sums

@@ -234,3 +234,124 @@ class ShardedServingPool:
         for a in self._actors:
             ray.kill(a)
         self._actors = []
+
+    # unified pool-protocol spelling (query.ServingPool uses close())
+    def close(self) -> None:
+        self.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# serving-topology decision (round-4 verdict item 4): callers ask for
+# "a pool over this corpus" and the library picks monolithic vs sharded
+
+# docs per shard actor before the monolithic scorer's per-query dense
+# work and cache pressure dominate.  Measured basis (BASELINE.md,
+# 19.5M-turn corpus): monolithic pool 2.3 q/s warm vs 8-shard pool
+# 9.5-12.4 q/s — per-shard dense vectors are 8 B x docs (156 MB mono
+# vs 19 MB/shard there), and every shard decodes in parallel.  At
+# 2.5M docs a stopword dense vector is 20 MB, so a shard scorer's
+# LRU (>= 256 MB) keeps ~12 resident.
+SHARD_DOC_TARGET = 2_500_000
+
+
+def plan_shards(num_docs: int, target_docs: int = SHARD_DOC_TARGET) -> int:
+    """How many doc shards serving should use: 1 = monolithic.  Pure
+    function of corpus size so build planning can call it too."""
+    if num_docs <= 0:
+        return 1
+    return -(-num_docs // target_docs)
+
+
+def build_conv_shards(
+    transcripts_path: str,
+    root: str,
+    n_shards: int,
+    params=None,
+) -> list[str]:
+    """Build ``n_shards`` conv-range doc shards from a transcripts
+    parquet (byte-ascending conv_id ranges, so shard docIDs offset by
+    the shard base reproduce the monolithic docID space).  Idempotent:
+    shards with a manifest are skipped, a _DONE marker caps the set."""
+    import ray.data
+
+    from ciff_ray.build import BuildParams, build_index
+
+    done = os.path.join(root, "_DONE")
+    dirs = [os.path.join(root, f"shard{i}") for i in range(n_shards)]
+    if os.path.exists(done):
+        return dirs
+    convs = pq.read_table(transcripts_path, columns=["conv_id"])["conv_id"]
+    u = pc.unique(convs).sort()
+    n = len(u)
+    bounds = [
+        u[min(i * n // n_shards, n - 1)].as_py() for i in range(1, n_shards)
+    ]
+    for i, out in enumerate(dirs):
+        if os.path.exists(os.path.join(out, "manifest.json")):
+            continue
+        lo = bounds[i - 1] if i > 0 else None
+        hi = bounds[i] if i < n_shards - 1 else None
+        ds = ray.data.read_parquet(transcripts_path)
+
+        def keep(b: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            m = None
+            if lo is not None:
+                m = pc.greater_equal(b["conv_id"], lo)
+            if hi is not None:
+                lt = pc.less(b["conv_id"], hi)
+                m = lt if m is None else pc.and_(m, lt)
+            return b if m is None else b.filter(m)
+
+        build_index(
+            ds.map_batches(keep, batch_format="pyarrow"),
+            out,
+            params
+            or BuildParams(num_partitions=16, num_salts=4, sample_frac=0.25),
+        )
+    with open(done, "w", encoding="utf-8") as f:
+        f.write("ok\n")
+    return dirs
+
+
+def make_serving_pool(
+    transcripts_path: str,
+    work_root: str,
+    *,
+    n_actors: int = 8,
+    target_docs: int = SHARD_DOC_TARGET,
+    params=None,
+):
+    """THE serving entry point for a corpus: picks the topology from
+    corpus size (plan_shards) and returns a warm-capable pool — a
+    monolithic :class:`ciff_ray.query.ServingPool` below the dense-
+    cache cliff, a :class:`ShardedServingPool` above it.  Both answer
+    ``topk_table(queries, k, mode)`` and ``close()``; results are
+    rank-identical either way (test_sharded.py), so callers never
+    choose a class.  Indexes are built under ``work_root`` on first
+    use and reused after."""
+    import ray.data
+
+    from ciff_ray.build import BuildParams, build_index
+    from ciff_ray.query import ServingPool
+
+    import pyarrow.dataset as pads
+
+    # metadata-only row count; works for a file or a directory of files
+    num_docs = pads.dataset(transcripts_path, format="parquet").count_rows()
+    s = plan_shards(num_docs, target_docs)
+    if s <= 1:
+        idx = os.path.join(work_root, "mono")
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            build_index(
+                ray.data.read_parquet(transcripts_path),
+                idx,
+                params
+                or BuildParams(
+                    num_partitions=16, num_salts=4, sample_frac=0.25
+                ),
+            )
+        return ServingPool(idx, n_actors=n_actors)
+    dirs = build_conv_shards(
+        transcripts_path, os.path.join(work_root, f"shards{s}"), s, params
+    )
+    return ShardedServingPool(dirs, os.path.join(work_root, f"gstats{s}"))

@@ -101,3 +101,43 @@ def test_serving_pool_fanout(sharded_and_mono):
             assert sub["rank"].to_pylist() == list(range(1, d.size + 1))
     finally:
         pool.shutdown()
+
+
+def test_make_serving_pool_auto_topology(ray_session, tmp_path):
+    """The topology decision (round-4 verdict item 4): a small corpus
+    gets a monolithic ServingPool, a corpus above target_docs gets a
+    ShardedServingPool — same topk_table protocol, identical ranking,
+    caller never names a class."""
+    import pyarrow.parquet as pq
+
+    from ciff_ray.query import ServingPool
+    from ciff_ray.sharded import make_serving_pool, plan_shards
+    from ciff_ray.synth import generate_transcripts
+
+    assert plan_shards(100) == 1
+    assert plan_shards(2_500_001) == 2
+    assert plan_shards(19_500_000) == 8
+
+    tbl = generate_transcripts(n_convs=90, max_turns=6, seed=41, mean_tokens=28)
+    tpath = str(tmp_path / "transcripts.parquet")
+    pq.write_table(tbl, tpath)
+
+    mono = make_serving_pool(
+        tpath, str(tmp_path / "mono_root"), n_actors=2,
+        params=BuildParams(**PARAMS),
+    )
+    assert isinstance(mono, ServingPool)
+    sharded = make_serving_pool(
+        tpath, str(tmp_path / "shard_root"), target_docs=len(tbl) // 3 + 1,
+        params=BuildParams(**PARAMS),
+    )
+    assert isinstance(sharded, ShardedServingPool)
+    try:
+        a = mono.topk_table(QUERIES, k=5, mode="exact")
+        b = sharded.topk_table(QUERIES, k=5, mode="bmw")
+        key = ["query_id", "rank", "doc_id", "score"]
+        assert a.select(key).to_pylist() == b.select(key).to_pylist()
+        assert a.num_rows > 0
+    finally:
+        mono.close()
+        sharded.close()
