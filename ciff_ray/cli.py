@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -260,11 +261,17 @@ def cmd_fsck(args) -> None:
     if args.norms:
         t = pa.concat_tables([t, check_norms(args.norms, args.index)])
     if args.mapping:
-        from ciff_ray.fsck import check_mapping
+        from ciff_ray.fsck import check_mapping, check_mapping_pair
         from ciff_ray.layout import IndexPaths, Manifest
 
         n = Manifest.read(IndexPaths(args.index).manifest).num_docs
-        t = pa.concat_tables([t, check_mapping(args.mapping, n)])
+        inv = args.mapping + "-inv"
+        if os.path.isdir(inv):
+            # reorder writes the inverse store alongside; audit the
+            # pair + the sampled new->old->new round-trip
+            t = pa.concat_tables([t, check_mapping_pair(args.mapping, inv, n)])
+        else:
+            t = pa.concat_tables([t, check_mapping(args.mapping, n)])
     if args.full:
         t = pa.concat_tables([t, check_pruned(args.index, args.full)])
     for r in t.to_pylist():

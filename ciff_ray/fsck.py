@@ -993,13 +993,16 @@ def check_norms(
 # reorder mapping store (ciff_ray.reorder) — permutation audit
 
 
-def check_mapping(mapping_dir: str, num_docs: int) -> pa.Table:
-    """Validate a new->old docid mapping store (ciff_ray.reorder):
-    `_DONE` marker; doc_id moments match dense 0..N−1 (the docmap
-    device); and the old_id VALUES' moments also match dense 0..N−1 —
-    count + min + max + Σ + Σ² together are sound (not adversarial-
-    proof, same caveat as the docmap check) evidence of a permutation,
-    with no driver-side N-array."""
+def check_mapping(
+    mapping_dir: str, num_docs: int, value_col: str = "old_id"
+) -> pa.Table:
+    """Validate a docid mapping store (ciff_ray.reorder): `_DONE`
+    marker; doc_id moments match dense 0..N−1 (the docmap device); and
+    the value column's moments also match dense 0..N−1 — count + min +
+    max + Σ + Σ² together are sound (not adversarial-proof, same caveat
+    as the docmap check) evidence of a permutation, with no driver-side
+    N-array.  ``value_col="old_id"`` audits the forward (new->old)
+    store, ``"new_id"`` the inverse (old->new) one."""
     from ray.data.aggregate import Max, Min, Sum
 
     findings: list[tuple[str, str, str]] = []
@@ -1008,7 +1011,7 @@ def check_mapping(mapping_dir: str, num_docs: int) -> pa.Table:
 
     def _moments(t: pa.Table) -> pa.Table:
         out = {}
-        for col in ("doc_id", "old_id"):
+        for col in ("doc_id", value_col):
             v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
             out[f"{col}_min"] = [int(v.min()) if v.size else 0]
             out[f"{col}_max"] = [int(v.max()) if v.size else 0]
@@ -1020,7 +1023,7 @@ def check_mapping(mapping_dir: str, num_docs: int) -> pa.Table:
         )
 
     aggs = [Sum("cnt", alias_name="cnt")]
-    for col in ("doc_id", "old_id"):
+    for col in ("doc_id", value_col):
         aggs += [
             Min(f"{col}_min", alias_name=f"{col}_min"),
             Max(f"{col}_max", alias_name=f"{col}_max"),
@@ -1039,7 +1042,7 @@ def check_mapping(mapping_dir: str, num_docs: int) -> pa.Table:
         )
     exp_sum = n * (n - 1) // 2
     exp_sq = (n - 1) * n * (2 * n - 1) // 6
-    for col in ("doc_id", "old_id"):
+    for col in ("doc_id", value_col):
         if n and (
             agg[f"{col}_min"] != 0
             or agg[f"{col}_max"] != n - 1
@@ -1053,3 +1056,50 @@ def check_mapping(mapping_dir: str, num_docs: int) -> pa.Table:
                  f"(dense 0..{n - 1} expected)")
             )
     return _findings(findings)
+
+
+def check_mapping_pair(
+    mapping_dir: str, inv_dir: str, num_docs: int, sample: int = 1024
+) -> pa.Table:
+    """Audit a forward (new->old) + inverse (old->new) mapping store
+    PAIR: per-store permutation moments (check_mapping both ways), then
+    a deterministic O(sample) round-trip — new -> old -> new must be
+    the identity on an evenly spaced id sample.  The sample goes
+    through the same doc-range-sharded gathers serving uses, so it also
+    exercises row-group pruning; sample size, not N, bounds driver
+    memory."""
+    from ciff_ray.reorder import NewIdStore, OldIdStore
+
+    findings = pa.concat_tables(
+        [
+            check_mapping(mapping_dir, num_docs, value_col="old_id"),
+            check_mapping(inv_dir, num_docs, value_col="new_id"),
+        ]
+    )
+    if findings.num_rows or num_docs == 0:
+        return findings
+    ids = np.unique(
+        np.linspace(0, num_docs - 1, num=min(sample, num_docs), dtype=np.int64)
+    )
+    old = OldIdStore(mapping_dir, num_docs).gather_sorted(ids)
+    order = np.argsort(old)
+    back = np.empty_like(old)
+    back[order] = NewIdStore(inv_dir, num_docs).gather_sorted(old[order])
+    bad = ids[back != ids]
+    if bad.size:
+        return pa.concat_tables(
+            [
+                findings,
+                _findings(
+                    [
+                        (
+                            "mapping_roundtrip",
+                            f"{mapping_dir} <-> {inv_dir}",
+                            f"{bad.size}/{ids.size} sampled ids broke "
+                            f"new->old->new (first: {int(bad[0])})",
+                        )
+                    ]
+                ),
+            ]
+        )
+    return findings

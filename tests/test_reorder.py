@@ -4,6 +4,8 @@ observation."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -210,3 +212,41 @@ def test_mapping_fsck_clean_and_detects_corruption(reordered, tmp_path):
     pq.write_table(t, f)
     checks = {r["check"] for r in check_mapping(bad, n).to_pylist()}
     assert "mapping_old_id_moments" in checks
+
+
+def test_mapping_pair_roundtrip_audit(reordered, tmp_path):
+    """check_mapping_pair: clean on a real pair; a SWAP of two new_ids
+    in the inverse store keeps both stores valid permutations (moments
+    can't see it) but breaks new->old->new — only the sampled
+    round-trip catches it."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ciff_ray.fsck import check_mapping_pair
+    from ciff_ray.layout import IndexPaths, Manifest
+
+    idx, mapping = reordered
+    inv = mapping + "-inv"
+    n = Manifest.read(IndexPaths(idx).manifest).num_docs
+    assert check_mapping_pair(mapping, inv, n).num_rows == 0
+
+    bad = str(tmp_path / "inv")
+    shutil.copytree(inv, bad)
+    f = sorted(glob.glob(os.path.join(bad, "*.parquet")))[0]
+    t = pq.read_table(f)
+    vals = t["new_id"].to_pylist()
+    assert len(vals) >= 2
+    vals[0], vals[1] = vals[1], vals[0]  # still a permutation
+    pq.write_table(
+        t.set_column(
+            t.schema.get_field_index("new_id"),
+            "new_id",
+            pa.array(vals, type=pa.int64()),
+        ),
+        f,
+    )
+    checks = {r["check"] for r in check_mapping_pair(mapping, bad, n, sample=n).to_pylist()}
+    assert checks == {"mapping_roundtrip"}
