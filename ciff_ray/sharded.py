@@ -280,9 +280,33 @@ def build_conv_shards(
     dirs = [os.path.join(root, f"shard{i}") for i in range(n_shards)]
     if os.path.exists(done):
         return dirs
-    convs = pq.read_table(transcripts_path, columns=["conv_id"])["conv_id"]
-    u = pc.unique(convs).sort()
+    # shard bounds from a BOUNDED sample, not the full conv_id column —
+    # the driver never holds O(corpus) state (the index build's own
+    # sample_frac device).  Sampling error skews shard sizes a little;
+    # correctness is unaffected because doc bases come from each
+    # shard's own manifest, and serving cost degrades only linearly in
+    # the skew.
+    sample_ds = ray.data.read_parquet(
+        transcripts_path, columns=["conv_id"]
+    )
+    n_rows = sample_ds.count()
+    cap = 262_144  # ~2 MB of conv ids on the driver, any corpus size
+    frac = min(1.0, cap / max(n_rows, 1))
+    if frac < 1.0:
+        sample_ds = sample_ds.random_sample(frac, seed=13)
+    sampled = pa.chunked_array(
+        [
+            t["conv_id"].combine_chunks()
+            for t in ray.get(sample_ds.to_arrow_refs())
+            if t.num_rows
+        ]
+    )
+    u = pc.unique(sampled).sort()
     n = len(u)
+    if n < n_shards:
+        raise ValueError(
+            f"only {n} distinct conv ids sampled for {n_shards} shards"
+        )
     bounds = [
         u[min(i * n // n_shards, n - 1)].as_py() for i in range(1, n_shards)
     ]
