@@ -167,3 +167,105 @@ def test_funnel_kernel_matches_bruteforce(rows):
             want[s] += 1
     if rows:
         assert got == want
+
+
+# -- BP ordering kernels (ciff_ray.bporder) ---------------------------------
+
+
+@given(
+    st.lists(st.integers(0, 5), min_size=1, max_size=40).map(
+        lambda lens: np.array(lens, dtype=np.int64)
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_gather_ranges_matches_naive(lens, rnd):
+    from ciff_ray.bporder import _gather_ranges
+
+    n = lens.size
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=indptr[1:])
+    docs = np.array(
+        rnd.sample(range(n), rnd.randint(1, n)), dtype=np.int64
+    )
+    want = (
+        np.concatenate(
+            [np.arange(indptr[d], indptr[d + 1]) for d in docs]
+        )
+        if docs.size
+        else np.empty(0, np.int64)
+    )
+    got = _gather_ranges(indptr, docs)
+    assert np.array_equal(want, got)
+
+
+@given(
+    st.integers(2, 25),  # docs
+    st.integers(1, 8),  # vocab
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_move_gains_matches_naive(n, vocab, rnd):
+    from ciff_ray.bporder import _gather_ranges, _move_gains
+
+    lens = np.array([rnd.randint(0, 6) for _ in range(n)], dtype=np.int64)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=indptr[1:])
+    csr = np.array(
+        [rnd.randrange(vocab) for _ in range(int(lens.sum()))],
+        dtype=np.int64,
+    )
+    half = np.array(sorted(rnd.sample(range(n), max(1, n // 2))), dtype=np.int64)
+    other = np.setdiff1d(np.arange(n), half)
+    deg_s = np.bincount(csr[_gather_ranges(indptr, half)], minlength=vocab)
+    deg_o = np.bincount(
+        csr[_gather_ranges(indptr, other)]
+        if other.size
+        else np.empty(0, np.int64),
+        minlength=vocab,
+    )
+    n1, n2 = half.size, max(other.size, 1)
+
+    def naive(d):
+        g = 0.0
+        for t in csr[indptr[d] : indptr[d + 1]]:
+            d1, d2 = float(deg_s[t]), float(deg_o[t])
+            g += d1 * np.log2(n1 / (d1 + 1)) + d2 * np.log2(n2 / (d2 + 1))
+            g -= (d1 - 1) * np.log2(n1 / max(d1, 1)) + (d2 + 1) * np.log2(
+                n2 / (d2 + 2)
+            )
+        return g
+
+    got = _move_gains(csr, indptr, half, deg_s, deg_o, n1, n2)
+    want = np.array([naive(d) for d in half])
+    assert np.allclose(got, want, equal_nan=True)
+
+
+@given(st.integers(2, 60), st.randoms(use_true_random=False))
+@settings(max_examples=25, deadline=None)
+def test_local_bp_emits_a_permutation(n, rnd):
+    """Whatever the gain iterations do, _local_bp must return each doc
+    exactly once with pos forming 0..n-1 (the permutation invariant the
+    reorder pipeline depends on)."""
+    import pyarrow as pa
+
+    from ciff_ray.bporder import _local_bp
+
+    terms = [
+        [rnd.randrange(30) for _ in range(rnd.randint(0, 6))]
+        for _ in range(n)
+    ]
+    g = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64) * 3 + 1),
+            "bucket": pa.array(np.full(n, 7, dtype=np.int64)),
+            "terms": pa.array(terms, type=pa.large_list(pa.int64())),
+        }
+    )
+    out = _local_bp(g)
+    assert out.num_rows == n
+    assert sorted(out["doc_id"].to_pylist()) == (
+        np.arange(n, dtype=np.int64) * 3 + 1
+    ).tolist()
+    assert sorted(out["pos"].to_pylist()) == list(range(n))
+    assert set(out["bucket"].to_pylist()) == {7}
