@@ -383,6 +383,29 @@ def cmd_search(args) -> None:
 
 
 def cmd_export_ciff(args) -> None:
+    if getattr(args, "quantize", False):
+        # impact-quantized CIFF (M6 impacts in the tf slot — the
+        # inverse of jsonl2ciff --quantize): two-pass flow, range scan
+        # then quantized export
+        from ciff_ray.quantized import (
+            compute_score_range,
+            export_quantized_ciff,
+        )
+
+        lo, hi = compute_score_range(args.index)
+        h = export_quantized_ciff(
+            args.index, args.output, lo, hi, description=args.description
+        )
+        print(
+            json.dumps(
+                {
+                    "num_docs": h.num_docs,
+                    "num_postings_lists": h.num_postings_lists,
+                    "quantize_range": [lo, hi],
+                }
+            )
+        )
+        return
     from ciff_ray.interop.bridge import index_to_ciff
 
     h = index_to_ciff(args.index, args.output, description=args.description)
@@ -477,6 +500,11 @@ def main(argv=None) -> None:
     exp.add_argument("index")
     exp.add_argument("output")
     exp.add_argument("--description")
+    exp.add_argument(
+        "--quantize", action="store_true",
+        help="write M6-quantized impacts in the tf slot (two-pass: "
+             "distributed range scan, then export)",
+    )
     exp.set_defaults(fn=cmd_export_ciff)
 
     mg = sub.add_parser("merge", help="fold built indexes into one (incremental ingest)")

@@ -295,3 +295,53 @@ def test_cli_ltr(tmp_path, capsys, ray_session):
         "query_id", "doc_id", "rank", "dl",
         "bm25_r", "lmdir_r", "lmjm_r", "pl2_r", "tfidf_r",
     ]
+
+
+def test_cli_export_ciff_quantized(ray_session, tmp_path):
+    """export-ciff --quantize: the CLI inverse of jsonl2ciff --quantize —
+    re-importing the quantized CIFF serves identical impact sums."""
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ciff_ray.build import BuildParams, build_index
+    from ciff_ray.interop.bridge import ciff_to_index
+    from ciff_ray.interop.convert import ScoreQuantizer
+    from ciff_ray.query import LocalScorer
+    from ciff_ray.quantized import (
+        compute_score_range,
+        impact_score_all,
+        quantized_score_all,
+    )
+    from ciff_ray.synth import generate_transcripts
+
+    idx = str(tmp_path / "idx")
+    build_index(
+        ray.data.from_arrow(
+            generate_transcripts(n_convs=30, max_turns=6, seed=9)
+        ),
+        idx,
+        BuildParams(num_partitions=3, sample_frac=1.0),
+    )
+    out = str(tmp_path / "q.ciff")
+    r = subprocess.run(
+        [sys.executable, "-m", "ciff_ray", "export-ciff", idx, out,
+         "--quantize"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["quantize_range"][0] > 0
+
+    re_idx = str(tmp_path / "reidx")
+    ciff_to_index(out, re_idx)
+    lo, hi = compute_score_range(idx)
+    qz = ScoreQuantizer(min=lo, max=hi)
+    s1, s2 = LocalScorer(idx), LocalScorer(re_idx)
+    for q in ["the people", "time year", "zzznotaterm"]:
+        u1, v1 = quantized_score_all(s1, qz, q)
+        u2, v2 = impact_score_all(s2, q)
+        assert np.array_equal(u1, u2) and np.array_equal(v1, v2), q
