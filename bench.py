@@ -464,24 +464,39 @@ def run_percolate_bench(
     rng = np.random.default_rng(3)
     words = np.array(vocab)
     # alert-registry shape: each rule is 3 corpus terms + one nonce
-    # term, so rules screen and count against real postings-in-batch
-    # but almost never complete a conjunction — percolation measures
-    # REGISTRY work, not match-row emission (the ~100-word synthetic
-    # vocabulary makes all-corpus-term conjunctions match thousands of
-    # docs each, which would time Arrow row output instead).  A tenth
-    # of the rules drop the nonce so the match path stays exercised.
+    # term, so every rule screens and counts against real
+    # postings-in-batch but never completes a conjunction — the
+    # SCREENING legs isolate per-registry work from match-row
+    # emission (the ~100-word synthetic vocabulary makes
+    # all-corpus-term conjunctions match thousands of docs each, so a
+    # live registry's wall time is dominated by emitting millions of
+    # (doc, rule) rows — real per-MATCH work, not per-RULE work).  A
+    # separate "mixed" leg keeps 10% of rules live so that emission
+    # cost is reported transparently NEXT TO the ratio, not inside it.
     big = []
     for i in range(n_rules):
         ts = list(rng.choice(words, size=3, replace=False))
-        if i % 10 != 0:
-            ts.append(f"qqnonce{i}x")
+        ts.append(f"qqnonce{i}x")
         big.append(" ".join(ts))
     small = big[:5]
+    mixed = [
+        r if i % 10 else " ".join(r.split()[:3]) for i, r in enumerate(big)
+    ]
+
+    # warm the read path (page cache + Ray read tasks) with an untimed
+    # pass so the FIRST timed leg doesn't carry the cold-read penalty —
+    # the ratio below must measure registry size, not I/O order
+    ray.data.read_parquet(
+        docs_path, columns=["doc_id", "text"]
+    ).materialize()
 
     out = {}
-    for label, rules in (("rules_5", small), (f"rules_{n_rules}", big)):
+    for label, rules in (
+        ("rules_5", small),
+        (f"rules_{n_rules}", big),
+        (f"rules_{n_rules}_mixed", mixed),
+    ):
         docs = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
-        # warm the read path once so both legs measure percolation
         t0 = time.monotonic()
         n_matches = percolate(docs, rules).count()
         wall = time.monotonic() - t0
@@ -491,9 +506,18 @@ def run_percolate_bench(
             "matches": n_matches,
         }
     out["docs"] = n_docs
+    # the registry-size-independence claim: screening cost per doc at
+    # 5 vs 10^4 rules (both legs emit ~0 matches)
     out["ratio_docs_per_sec"] = round(
         out["rules_5"]["docs_per_sec"]
         / out[f"rules_{n_rules}"]["docs_per_sec"],
+        3,
+    )
+    # emission context: the mixed leg's throughput is bounded by its
+    # match-row output (reported, not folded into the ratio)
+    out["ratio_docs_per_sec_mixed"] = round(
+        out["rules_5"]["docs_per_sec"]
+        / out[f"rules_{n_rules}_mixed"]["docs_per_sec"],
         3,
     )
     return out

@@ -42,7 +42,6 @@ positive (the paper's swap rule).
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -61,53 +60,27 @@ BP_CAP = 1 << 18
 
 def _forward_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, text) -> (doc_id, simhash, terms:list<uint64>), terms
-    UNIQUE per doc (BP degrees are binary).  One tokenizer pass feeds
-    both the simhash (coarse split key) and the CSR term lists."""
-    from ciff_ray.tokenizer import term_frequencies
+    UNIQUE per doc (BP degrees are binary).  One tokenizer pass (the
+    SHARED extras.dedup kernels — same term hashes and bit votes, so
+    the BP split can never drift from the simhash order) feeds both
+    the simhash (coarse split key) and the CSR term lists."""
+    from ciff_ray.extras.dedup import simhash_from_tf, term_hash_rows
 
-    n = len(batch)
-    local = batch.append_column(
-        "_row", pa.array(np.arange(n, dtype=np.int64))
-    ).select(["_row", "text"])
-    tf = term_frequencies(local, id_col="_row")
-    terms = tf["term"].combine_chunks()
-    denc = terms.dictionary_encode()
-    vocab = denc.dictionary.to_pylist()
-    lo = np.array([zlib.crc32(t.encode()) for t in vocab], dtype=np.uint64)
-    hi = np.array(
-        [zlib.crc32(t.encode() + b"\x01") for t in vocab], dtype=np.uint64
-    )
-    h64 = ((hi << np.uint64(32)) | lo)[
-        denc.indices.to_numpy(zero_copy_only=False)
-    ]
-    w = tf["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-    rows = tf["_row"].to_numpy(zero_copy_only=False)
-
-    # simhash: tf-weighted bit votes (the dedup kernel, same hashes)
-    bits = (
-        (h64[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :])
-        & np.uint64(1)
-    ).astype(np.int64)
-    contrib = (2 * bits - 1) * w[:, None]
-    acc = np.zeros((n, SIMHASH_BITS), dtype=np.int64)
-    np.add.at(acc, rows, contrib)
-    sig = (acc > 0).astype(np.uint64)
-    simhash = np.zeros(n, dtype=np.uint64)
-    for bit in range(SIMHASH_BITS):
-        simhash |= sig[:, bit] << np.uint64(bit)
+    rows, h64, w, n = term_hash_rows(batch)
+    simhash = simhash_from_tf(rows, h64, w, n)
 
     # CSR: rows are already one entry per (doc, term) — group by row
     order = np.argsort(rows, kind="stable")
     counts = np.bincount(rows, minlength=n)
-    offsets = np.zeros(n + 1, dtype=np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "simhash": pa.array(simhash.astype(np.int64)),
+            "simhash": pa.array(simhash.view(np.int64), type=pa.int64()),
             "terms": pa.LargeListArray.from_arrays(
-                pa.array(offsets.astype(np.int64)),
-                pa.array(h64[order].astype(np.int64)),
+                pa.array(offsets),
+                pa.array(h64[order].view(np.int64), type=pa.int64()),
             ),
         }
     )
@@ -232,13 +205,31 @@ def _local_bp(group: pa.Table) -> pa.Table:
     )
 
 
+# low bits of the final bucket key reserved for splitting oversized
+# prefix buckets; bucket keys are (prefix << SALT_BITS) | salt
+SALT_BITS = 20
+
+
 def bp_keys(docs: ray.data.Dataset, cap: int = BP_CAP) -> ray.data.Dataset:
     """(doc_id, text) Dataset -> BP key Dataset (doc_id, bucket, pos).
-    Driver footprint: one count() scalar (to size the prefix split)."""
+
+    The prefix split alone does NOT bound bucket size: SimHash gives
+    near-duplicate docs IDENTICAL signatures, so on the template-heavy
+    corpora BP targets, one prefix can swallow far more than ``cap``
+    docs.  A slim per-bucket count (groupby on 16-byte rows) finds the
+    oversized prefixes, and their docs are split into ceil(count/cap)
+    salted sub-buckets by hashed doc_id — sub-buckets of one prefix
+    keep ADJACENT final keys, so mutually-similar docs still land in
+    one contiguous docid range and the d-gap win survives the split.
+    Driver footprint: one count() scalar + one (bucket, n_salts) row
+    per OVERSIZED prefix (each holds > cap docs, so there are at most
+    num_docs/cap of them)."""
     n = docs.count()
     levels = 0
     while (n >> levels) > cap:
         levels += 1
+    if levels + SALT_BITS > 62:
+        raise ValueError(f"prefix split too deep: {levels} levels")
 
     def _bucketize(t: pa.Table) -> pa.Table:
         sim = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
@@ -253,5 +244,65 @@ def bp_keys(docs: ray.data.Dataset, cap: int = BP_CAP) -> ray.data.Dataset:
 
     fwd = docs.map_batches(_forward_batch, batch_format="pyarrow").map_batches(
         _bucketize, batch_format="pyarrow"
+    )
+
+    # bucket-size audit over slim (bucket) rows; only oversized
+    # prefixes cross the driver
+    counts = fwd.groupby("bucket").count()
+    over: dict[int, int] = {}
+    for t in counts.iter_batches(batch_format="pyarrow"):
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        c = t["count()"].to_numpy(zero_copy_only=False)
+        big = c > cap
+        for bk, ck in zip(b[big].tolist(), c[big].tolist()):
+            over[bk] = -(-ck // cap)
+    if over and max(over.values()) >= (1 << SALT_BITS):
+        raise ValueError("oversized bucket needs more than 2^20 salts")
+
+    import ray as _ray
+
+    over_ref = _ray.put(over)
+
+    class _Salt:
+        """Final bucket key: (prefix << SALT_BITS) | salt.  salt = 0
+        unless the prefix is oversized, then hashed-doc_id modulo its
+        salt count (loaded once per actor from the broadcast dict)."""
+
+        def __init__(self, over_ref):
+            ov = _ray.get(over_ref)
+            self.keys = np.array(sorted(ov), dtype=np.int64)
+            self.nsalts = np.array(
+                [ov[k] for k in sorted(ov)], dtype=np.int64
+            )
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+            salt = np.zeros(len(t), dtype=np.int64)
+            if self.keys.size:
+                pos = np.searchsorted(self.keys, b)
+                inb = pos < self.keys.size
+                hit = np.zeros(len(t), dtype=bool)
+                hit[inb] = self.keys[np.minimum(pos, self.keys.size - 1)][
+                    inb
+                ] == b[inb]
+                if hit.any():
+                    d = t["doc_id"].to_numpy(zero_copy_only=False).astype(
+                        np.uint64
+                    )
+                    mixed = (d[hit] * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+                    salt[hit] = (
+                        mixed % self.nsalts[pos[hit]].astype(np.uint64)
+                    ).astype(np.int64)
+            return t.set_column(
+                t.schema.get_field_index("bucket"),
+                "bucket",
+                pa.array((b << SALT_BITS) | salt),
+            )
+
+    fwd = fwd.map_batches(
+        _Salt,
+        fn_constructor_args=(over_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
     )
     return fwd.groupby("bucket").map_groups(_local_bp, batch_format="pyarrow")

@@ -387,11 +387,19 @@ def cmd_export_ciff(args) -> None:
         # impact-quantized CIFF (M6 impacts in the tf slot — the
         # inverse of jsonl2ciff --quantize): two-pass flow, range scan
         # then quantized export
+        from ciff_ray.layout import IndexPaths
         from ciff_ray.quantized import (
             compute_score_range,
             export_quantized_ciff,
         )
 
+        # fail BEFORE the distributed range scan: the export refuses
+        # tombstoned indexes, and that is knowable from one stat call
+        if os.path.exists(IndexPaths(args.index).tombstones):
+            raise SystemExit(
+                "index has pending tombstones — run `compact` before "
+                "exporting to CIFF"
+            )
         lo, hi = compute_score_range(args.index)
         h = export_quantized_ciff(
             args.index, args.output, lo, hi, description=args.description

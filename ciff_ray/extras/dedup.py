@@ -800,7 +800,22 @@ def q_dedup_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
 # simhash (rows-only)
 
 
-def simhash_batch(batch: pa.Table) -> pa.Table:
+def term_hashes64(vocab: list[str]) -> np.ndarray:
+    """Stable 64-bit term hashes (crc32 low word | salted-crc32 high
+    word) — version-stable, shared by the SimHash kernel and the BP
+    ordering's forward index (ciff_ray.bporder) so the two can never
+    drift."""
+    lo = np.array([zlib.crc32(t.encode()) for t in vocab], dtype=np.uint64)
+    hi = np.array(
+        [zlib.crc32(t.encode() + b"\x01") for t in vocab], dtype=np.uint64
+    )
+    return (hi << np.uint64(32)) | lo
+
+
+def term_hash_rows(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """One tokenizer pass over a (doc_id/_row, text) batch -> flat
+    (rows, h64, tf) arrays: per-(doc, term) rows with the stable 64-bit
+    term hash and the term frequency."""
     from ciff_ray.tokenizer import term_frequencies
 
     n = len(batch)
@@ -810,14 +825,22 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     tf = term_frequencies(local, id_col="_row")
     terms = tf["term"].combine_chunks()
     denc = pc.dictionary_encode(terms)
-    vocab = denc.dictionary.to_pylist()
-    lo = np.array([zlib.crc32(t.encode()) for t in vocab], dtype=np.uint64)
-    hi = np.array([zlib.crc32(t.encode() + b"\x01") for t in vocab], dtype=np.uint64)
-    h64 = ((hi << np.uint64(32)) | lo)[denc.indices.to_numpy(zero_copy_only=False)]
+    h64 = term_hashes64(denc.dictionary.to_pylist())[
+        denc.indices.to_numpy(zero_copy_only=False)
+    ]
     w = tf["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
     rows = tf["_row"].to_numpy(zero_copy_only=False)
+    return rows, h64, w, n
 
-    bits = ((h64[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+
+def simhash_from_tf(
+    rows: np.ndarray, h64: np.ndarray, w: np.ndarray, n: int
+) -> np.ndarray:
+    """tf-weighted bit votes -> one uint64 SimHash per row index."""
+    bits = (
+        (h64[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(np.int64)
     contrib = (2 * bits - 1) * w[:, None]
     acc = np.zeros((n, SIMHASH_BITS), dtype=np.int64)
     np.add.at(acc, rows, contrib)
@@ -825,6 +848,12 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     simhash = np.zeros(n, dtype=np.uint64)
     for bit in range(SIMHASH_BITS):
         simhash |= sig[:, bit] << np.uint64(bit)
+    return simhash
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    rows, h64, w, n = term_hash_rows(batch)
+    simhash = simhash_from_tf(rows, h64, w, n)
     return pa.table(
         {
             "doc_id": batch["doc_id"],

@@ -133,3 +133,32 @@ def atomic_write_parquet(table, path: str, **kwargs) -> None:
     tmp = path + ".tmp"
     pq.write_table(table, tmp, **kwargs)
     os.replace(tmp, path)
+
+
+def publish_dir(tmp: str, out_dir: str) -> str:
+    """Atomically publish a store directory: write the ``_DONE`` marker
+    INSIDE ``tmp`` (so out_dir is never marker-less), then one rename.
+
+    Race/crash semantics: if ``out_dir`` already exists WITH a marker,
+    another builder won the race — this builder's tmp is discarded.
+    If it exists WITHOUT a marker (a crash left a partial dir there),
+    the partial dir is removed and the rename retried, so a broken
+    store self-heals instead of discarding every rebuild forever."""
+    import shutil
+
+    with open(os.path.join(tmp, "_DONE"), "w", encoding="utf-8") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp, out_dir)
+        return out_dir
+    except OSError:
+        pass
+    if not os.path.exists(os.path.join(out_dir, "_DONE")):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        try:
+            os.rename(tmp, out_dir)
+            return out_dir
+        except OSError:
+            pass
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir

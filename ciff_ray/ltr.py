@@ -72,11 +72,27 @@ class _LTRFeatureActor:
                     raise AssertionError("pool doc missing from family")
                 return s_f[idx]
 
+            def feat_or_zero(
+                u_f: np.ndarray, s_f: np.ndarray
+            ) -> np.ndarray:
+                # tf-idf DROPS zero-norm docs (a doc whose every term
+                # has df == N has no cosine direction) — such a doc can
+                # still be in the BM25 pool (idf is floored), so its
+                # tf-idf feature is 0.0, mirrored by the oracle's
+                # LEFT JOIN + COALESCE
+                idx = np.searchsorted(u_f, order)
+                inb = idx < u_f.size
+                hit = np.zeros(order.size, dtype=bool)
+                hit[inb] = u_f[np.minimum(idx, u_f.size - 1)][inb] == order[inb]
+                out = np.zeros(order.size, dtype=np.float64)
+                out[hit] = s_f[idx[hit]]
+                return out
+
             f_bm = feat(u, s_bm)
             f_lmd = feat(*lm_score_all(self.scorer, q))
             f_lmj = feat(*lm_jm_score_all(self.scorer, q))
             f_pl2 = feat(*pl2_score_all(self.scorer, q))
-            f_tfi = feat(*tfidf_score_all(self.scorer, self.norms, q))
+            f_tfi = feat_or_zero(*tfidf_score_all(self.scorer, self.norms, q))
             dl = self.scorer._dl.gather_sorted(order)
             rank_of = {int(d): r + 1 for r, d in enumerate(pool.tolist())}
             cols["query_id"].extend([qid] * order.size)
@@ -193,16 +209,17 @@ tfi AS (
   SELECT CAST(q.query_id AS BIGINT) AS query_id, wt.doc_id AS doc_id,
          SUM(wt.w) / n.norm AS score
   FROM q JOIN wt USING (term) JOIN nrm n ON wt.doc_id = n.doc_id
+  WHERE n.norm > 0
   GROUP BY q.query_id, wt.doc_id, n.norm
 )
 SELECT p.query_id, p.doc_id, p.rank, dl.dl AS dl, p.bm25_r,
        round(lmd.score, 6) AS lmdir_r,
        round(lmj.score, 6) AS lmjm_r,
        round(pl2.score, 6) AS pl2_r,
-       round(tfi.score, 6) AS tfidf_r
+       COALESCE(round(tfi.score, 6), 0.0) AS tfidf_r
 FROM pool p
 JOIN dl ON p.doc_id = dl.doc_id
 JOIN lmd ON p.query_id = lmd.query_id AND p.doc_id = lmd.doc_id
 JOIN lmj ON p.query_id = lmj.query_id AND p.doc_id = lmj.doc_id
 JOIN pl2 ON p.query_id = pl2.query_id AND p.doc_id = pl2.doc_id
-JOIN tfi ON p.query_id = tfi.query_id AND p.doc_id = tfi.doc_id"""
+LEFT JOIN tfi ON p.query_id = tfi.query_id AND p.doc_id = tfi.doc_id"""

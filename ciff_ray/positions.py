@@ -115,19 +115,14 @@ def _position_partials(batch: pa.Table) -> pa.Table:
 
 def _publish_store(ds: ray.data.Dataset, out_dir: str) -> str:
     """Write a (part, term, doc_id, positions) Dataset as a positional
-    store: hive partition_cols write into a tmp dir, _DONE marker,
-    atomic rename (loser of a publish race cleans up)."""
+    store: hive partition_cols write into a tmp dir, then the
+    layout.publish_dir discipline (_DONE inside tmp, atomic rename,
+    race-loser cleanup, marker-less-partial self-heal)."""
+    from ciff_ray.layout import publish_dir
+
     tmp = f"{out_dir}.tmp-{os.getpid()}"
     ds.write_parquet(tmp, partition_cols=["part"])
-    with open(os.path.join(tmp, "_DONE"), "w", encoding="utf-8") as f:
-        f.write("ok\n")
-    try:
-        os.rename(tmp, out_dir)  # atomic publish; loser of a race cleans up
-    except OSError:
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out_dir
+    return publish_dir(tmp, out_dir)
 
 
 def build_positions(docs: ray.data.Dataset, out_dir: str) -> str:
@@ -707,7 +702,7 @@ def _span_queries_ds(qset: list[tuple[list[str], int]]) -> ray.data.Dataset:
                 "slop": pa.array([s for _, s in qset], type=pa.int64()),
             }
         )
-    ).repartition(min(4, len(qset)))
+    ).repartition(max(1, min(4, len(qset))))  # repartition(0) is an error
 
 
 def span_near_ds(

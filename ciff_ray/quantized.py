@@ -89,14 +89,11 @@ def _range_partition(index_dir: str, pid: int) -> tuple[float, float]:
         if scorer._dead.size:
             # deferred deletes: exclude tombstoned docs so the cached
             # [lo, hi] matches what quantized_score_all actually serves
-            # (postings() masks the same set) — otherwise a dead doc
-            # could pin the range a live-corpus oracle never sees
-            pos = np.searchsorted(scorer._dead, docs)
-            hit = (pos < scorer._dead.size) & (
-                scorer._dead[np.minimum(pos, scorer._dead.size - 1)] == docs
-            )
-            if hit.any():
-                docs, tfs = docs[~hit], tfs[~hit]
+            # — the SAME _live_mask postings() applies, so the two can
+            # never diverge
+            live = scorer._live_mask(docs)
+            if not live.all():
+                docs, tfs = docs[live], tfs[live]
                 if docs.size == 0:
                     continue
         dl = scorer._dl[docs].astype(np.float64)
@@ -315,9 +312,10 @@ def export_quantized_ciff(
     Doc records keep the ORIGINAL doclengths — impact serving never
     reads them, and the header keeps describing the source collection
     (the same convention as quantized PISA indexes).  Zero impacts
-    (contributions <= 0) are dropped per the M4 tf>0 filter; a list
-    whose every posting quantizes to zero is dropped whole, and the
-    header's list count reflects that."""
+    (contributions <= 0) are dropped per the M4 tf>0 filter — a
+    belt-and-braces guard: floored idf makes every stored posting's
+    contribution strictly positive, so nothing actually drops (the
+    written != n_lists assertion enforces it)."""
     from ciff_ray.interop.bridge import _docmap_batches, _merged_postings
     from ciff_ray.interop.convert import CiffWriter, ScoreQuantizer
     from ciff_ray.interop.proto import (
@@ -338,19 +336,13 @@ def export_quantized_ciff(
     scorer = LocalScorer(index_dir)
     qz = ScoreQuantizer(min=lo, max=hi)
 
-    # pass 0 over the merged stream to count surviving lists (the CIFF
-    # header is length-prefixed, so the count must precede the lists;
-    # contributions are positive for every live posting under the
-    # floored idf, so in practice this equals the manifest count)
-    n_lists = 0
-    for term, docs, tfs in _merged_postings(paths):
-        c = scorer._contrib(
-            tfs.astype(np.float64),
-            scorer._dl.gather_sorted(docs).astype(np.float64),
-            scorer.idf(term),
-        )
-        if (qz.quantize_array(c) > 0).any():
-            n_lists += 1
+    # the header's list count IS the manifest count: idf is floored
+    # (query.EPS_IDF), tf >= 1 and doclength > 0, so every stored
+    # posting's contribution is strictly positive, and quantize maps
+    # any positive score to >= 1 — no list can quantize away.  The
+    # per-list keep-filter below plus the written != n_lists assertion
+    # still guard the invariant instead of trusting this argument.
+    n_lists = m.num_postings_lists
 
     header = CiffHeader(
         version=1,

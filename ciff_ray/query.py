@@ -656,6 +656,18 @@ class LocalScorer:
         ).astype(np.int64)
         return docs, tfs
 
+    def _live_mask(self, docs: np.ndarray) -> np.ndarray:
+        """True where ``docs`` is NOT tombstoned — the single deferred-
+        delete membership rule; serving (postings) and the quantizer
+        range scan share it so they can never diverge."""
+        if not self._dead.size:
+            return np.ones(docs.size, dtype=bool)
+        pos = np.searchsorted(self._dead, docs)
+        hit = (pos < self._dead.size) & (
+            self._dead[np.minimum(pos, self._dead.size - 1)] == docs
+        )
+        return ~hit
+
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """Full docID-ordered posting list: slices concatenated in salt
         order (salts cover disjoint ascending docID ranges by
@@ -693,12 +705,9 @@ class LocalScorer:
             # postings() is the single doc source for every scoring
             # mode (score_all / maxscore candidates / bmw), so masking
             # tombstones here suppresses deleted docs everywhere
-            pos = np.searchsorted(self._dead, docs)
-            hit = (pos < self._dead.size) & (
-                self._dead[np.minimum(pos, self._dead.size - 1)] == docs
-            )
-            if hit.any():
-                docs, tfs = docs[~hit], tfs[~hit]
+            live = self._live_mask(docs)
+            if not live.all():
+                docs, tfs = docs[live], tfs[live]
         if self._doc_filter is not None and docs.size:
             keep = self._doc_filter(docs)
             if not keep.all():

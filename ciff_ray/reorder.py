@@ -45,7 +45,6 @@ length and the max block size) so tests can pin the no-N-array claim.
 from __future__ import annotations
 
 import os
-import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -125,14 +124,12 @@ def _write_mapping_shard(t: pa.Table, offset: int, tmp_dir: str, idx: int) -> in
 
 
 def _publish(tmp: str, out_dir: str) -> None:
-    """positions._publish_store discipline: _DONE inside tmp, one
-    atomic rename, loser of a publish race cleans up."""
-    with open(os.path.join(tmp, "_DONE"), "w", encoding="utf-8") as f:
-        f.write("ok\n")
-    try:
-        os.rename(tmp, out_dir)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
+    """layout.publish_dir discipline: _DONE inside tmp, one atomic
+    rename, loser of a race cleans up, a marker-less partial at
+    out_dir self-heals."""
+    from ciff_ray.layout import publish_dir
+
+    publish_dir(tmp, out_dir)
 
 
 def _swap_to_inverse(t: pa.Table) -> pa.Table:

@@ -352,7 +352,14 @@ def make_serving_pool(
     ``topk_table(queries, k, mode)`` and ``close()``; results are
     rank-identical either way (test_sharded.py), so callers never
     choose a class.  Indexes are built under ``work_root`` on first
-    use and reused after."""
+    use and reused after.
+
+    ``n_actors`` sizes the MONOLITHIC pool only.  On the sharded
+    branch parallelism is the shard count (one pinned actor per
+    shard — each holds that shard's caches, so extra actors per shard
+    would split the warm state, not add throughput); to raise sharded
+    concurrency, lower ``target_docs`` so plan_shards picks more
+    shards."""
     import ray.data
 
     from ciff_ray.build import BuildParams, build_index

@@ -120,11 +120,11 @@ def build_docnorms(
     actor pass, the parquet write is the only materialization; the
     reader locates doc ranges via row-group statistics, so no sort is
     required (the same contract as the docmap)."""
-    import shutil
+    from ciff_ray.layout import publish_dir
 
-    # positions._publish_store discipline: pid-suffixed tmp, _DONE
-    # written INSIDE tmp, one atomic rename; the loser of a concurrent
-    # publish race cleans up instead of clobbering a live store
+    # layout.publish_dir discipline: pid-suffixed tmp, _DONE written
+    # INSIDE tmp, one atomic rename; a concurrent-publish loser cleans
+    # up, and a crash-left marker-less out_dir self-heals
     tmp = f"{out_dir}.tmp-{os.getpid()}"
     docs.map_batches(
         _NormPartials,
@@ -132,13 +132,7 @@ def build_docnorms(
         batch_format="pyarrow",
         concurrency=(1, 8),
     ).write_parquet(tmp)
-    with open(os.path.join(tmp, "_DONE"), "w", encoding="utf-8") as f:
-        f.write("ok\n")
-    try:
-        os.rename(tmp, out_dir)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out_dir
+    return publish_dir(tmp, out_dir)
 
 
 def norms_dir_for(sf_dir: str) -> str:

@@ -109,3 +109,50 @@ def test_ltr_no_match_query_emits_nothing(ltr_fixture):
         }
     )
     assert actor(batch).num_rows == 0
+
+
+def test_ltr_zero_norm_pool_doc_gets_zero_tfidf(ray_session, tmp_path):
+    """A pool doc whose every term has df == N (tf-idf drops it as
+    zero-norm) must still emit a feature row — tfidf_r = 0.0, not an
+    AssertionError (round-5 review finding)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ciff_ray.build import BuildParams, build_index
+    from ciff_ray.ltr import _LTRFeatureActor, POOL_K
+    from ciff_ray.tfidf import build_docnorms
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c0", "c1", "c2", "c3"]),
+            "turn_idx": pa.array([0, 0, 0, 0], type=pa.int32()),
+            "role": pa.array(["user"] * 4),
+            "text": pa.array(
+                ["common common", "common alpha", "common beta",
+                 "common gamma"]
+            ),
+            "tool": pa.array([""] * 4),
+        }
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        ray.data.from_arrow(tbl), idx,
+        BuildParams(num_partitions=2, sample_frac=1.0),
+    )
+    docs = pa.table(
+        {"doc_id": pa.array(range(4), type=pa.int64()), "text": tbl["text"]}
+    )
+    norms = build_docnorms(ray.data.from_arrow(docs), idx, str(tmp_path / "n"))
+    actor = _LTRFeatureActor(idx, norms, POOL_K)
+    out = actor(
+        pa.table(
+            {"query_id": pa.array([0], type=pa.int64()),
+             "query": pa.array(["common"])}
+        )
+    )
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert 0 in rows  # the zero-norm doc stays in the pool
+    assert rows[0]["tfidf_r"] == 0.0
+    assert all(np.isfinite(r["tfidf_r"]) for r in rows.values())
+    assert rows[1]["tfidf_r"] == 0.0  # its only scored term has idf 0

@@ -250,3 +250,40 @@ def test_mapping_pair_roundtrip_audit(reordered, tmp_path):
     )
     checks = {r["check"] for r in check_mapping_pair(mapping, bad, n, sample=n).to_pylist()}
     assert checks == {"mapping_roundtrip"}
+
+
+def test_bp_oversized_bucket_is_salted(ray_session):
+    """SimHash collisions (identical/near-identical docs) must not pile
+    one map_groups task above cap: bp_keys salts oversized prefix
+    buckets into ~cap-sized sub-buckets while emitting every doc
+    exactly once (round-5 review finding)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ciff_ray.bporder import bp_keys
+
+    n, cap = 240, 32
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            # identical text -> identical simhash -> ONE prefix bucket
+            "text": pa.array(["the same template text here"] * n),
+        }
+    )
+    keys = pa.concat_tables(
+        list(
+            bp_keys(
+                ray.data.from_arrow(docs).repartition(4), cap=cap
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    assert keys.num_rows == n
+    assert sorted(keys["doc_id"].to_pylist()) == list(range(n))
+    counts: dict[int, int] = {}
+    for b in keys["bucket"].to_pylist():
+        counts[b] = counts.get(b, 0) + 1
+    assert len(counts) >= n // cap  # actually split
+    # hash imbalance allowed, but no sub-bucket may approach the
+    # un-split size
+    assert max(counts.values()) <= 2 * cap

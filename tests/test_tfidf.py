@@ -192,3 +192,32 @@ def test_tfidf_zero_norm_doc_is_dropped(ray_session, tmp_path):
     assert 0 not in u.tolist()  # the zero-norm doc is gone
     assert set(u.tolist()) == {1, 2, 3}
     assert np.isfinite(sc).all()
+
+
+def test_publish_dir_self_heals_markerless_partial(tmp_path):
+    """A crash that left out_dir WITHOUT _DONE must not poison every
+    future rebuild: publish_dir replaces the partial (round-5 review
+    finding); a COMPLETE store (with _DONE) wins races instead."""
+    import os
+
+    from ciff_ray.layout import publish_dir
+
+    out = tmp_path / "store"
+    # partial: exists, no marker
+    out.mkdir()
+    (out / "part-0.parquet").write_bytes(b"junk")
+    tmp = tmp_path / "store.tmp-1"
+    tmp.mkdir()
+    (tmp / "part-0.parquet").write_bytes(b"good")
+    publish_dir(str(tmp), str(out))
+    assert (out / "_DONE").exists()
+    assert (out / "part-0.parquet").read_bytes() == b"good"
+    assert not tmp.exists()
+
+    # race: a COMPLETE store already there — the loser cleans up
+    tmp2 = tmp_path / "store.tmp-2"
+    tmp2.mkdir()
+    (tmp2 / "part-0.parquet").write_bytes(b"later")
+    publish_dir(str(tmp2), str(out))
+    assert (out / "part-0.parquet").read_bytes() == b"good"
+    assert not tmp2.exists()
