@@ -242,13 +242,18 @@ def bp_keys(docs: ray.data.Dataset, cap: int = BP_CAP) -> ray.data.Dataset:
             pa.array(b.astype(np.int64)),
         )
 
+    # materialize ONCE: the audit below consumes fwd, and without the
+    # pin Ray Data would re-execute the tokenize+SimHash lineage for
+    # the salt/BP pass (the docstring's "tokenization happens exactly
+    # once" contract)
     fwd = docs.map_batches(_forward_batch, batch_format="pyarrow").map_batches(
         _bucketize, batch_format="pyarrow"
-    )
+    ).materialize()
 
-    # bucket-size audit over slim (bucket) rows; only oversized
-    # prefixes cross the driver
-    counts = fwd.groupby("bucket").count()
+    # bucket-size audit over slim (bucket) rows — column-pruned so the
+    # count shuffle moves 8 bytes/doc, never the ~1KB/doc CSR column;
+    # only oversized prefixes cross the driver
+    counts = fwd.select_columns(["bucket"]).groupby("bucket").count()
     over: dict[int, int] = {}
     for t in counts.iter_batches(batch_format="pyarrow"):
         b = t["bucket"].to_numpy(zero_copy_only=False)
@@ -276,23 +281,22 @@ def bp_keys(docs: ray.data.Dataset, cap: int = BP_CAP) -> ray.data.Dataset:
             )
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            from ciff_ray.query import sorted_member
+
             b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
             salt = np.zeros(len(t), dtype=np.int64)
-            if self.keys.size:
-                pos = np.searchsorted(self.keys, b)
-                inb = pos < self.keys.size
-                hit = np.zeros(len(t), dtype=bool)
-                hit[inb] = self.keys[np.minimum(pos, self.keys.size - 1)][
-                    inb
-                ] == b[inb]
-                if hit.any():
-                    d = t["doc_id"].to_numpy(zero_copy_only=False).astype(
+            hit = sorted_member(self.keys, b)
+            if hit.any():
+                d = t["doc_id"].to_numpy(zero_copy_only=False).astype(
+                    np.uint64
+                )
+                mixed = (d[hit] * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+                salt[hit] = (
+                    mixed
+                    % self.nsalts[np.searchsorted(self.keys, b[hit])].astype(
                         np.uint64
                     )
-                    mixed = (d[hit] * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-                    salt[hit] = (
-                        mixed % self.nsalts[pos[hit]].astype(np.uint64)
-                    ).astype(np.int64)
+                ).astype(np.int64)
             return t.set_column(
                 t.schema.get_field_index("bucket"),
                 "bucket",

@@ -158,7 +158,13 @@ def publish_dir(tmp: str, out_dir: str) -> str:
         try:
             os.rename(tmp, out_dir)
             return out_dir
-        except OSError:
-            pass
+        except OSError as e:
+            # rename is IMPOSSIBLE (cross-device tmp, missing parent,
+            # permissions) — surface it instead of deleting the only
+            # copy of the just-built store and reporting success
+            raise OSError(
+                f"cannot publish {tmp} -> {out_dir}: {e}"
+            ) from e
+    # a COMPLETE store (with _DONE) won the race — discard ours
     shutil.rmtree(tmp, ignore_errors=True)
     return out_dir

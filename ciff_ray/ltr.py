@@ -80,12 +80,11 @@ class _LTRFeatureActor:
                 # still be in the BM25 pool (idf is floored), so its
                 # tf-idf feature is 0.0, mirrored by the oracle's
                 # LEFT JOIN + COALESCE
-                idx = np.searchsorted(u_f, order)
-                inb = idx < u_f.size
-                hit = np.zeros(order.size, dtype=bool)
-                hit[inb] = u_f[np.minimum(idx, u_f.size - 1)][inb] == order[inb]
+                from ciff_ray.query import sorted_member
+
+                hit = sorted_member(u_f, order)
                 out = np.zeros(order.size, dtype=np.float64)
-                out[hit] = s_f[idx[hit]]
+                out[hit] = s_f[np.searchsorted(u_f, order[hit])]
                 return out
 
             f_bm = feat(u, s_bm)

@@ -63,6 +63,20 @@ from ciff_ray.schemas import CODEC_BP, CODEC_BPG, CODEC_GAMMA
 DECODE_DIAG = {"slices": 0}
 
 
+def sorted_member(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """Boolean mask: which ``needles`` appear in the SORTED
+    ``haystack``.  THE sorted-membership kernel — tombstone masking,
+    LTR pool lookups and the BP bucket salter all share it, so the
+    empty-haystack edge case lives in exactly one place."""
+    if haystack.size == 0:
+        return np.zeros(needles.size, dtype=bool)
+    pos = np.searchsorted(haystack, needles)
+    inb = pos < haystack.size
+    hit = np.zeros(needles.size, dtype=bool)
+    hit[inb] = haystack[np.minimum(pos, haystack.size - 1)][inb] == needles[inb]
+    return hit
+
+
 @dataclass
 class BM25Params:
     k1: float = 0.9
@@ -660,13 +674,7 @@ class LocalScorer:
         """True where ``docs`` is NOT tombstoned — the single deferred-
         delete membership rule; serving (postings) and the quantizer
         range scan share it so they can never diverge."""
-        if not self._dead.size:
-            return np.ones(docs.size, dtype=bool)
-        pos = np.searchsorted(self._dead, docs)
-        hit = (pos < self._dead.size) & (
-            self._dead[np.minimum(pos, self._dead.size - 1)] == docs
-        )
-        return ~hit
+        return ~sorted_member(self._dead, docs)
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """Full docID-ordered posting list: slices concatenated in salt

@@ -156,3 +156,43 @@ def test_ltr_zero_norm_pool_doc_gets_zero_tfidf(ray_session, tmp_path):
     assert rows[0]["tfidf_r"] == 0.0
     assert all(np.isfinite(r["tfidf_r"]) for r in rows.values())
     assert rows[1]["tfidf_r"] == 0.0  # its only scored term has idf 0
+
+
+def test_ltr_all_zero_norm_candidates(ray_session, tmp_path):
+    """Every doc matching the query is zero-norm: tfidf_score_all
+    returns EMPTY candidates while BM25 still pools docs — feat_or_zero
+    must emit all-zero features, not IndexError (second-pass review)."""
+    import pyarrow as pa
+    import ray.data
+
+    from ciff_ray.build import BuildParams, build_index
+    from ciff_ray.ltr import _LTRFeatureActor, POOL_K
+    from ciff_ray.tfidf import build_docnorms
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c0", "c1", "c2"]),
+            "turn_idx": pa.array([0, 0, 0], type=pa.int32()),
+            "role": pa.array(["user"] * 3),
+            # every doc is ONLY df==N terms -> every norm is 0
+            "text": pa.array(["common", "common common", "common"]),
+            "tool": pa.array([""] * 3),
+        }
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        ray.data.from_arrow(tbl), idx,
+        BuildParams(num_partitions=2, sample_frac=1.0),
+    )
+    docs = pa.table(
+        {"doc_id": pa.array(range(3), type=pa.int64()), "text": tbl["text"]}
+    )
+    norms = build_docnorms(ray.data.from_arrow(docs), idx, str(tmp_path / "n"))
+    out = _LTRFeatureActor(idx, norms, POOL_K)(
+        pa.table(
+            {"query_id": pa.array([0], type=pa.int64()),
+             "query": pa.array(["common"])}
+        )
+    )
+    assert out.num_rows == 3
+    assert set(out["tfidf_r"].to_pylist()) == {0.0}
