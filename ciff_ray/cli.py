@@ -382,6 +382,32 @@ def cmd_search(args) -> None:
             print(f"{d}\t{t}")
 
 
+def cmd_reorder(args) -> None:
+    """Rebuild an index under a compression-friendly docID order
+    (simhash | bp) from a documents.parquet dir; writes the index plus
+    the doc-range-sharded new->old / old->new mapping stores serving
+    uses to answer in the ORIGINAL id space."""
+    _ray_session()
+    from ciff_ray.reorder import build_reordered
+    from ciff_ray.report import index_report
+
+    idx, mapping = build_reordered(
+        args.docs_dir, args.output, args.mapping, args.order
+    )
+    r = index_report(idx)
+    print(
+        json.dumps(
+            {
+                "index": idx,
+                "mapping": mapping,
+                "order": args.order,
+                "postings": r["postings"],
+                "doc_bytes": r["doc_bytes"],
+            }
+        )
+    )
+
+
 def cmd_export_ciff(args) -> None:
     if getattr(args, "quantize", False):
         # impact-quantized CIFF (M6 impacts in the tf slot — the
@@ -503,6 +529,18 @@ def main(argv=None) -> None:
     imp.add_argument("output")
     imp.add_argument("--partitions", type=int, default=8)
     imp.set_defaults(fn=cmd_import_ciff)
+
+    ro = sub.add_parser(
+        "reorder",
+        help="rebuild an index under a compression-friendly docID order "
+             "(simhash | bp) with original-id serving parity",
+    )
+    ro.add_argument("docs_dir", help="dir containing documents.parquet")
+    ro.add_argument("output", help="reordered index dir")
+    ro.add_argument("mapping", help="new->old mapping store dir "
+                                    "(inverse written at <mapping>-inv)")
+    ro.add_argument("--order", choices=["simhash", "bp"], default="simhash")
+    ro.set_defaults(fn=cmd_reorder)
 
     exp = sub.add_parser("export-ciff", help="ciff_ray index dir -> CIFF file")
     exp.add_argument("index")

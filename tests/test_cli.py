@@ -345,3 +345,39 @@ def test_cli_export_ciff_quantized(ray_session, tmp_path):
         u1, v1 = quantized_score_all(s1, qz, q)
         u2, v2 = impact_score_all(s2, q)
         assert np.array_equal(u1, u2) and np.array_equal(v1, v2), q
+
+
+def test_cli_reorder_bp(ray_session, tmp_path):
+    """reorder CLI: rebuild under BP order from a documents.parquet dir,
+    then fsck --mapping validates the pair end to end."""
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(80, dtype=np.int64)),
+            "text": pa.array(
+                [f"alpha beta w{i % 7} w{i % 11} gamma" for i in range(80)]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    idx, mapping = str(tmp_path / "idx"), str(tmp_path / "map")
+    r = subprocess.run(
+        [sys.executable, "-m", "ciff_ray", "reorder", str(tmp_path), idx,
+         mapping, "--order", "bp"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["postings"] > 0
+    f = subprocess.run(
+        [sys.executable, "-m", "ciff_ray", "fsck", idx, "--mapping", mapping],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert f.returncode == 0, f.stderr[-2000:]
+    assert '"clean": true' in f.stdout
